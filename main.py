@@ -1,0 +1,148 @@
+"""TPU-native ReGAT entrypoint — same public contract as the reference:
+
+    python main.py --config configs/butd_vqa.json [--mode eval --checkpoint P]
+
+(reference main.py:99-157). Train mode: build datasets, init the model, load
+GloVe(+TF-IDF) embeddings, train with per-epoch eval + checkpoints, save the
+final `{relation_type}-{fusion}-pretrained_model` artifact. Eval mode: restore
+a checkpoint and run one eval pass.
+
+Framework extension: ``--synthetic`` runs the identical pipeline on generated
+in-memory data with real shapes (no 90GB download needed) — used by bench.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from tf_vqa_regat_tpu.config import Config, parse_with_config
+from tf_vqa_regat_tpu.data.dictionary import Dictionary
+from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+from tf_vqa_regat_tpu.data.glove import tfidf_from_questions
+from tf_vqa_regat_tpu.models.regat import (
+    apply_regat,
+    init_regat,
+    resolve_impl,
+    trainable_mask,
+)
+from tf_vqa_regat_tpu.models.language import word_embedding_load_glove
+from tf_vqa_regat_tpu.parallel.mesh import batch_sharding, make_mesh
+from tf_vqa_regat_tpu.train import checkpoint as ckpt
+from tf_vqa_regat_tpu.train.logging import Logger
+from tf_vqa_regat_tpu.train.loop import evaluate, run_training
+from tf_vqa_regat_tpu.train.step import build_eval_step
+from tf_vqa_regat_tpu.data.loader import BatchLoader
+
+
+def build_datasets(cfg: Config):
+    """(train_ds or None, val_ds, emb-init info). Synthetic mode generates
+    in-memory data with real shapes; real mode reads the reference's on-disk
+    layout."""
+    if cfg.synthetic:
+        semantic = cfg.relation_type == "semantic"
+        val = synthetic_dataset(
+            num_images=max(cfg.synthetic_val_size // 8, 8),
+            num_questions=cfg.synthetic_val_size,
+            adaptive=cfg.adaptive,
+            seed=cfg.seed + 1,
+            semantic=semantic,
+            name="val",
+        )
+        train = None
+        if cfg.mode == "train":
+            train = synthetic_dataset(
+                num_images=max(cfg.synthetic_train_size // 8, 8),
+                num_questions=cfg.synthetic_train_size,
+                adaptive=cfg.adaptive,
+                seed=cfg.seed,
+                semantic=semantic,
+                name="train",
+            )
+        return train, val, None, None
+
+    from tf_vqa_regat_tpu.data.features import load_vqa_dataset
+
+    dictionary = Dictionary.load_from_file(
+        os.path.join(cfg.data_folder, "glove", "dictionary.pkl")
+    )
+    val = load_vqa_dataset(
+        "val", dictionary, cfg.relation_type, cfg.data_folder, cfg.adaptive
+    )
+    train = None
+    if cfg.mode == "train":
+        train = load_vqa_dataset(
+            "train", dictionary, cfg.relation_type, cfg.data_folder, cfg.adaptive
+        )
+    tfidf = weights = None
+    if cfg.tfidf:
+        # Extends the dictionary as a side effect (SURVEY §3.5) — must run
+        # before GloVe row extraction.
+        tfidf, weights = tfidf_from_questions(
+            ["train", "val", "test2015"], dictionary, cfg.data_folder
+        )
+    return train, val, tfidf, weights
+
+
+def main(argv=None) -> None:
+    cfg = parse_with_config(argv)
+    # The environment startup hook can pin jax_platforms to the TPU plugin;
+    # restore the standard JAX_PLATFORMS contract so CPU dev runs work.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    print(f"devices: {jax.devices()}")
+    np.random.seed(cfg.seed)
+    os.environ["PYTHONHASHSEED"] = str(cfg.seed)
+
+    train_ds, val_ds, tfidf, tfidf_weights = build_datasets(cfg)
+
+    if cfg.mode == "train":
+        ds = train_ds
+        ntoken = ds.dictionary.ntoken
+        params = init_regat(
+            jax.random.PRNGKey(cfg.seed), cfg, ntoken, ds.v_dim, ds.num_ans
+        )
+        emb2_trainable = False
+        if not cfg.synthetic:
+            glove = np.load(
+                os.path.join(cfg.data_folder, "glove", "glove6b_init_300d.npy")
+            ).squeeze()
+            params["w_emb"], emb2_trainable = word_embedding_load_glove(
+                params["w_emb"], glove, cfg.op, tfidf, tfidf_weights
+            )
+        final_params, best = run_training(
+            cfg, train_ds, val_ds, init_params=params, emb2_trainable=emb2_trainable
+        )
+        path = ckpt.save_params_only(
+            cfg.output, cfg.relation_type, cfg.fusion, final_params
+        )
+        print(f"saved final model to {path} (best eval score {best:.4f})")
+
+    elif cfg.mode == "eval":
+        ntoken = val_ds.dictionary.ntoken
+        abstract = init_regat(
+            jax.random.PRNGKey(cfg.seed), cfg, ntoken, val_ds.v_dim, val_ds.num_ans
+        )
+        params = ckpt.load_params(cfg.checkpoint, abstract)
+        mesh = make_mesh(cfg.dp_size, cfg.tp_size)
+        from tf_vqa_regat_tpu.parallel.mesh import replicated
+
+        params = jax.device_put(params, replicated(mesh))
+        eval_step = build_eval_step(cfg, ntoken, mesh, resolve_impl(cfg))
+        loader = BatchLoader(
+            val_ds, max(cfg.batch_size // 4, 1), cfg.resolved_num_rois(),
+            shuffle=False, include_adj=(cfg.relation_type == "semantic"),
+        )
+        logger = Logger(os.path.join(cfg.output, "eval_log.txt"))
+        score, loss, elapsed = evaluate(
+            eval_step, params, loader, batch_sharding(mesh), cfg, 0, logger
+        )
+        logger.write(f"Final eval score: {score:.4f}")
+    else:
+        raise ValueError(f"unknown mode {cfg.mode!r}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Config surface + JSON overlay semantics (reference config/parser.py:13-23)."""
+
+import json
+
+from tf_vqa_regat_tpu.config import Config, parse_with_config
+
+
+def test_defaults_match_reference():
+    cfg = parse_with_config([])
+    # reference main.py:14-97 argparse defaults
+    assert cfg.epochs == 20
+    assert cfg.base_lr == 1e-3
+    assert cfg.grad_clip == 0.25
+    assert cfg.batch_size == 8
+    assert cfg.seed == 42
+    assert cfg.relation_type == "implicit"
+    assert cfg.fusion == "mutan"
+    assert cfg.num_hid == 1024
+    assert cfg.nongt_dim == 20
+    assert cfg.num_heads == 16
+    assert cfg.dropout == 0.2
+    assert cfg.mode == "train"
+    assert not cfg.adaptive
+    assert not cfg.tfidf
+
+
+def test_json_overlay_cli_wins(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"batch_size": 256, "num_hid": 768, "adaptive": True}))
+    cfg = parse_with_config(["--config", str(p), "--batch_size", "32"])
+    assert cfg.batch_size == 32  # explicit CLI flag wins
+    assert cfg.num_hid == 768  # JSON overrides default
+    assert cfg.adaptive is True
+
+
+def test_shipped_butd_config():
+    cfg = parse_with_config(["--config", "configs/butd_vqa.json"])
+    assert cfg.base_lr == 0.0009
+    assert cfg.batch_size == 256
+    assert cfg.fusion == "butd"
+    assert cfg.relation_type == "implicit"
+    assert cfg.num_hid == 768
+    assert cfg.relation_dim == 1024
+    assert cfg.residual_connection is True
+    assert cfg.label_bias is False
+    assert cfg.tfidf is True
+    assert cfg.lr_decay_rate == 0.75
+    assert cfg.resolved_num_rois() == 100  # adaptive
+    assert cfg.word_dim == 600  # op='c'
+
+
+def test_unknown_json_key_rejected(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"nonexistent_key": 1}))
+    try:
+        parse_with_config(["--config", str(p)])
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised

@@ -1,0 +1,144 @@
+"""Full-model forward tests: every relation type x fusion family, train and
+eval mode, static shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf_vqa_regat_tpu.config import Config
+from tf_vqa_regat_tpu.models.regat import apply_regat, init_regat, trainable_mask
+
+NTOKEN = 50
+V_DIM = 128
+NUM_ANS = 17
+R = 12
+B = 3
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        num_hid=32,
+        relation_dim=48,
+        num_heads=4,
+        nongt_dim=6,
+        imp_pos_emb_dim=16,
+        dir_num=2,
+        num_steps=1,
+        residual_connection=True,
+        label_bias=False,
+        dropout=0.2,
+        fusion="butd",
+        relation_type="implicit",
+        mutan_rank=3,
+        ban_glimpse=2,
+        mutan_gamma=2,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def make_batch(seed=0, semantic=False):
+    rng = np.random.RandomState(seed)
+    xy = rng.rand(B, R, 2).astype(np.float32) * 300
+    wh = rng.rand(B, R, 2).astype(np.float32) * 100 + 5
+    bb = np.concatenate([xy, xy + wh], axis=-1)
+    num_boxes = np.array([R, R - 3, R - 5], np.int32)
+    for i, nb in enumerate(num_boxes):
+        bb[i, nb:] = 0.0
+    feats = rng.randn(B, R, V_DIM).astype(np.float32)
+    for i, nb in enumerate(num_boxes):
+        feats[i, nb:] = 0.0
+    norm_bb = rng.rand(B, R, 6).astype(np.float32)
+    q = rng.randint(0, NTOKEN, (B, 14)).astype(np.int32)
+    q[:, 10:] = NTOKEN  # padded tail
+    target = rng.rand(B, NUM_ANS).astype(np.float32)
+    batch = {
+        "features": jnp.asarray(feats),
+        "norm_bb": jnp.asarray(norm_bb),
+        "question": jnp.asarray(q),
+        "bb": jnp.asarray(bb),
+        "target": jnp.asarray(target),
+        "num_boxes": jnp.asarray(num_boxes),
+        "valid": jnp.ones((B,), bool),
+    }
+    if semantic:
+        batch["adj_label"] = jnp.asarray(
+            rng.randint(0, 16, (B, R, R)).astype(np.int32)
+        )
+    return batch
+
+
+@pytest.mark.parametrize("relation_type", ["implicit", "spatial", "semantic"])
+def test_forward_relation_types(relation_type):
+    cfg = tiny_cfg(relation_type=relation_type)
+    params = init_regat(jax.random.PRNGKey(0), cfg, NTOKEN, V_DIM, NUM_ANS)
+    batch = make_batch(semantic=(relation_type == "semantic"))
+    logits = apply_regat(params, cfg, batch, NTOKEN, train=False)
+    assert logits.shape == (B, NUM_ANS)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.parametrize("fusion", ["butd", "ban", "mutan"])
+def test_forward_fusions(fusion):
+    cfg = tiny_cfg(fusion=fusion)
+    params = init_regat(jax.random.PRNGKey(1), cfg, NTOKEN, V_DIM, NUM_ANS)
+    batch = make_batch()
+    logits = apply_regat(params, cfg, batch, NTOKEN, train=False)
+    assert logits.shape == (B, NUM_ANS)
+    assert np.isfinite(np.asarray(logits)).all()
+    if fusion == "mutan":
+        assert "classifier" not in params  # mutan scores answers directly
+
+
+def test_train_mode_dropout_stochastic_but_deterministic_per_key():
+    cfg = tiny_cfg()
+    params = init_regat(jax.random.PRNGKey(2), cfg, NTOKEN, V_DIM, NUM_ANS)
+    batch = make_batch()
+    r1 = apply_regat(params, cfg, batch, NTOKEN, train=True, rng=jax.random.PRNGKey(5))
+    r2 = apply_regat(params, cfg, batch, NTOKEN, train=True, rng=jax.random.PRNGKey(5))
+    r3 = apply_regat(params, cfg, batch, NTOKEN, train=True, rng=jax.random.PRNGKey(6))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    assert np.abs(np.asarray(r1) - np.asarray(r3)).max() > 1e-6
+
+
+def test_model_padding_invariance():
+    """Core TPU property: growing static roi padding leaves logits unchanged."""
+    cfg = tiny_cfg()
+    params = init_regat(jax.random.PRNGKey(3), cfg, NTOKEN, V_DIM, NUM_ANS)
+    batch = make_batch()
+    base = np.asarray(apply_regat(params, cfg, batch, NTOKEN))
+
+    R_big = R + 6
+    big = dict(batch)
+    for name, width in [("features", V_DIM), ("norm_bb", 6), ("bb", 4)]:
+        arr = np.zeros((B, R_big, width), np.float32)
+        arr[:, :R] = np.asarray(batch[name])
+        big[name] = jnp.asarray(arr)
+    grown = np.asarray(apply_regat(params, cfg, big, NTOKEN))
+    np.testing.assert_allclose(grown, base, rtol=2e-4, atol=1e-5)
+
+
+def test_trainable_mask_freezes_second_embedding():
+    cfg = tiny_cfg()
+    params = init_regat(jax.random.PRNGKey(4), cfg, NTOKEN, V_DIM, NUM_ANS)
+    mask = trainable_mask(params, emb2_trainable=False)
+    assert mask["w_emb"]["emb_"]["table"] is False
+    assert mask["w_emb"]["emb"]["table"] is True
+    mask2 = trainable_mask(params, emb2_trainable=True)
+    assert mask2["w_emb"]["emb_"]["table"] is True
+
+
+def test_jit_forward_single_compilation():
+    cfg = tiny_cfg()
+    params = init_regat(jax.random.PRNGKey(0), cfg, NTOKEN, V_DIM, NUM_ANS)
+
+    @jax.jit
+    def fwd(params, batch):
+        return apply_regat(params, cfg, batch, NTOKEN, train=False)
+
+    b1 = make_batch(seed=1)
+    b2 = make_batch(seed=2)
+    fwd(params, b1)
+    fwd(params, b2)  # same shapes -> cache hit
+    assert fwd._cache_size() == 1

@@ -1,0 +1,163 @@
+"""Config system: argparse surface + JSON overlay with CLI-wins semantics.
+
+Mirrors the reference public contract exactly (reference main.py:14-97 defines the
+flag surface; config/parser.py:13-23 defines the overlay semantics: JSON values
+override argparse defaults, but flags explicitly present on the command line win
+over the JSON). ``python main.py --config configs/butd_vqa.json [--mode eval
+--checkpoint PATH]`` must behave identically.
+
+A typed dataclass sits behind the argparse surface so the rest of the framework
+never touches argparse.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from typing import Any, List, Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # --- training logistics (reference main.py:19-27) ---
+    epochs: int = 20
+    base_lr: float = 1e-3
+    lr_decay_start: int = 15
+    lr_decay_rate: float = 0.25
+    lr_decay_step: int = 2
+    grad_clip: float = 0.25
+    batch_size: int = 8
+    output: str = "saved_models/"
+    seed: int = 42
+
+    # --- loading trained models (main.py:32) ---
+    checkpoint: str = ""
+
+    # --- dataset (main.py:37-46) ---
+    dataset: str = "vqa"  # vqa | vqa_cp
+    data_folder: str = "./data"
+    use_both: bool = False
+    use_vg: bool = False
+    adaptive: bool = False
+
+    # --- model (main.py:50-59) ---
+    relation_type: str = "implicit"  # spatial | semantic | implicit
+    fusion: str = "mutan"  # ban | butd | mutan
+    tfidf: bool = False
+    op: str = "c"
+    num_hid: int = 1024
+
+    # --- relation hyper-params (main.py:64-90) ---
+    imp_pos_emb_dim: int = 64
+    spa_label_num: int = 11
+    sem_label_num: int = 15
+    dir_num: int = 2
+    relation_dim: int = 1024
+    nongt_dim: int = 20
+    num_heads: int = 16
+    num_steps: int = 1
+    residual_connection: bool = False
+    label_bias: bool = False
+    dropout: float = 0.2
+
+    # --- run control (main.py:94-95) ---
+    print_freq: int = 500
+    mode: str = "train"  # train | eval
+
+    # --- present in shipped JSON config but unused by the reference model
+    # (config/butd_vqa.json:15) — accepted for compatibility ---
+    lr_decay_based_on_val: bool = False
+
+    # === TPU-framework extensions (not in the reference; all have defaults so
+    # reference configs parse unchanged) ===
+    # Static roi padding (reference padded to the per-batch max, dataset.py:329;
+    # TPU needs static shapes). 0 = auto: 36 fixed / 100 adaptive.
+    num_rois: int = 0
+    # bfloat16 matmuls (params stay float32). Off by default for fidelity.
+    compute_dtype: str = "float32"
+    # Mesh axes: data-parallel size (0 = all local devices) x model-parallel.
+    dp_size: int = 0
+    tp_size: int = 1
+    # Use the fused Pallas graph-attention kernel (falls back to the jnp oracle
+    # on platforms without Mosaic support).
+    use_pallas: bool = True
+    # Checkpoint every epoch + keep best (reference saved final weights only,
+    # main.py:145). Resume picks up the latest checkpoint in `output`.
+    resume: bool = False
+    save_every_epoch: bool = True
+    # Debug switches (SURVEY §5): jax_debug_nans behind a flag.
+    debug_nans: bool = False
+    # Data loader prefetch depth (host->device double buffering).
+    prefetch: int = 2
+    # BAN glimpses / MuTAN rank+glimpses (net-new families; defaults match the
+    # PyTorch ReGAT's ban_gamma=4 / mutan_gamma=2 and block-lib rank=15).
+    ban_glimpse: int = 4
+    mutan_rank: int = 15
+    mutan_gamma: int = 2
+    # Synthetic-data mode for benchmarking without the 90GB dataset on disk.
+    synthetic: bool = False
+    synthetic_train_size: int = 4096
+    synthetic_val_size: int = 1024
+
+    def resolved_num_rois(self) -> int:
+        if self.num_rois > 0:
+            return self.num_rois
+        return 100 if self.adaptive else 36
+
+    @property
+    def word_dim(self) -> int:
+        return 600 if "c" in self.op else 300
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_BOOL_FLAGS = {
+    f.name
+    for f in dataclasses.fields(Config)
+    if f.type in ("bool", bool)
+}
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """Argparse surface identical (plus extensions) to reference main.py:14-97."""
+    parser = argparse.ArgumentParser(description="TPU-native ReGAT")
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        if f.name in _BOOL_FLAGS:
+            # Reference used store_true for booleans (main.py:41-46,86-89).
+            parser.add_argument(name, action="store_true", default=f.default)
+        else:
+            parser.add_argument(name, type=type(f.default), default=f.default)
+    parser.add_argument("--config", type=str, default=None, help="JSON config file")
+    return parser
+
+
+def parse_with_config(argv: Optional[List[str]] = None) -> Config:
+    """JSON overlays argparse defaults; explicit CLI flags win.
+
+    Same semantics as reference config/parser.py:13-23 (override keys scraped
+    from argv).
+    """
+    if argv is None:
+        argv = sys.argv[1:]
+    parser = build_arg_parser()
+    args = parser.parse_args(argv)
+    if args.config is not None:
+        with open(args.config) as fh:
+            config_args = json.load(fh)
+        override_keys = {
+            a[2:].split("=")[0] for a in argv if a.startswith("--")
+        }
+        known = {f.name for f in dataclasses.fields(Config)}
+        for k, v in config_args.items():
+            if k in override_keys:
+                continue
+            if k not in known:
+                raise ValueError(f"Unknown config key in JSON: {k!r}")
+            setattr(args, k, v)
+    d = vars(args)
+    d.pop("config", None)
+    return Config(**d)

@@ -1,0 +1,139 @@
+"""Bottom-up-attention region feature store (HDF5) + the VQA dataset facade.
+
+Mirrors the reference's data layout (dataset.py:159-247) while fixing its
+broken fixed-36 path (split_entries unconditionally indexed pos_boxes, which is
+None when adaptive=False — dataset.py:228-230,302; SURVEY §3.4):
+
+  adaptive: image_features [total_boxes, 2048], pos_boxes [num_images, 2]
+  fixed-36: image_features [num_images, 36, 2048]
+
+Both paths produce statically-shaped batches (rois padded to
+``cfg.resolved_num_rois()`` with a per-example valid-box count).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import h5py
+import numpy as np
+
+from tf_vqa_regat_tpu.data.dictionary import Dictionary
+from tf_vqa_regat_tpu.data.entries import EntryTable, load_entries
+
+
+@dataclass
+class FeatureStore:
+    adaptive: bool
+    features: np.ndarray  # adaptive: [total_boxes, v]; fixed: [num_img, 36, v]
+    normalized_bb: np.ndarray  # matching layout, 6-d
+    bb: np.ndarray  # matching layout, 4-d
+    pos_boxes: Optional[np.ndarray] = None  # adaptive only, [num_img, 2]
+    semantic_adj: Optional[np.ndarray] = None  # [num_img, 100, 100]
+    spatial_adj: Optional[np.ndarray] = None  # [num_img, 100, 100]
+
+    @property
+    def v_dim(self) -> int:
+        return self.features.shape[-1]
+
+    @property
+    def s_dim(self) -> int:
+        return self.normalized_bb.shape[-1]
+
+    def image_slice(self, idx: int):
+        """(features, norm_bb, bb) for one image, [n_boxes, ...]."""
+        if self.adaptive:
+            s, e = self.pos_boxes[idx]
+            return self.features[s:e], self.normalized_bb[s:e], self.bb[s:e]
+        return self.features[idx], self.normalized_bb[idx], self.bb[idx]
+
+
+def load_feature_store(
+    dataroot: str, name: str, adaptive: bool, relation_type: str
+) -> FeatureStore:
+    """Open the split's HDF5 (reference path scheme, dataset.py:183-199) and
+    materialize into host RAM (the arrays are then sliced per batch)."""
+    prefix = "_36" if "test" in name else "36"
+    h5_root = os.path.join(
+        dataroot,
+        "Bottom-up-features-adaptive" if adaptive else "Bottom-up-features-fixed",
+    )
+    h5_path = os.path.join(h5_root, "%s%s.hdf5" % (name, "" if adaptive else prefix))
+    with h5py.File(h5_path, "r") as hf:
+        features = np.asarray(hf["image_features"], np.float32)
+        normalized_bb = np.asarray(hf["spatial_features"], np.float32)
+        bb = np.asarray(hf["image_bb"], np.float32)
+        semantic_adj = None
+        spatial_adj = None
+        if "semantic_adj_matrix" in hf and relation_type == "semantic":
+            semantic_adj = np.asarray(hf["semantic_adj_matrix"], np.int32)
+        if "image_adj_matrix" in hf and relation_type == "spatial":
+            spatial_adj = np.asarray(hf["image_adj_matrix"], np.int32)
+        pos_boxes = np.asarray(hf["pos_boxes"], np.int64) if adaptive else None
+    return FeatureStore(
+        adaptive=adaptive,
+        features=features,
+        normalized_bb=normalized_bb,
+        bb=bb,
+        pos_boxes=pos_boxes,
+        semantic_adj=semantic_adj,
+        spatial_adj=spatial_adj,
+    )
+
+
+def load_imgid2idx(dataroot: str, name: str, adaptive: bool) -> Dict[int, int]:
+    prefix = "_36" if "test" in name else "36"
+    path = os.path.join(
+        dataroot, "imgids", "%s%s_imgid2idx.pkl" % (name, "" if adaptive else prefix)
+    )
+    with open(path, "rb") as fh:
+        return pickle.load(fh)
+
+
+@dataclass
+class VQADataset:
+    """One split, ready to batch: entries + features + answer vocabulary."""
+
+    name: str
+    entries: EntryTable
+    store: FeatureStore
+    num_ans: int
+    label2ans: List[str]
+    dictionary: Dictionary
+    relation_type: str
+
+    @property
+    def v_dim(self) -> int:
+        return self.store.v_dim
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+
+def load_vqa_dataset(
+    name: str,
+    dictionary: Dictionary,
+    relation_type: str,
+    dataroot: str = "data",
+    adaptive: bool = False,
+) -> VQADataset:
+    assert name in ("train", "val", "test-dev2015", "test2015")
+    with open(os.path.join(dataroot, "cache", "trainval_ans2label.pkl"), "rb") as fh:
+        ans2label = pickle.load(fh)
+    with open(os.path.join(dataroot, "cache", "trainval_label2ans.pkl"), "rb") as fh:
+        label2ans = pickle.load(fh)
+    img_id2idx = load_imgid2idx(dataroot, name, adaptive)
+    store = load_feature_store(dataroot, name, adaptive, relation_type)
+    entries = load_entries(dataroot, name, img_id2idx, label2ans, dictionary)
+    return VQADataset(
+        name=name,
+        entries=entries,
+        store=store,
+        num_ans=len(ans2label),
+        label2ans=label2ans,
+        dictionary=dictionary,
+        relation_type=relation_type,
+    )

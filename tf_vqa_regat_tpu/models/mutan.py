@@ -1,0 +1,124 @@
+"""MuTAN fusion: multimodal Tucker decomposition (net-new model family).
+
+The reference accepts ``--fusion mutan`` but hardwires BUTD
+(reference main.py:51-52, rel_graph_net.py:106; SURVEY §2.2-M12). This module
+implements the fusion used by the PyTorch ReGAT: a Mutan block (Ben-Younes et
+al., ICCV 2017, via the `block` fusion library, mm_dim=1200,
+dropout_input=0.1) for both a 2-glimpse attention over rois and the final
+answer scoring.
+
+Mutan block over inputs (x0, x1):
+  z = sum_r (W0_r @ L0(x0)) * (W1_r @ L1(x1));  out = Lout(z)
+i.e. a rank-`rank` Tucker factorization of the full bilinear interaction.
+
+Unlike BUTD/BAN, MuTAN produces **answer logits directly** (the PyTorch ReGAT
+sets classifier=None for mutan); models/regat.py skips the classifier.
+
+Framework addition: invalid rois are masked out of the attention softmax.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tf_vqa_regat_tpu import nn
+from tf_vqa_regat_tpu.ops import weight_norm as wn
+
+MM_DIM = 1200  # ReGAT's fusions.Mutan(..., mm_dim=1200)
+ATT_DIM = 360  # MuTAN_Attention dim_out
+MLP_HID = 512  # attention MLP hidden
+
+
+def _linear_init(key, in_dim, out_dim):
+    return {
+        "w": nn.glorot_uniform(key, (in_dim, out_dim)),
+        "b": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+def _linear(p, x, compute_dtype):
+    return (
+        jnp.dot(
+            x.astype(compute_dtype),
+            p["w"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + p["b"]
+    )
+
+
+def _mutan_block_init(key, dim0, dim1, out_dim, rank):
+    keys = jax.random.split(key, 5)
+    return {
+        "linear0": _linear_init(keys[0], dim0, MM_DIM),
+        "linear1": _linear_init(keys[1], dim1, MM_DIM),
+        "merge0": _linear_init(keys[2], MM_DIM, MM_DIM * rank),
+        "merge1": _linear_init(keys[3], MM_DIM, MM_DIM * rank),
+        "linear_out": _linear_init(keys[4], MM_DIM, out_dim),
+    }
+
+
+def _mutan_block_apply(p, x0, x1, rank, drop_input, train, rngs, compute_dtype):
+    h0 = nn.dropout(_linear(p["linear0"], x0, compute_dtype), drop_input, train, rngs)
+    h1 = nn.dropout(_linear(p["linear1"], x1, compute_dtype), drop_input, train, rngs)
+    m0 = _linear(p["merge0"], h0, compute_dtype)
+    m1 = _linear(p["merge1"], h1, compute_dtype)
+    m = (m0 * m1).reshape(*x0.shape[:-1], rank, MM_DIM)
+    z = jnp.sum(m, axis=-2)
+    return _linear(p["linear_out"], z, compute_dtype)
+
+
+def mutan_init(
+    key: jax.Array,
+    v_dim: int,
+    q_dim: int,
+    num_ans: int,
+    rank: int,
+    glimpse: int = 2,
+) -> Dict[str, Any]:
+    keys = jax.random.split(key, 4)
+    return {
+        "att_fusion": _mutan_block_init(keys[0], q_dim, v_dim, ATT_DIM, rank),
+        "att_linear0": wn.fcnet_init(keys[1], [ATT_DIM, MLP_HID]),
+        "att_linear1": wn.fcnet_init(keys[2], [MLP_HID, glimpse]),
+        "out_fusion": _mutan_block_init(keys[3], q_dim, v_dim * glimpse, num_ans, rank),
+    }
+
+
+def mutan_apply(
+    params: Dict[str, Any],
+    visual: jax.Array,  # [b, R, v_dim]
+    question: jax.Array,  # [b, q_dim] (last GRU state)
+    roi_mask: jax.Array,  # [b, R] bool
+    drop_rate: float,
+    train: bool,
+    rngs: Optional[nn.RngGen],
+    compute_dtype=jnp.float32,
+    rank: int = 15,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (answer logits [b, num_ans], attention [b, R, glimpse])."""
+    b, R, v_dim = visual.shape
+    q_rep = jnp.broadcast_to(question[:, None, :], (b, R, question.shape[-1]))
+    alpha = _mutan_block_apply(
+        params["att_fusion"], q_rep, visual, rank, 0.1, train, rngs, compute_dtype
+    )  # [b, R, ATT_DIM]
+    alpha = wn.fcnet_apply(params["att_linear0"], alpha, None, 0.0, train, rngs, compute_dtype)
+    alpha = wn.fcnet_apply(params["att_linear1"], alpha, None, 0.0, train, rngs, compute_dtype)
+    alpha = jnp.where(roi_mask[..., None], alpha, jnp.float32(-1e9))
+    alpha = jax.nn.softmax(alpha, axis=1)  # [b, R, glimpse]
+
+    # Glimpse-weighted visual sums, concatenated: [b, glimpse * v_dim].
+    v_out = jnp.einsum(
+        "brg,brd->bgd",
+        alpha.astype(compute_dtype),
+        visual.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, -1)
+
+    logits = _mutan_block_apply(
+        params["out_fusion"], question, v_out, rank, 0.1, train, rngs, compute_dtype
+    )
+    return logits, alpha

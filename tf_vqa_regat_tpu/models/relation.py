@@ -1,0 +1,254 @@
+"""Relation encoders: GraphAttentionNetwork wrapper + implicit/explicit variants.
+
+Mirrors reference model/graph_att_net.py and model/relation_encoder.py, with
+the reference's bugs fixed:
+  - ExplicitRelationEncoder is implemented correctly (the reference has a
+    ctor-param typo `residiual_connection` vs the attribute it reads, a
+    guaranteed NameError — relation_encoder.py:98,104; WIP per its README).
+  - Padded rois are masked via an explicit validity mask instead of relying on
+    zero features (see ops/graph_attention.py docstring).
+
+Implicit-mode note: the reference feeds an all-ones adjacency through the
+explicit masking path and adds a per-edge label bias that is *constant across
+keys* (graph_att_net.py:64-78). A constant key-bias is a softmax no-op and its
+params receive exactly zero gradient, so this implementation skips that
+computation in implicit mode while still creating the (dead) `bias` params for
+structural parity with reference checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tf_vqa_regat_tpu import nn
+from tf_vqa_regat_tpu.ops import weight_norm as wn
+from tf_vqa_regat_tpu.ops.graph_attention import (
+    graph_attention_apply,
+    graph_attention_init,
+)
+
+
+# ------------------------------------------------------- GraphAttentionNetwork
+def gatt_net_init(
+    key: jax.Array,
+    dir_num: int,
+    label_num: int,
+    in_feat_dim: int,
+    out_feat_dim: int,
+    num_heads: int,
+    pos_emb_dim: int,
+    label_bias: bool,
+) -> Dict[str, Any]:
+    assert dir_num <= 2, "Got more than two directions in a graph."
+    keys = jax.random.split(key, 2 + dir_num)
+    return {
+        "self_weights": wn.fcnet_init(keys[0], [in_feat_dim, out_feat_dim]),
+        # per-edge-label bias FC(label_num -> 1); use_bias gated by label_bias
+        # (reference graph_att_net.py:25).
+        "bias": wn.fcnet_init(keys[1], [label_num, 1], use_bias=label_bias),
+        "neighbor": [
+            graph_attention_init(keys[2 + d], out_feat_dim, num_heads, pos_emb_dim)
+            for d in range(dir_num)
+        ],
+    }
+
+
+def gatt_net_apply(
+    params: Dict[str, Any],
+    v_feat: jax.Array,  # [b, R, in_feat_dim]
+    nongt_dim: int,
+    num_heads: int,
+    roi_mask: jax.Array,  # [b, R] bool
+    adj_labels_onehot: Optional[jax.Array] = None,  # [b, R, R, L] (explicit)
+    pos_emb: Optional[jax.Array] = None,  # [b, R, n, pos_dim] (implicit)
+    drop_rate: float = 0.2,
+    train: bool = False,
+    rngs: Optional[nn.RngGen] = None,
+    compute_dtype=jnp.float32,
+    impl: str = "jnp",
+) -> jax.Array:
+    b, R, _ = v_feat.shape
+    n = min(nongt_dim, R)
+    dir_num = len(params["neighbor"])
+
+    self_feat = wn.fcnet_apply(
+        params["self_weights"], v_feat, None, drop_rate, train, rngs, compute_dtype
+    )  # [b, R, out_feat_dim]
+
+    key_mask = roi_mask[:, :n]
+    output = self_feat
+    for d in range(dir_num):
+        adj_mask = None
+        label_bias_bd = None
+        if adj_labels_onehot is not None:
+            adj_d = adj_labels_onehot if d == 0 else jnp.swapaxes(adj_labels_onehot, 1, 2)
+            input_adj = adj_d[:, :, :n, :]  # [b, R, n, L]
+            adj_mask = jnp.sum(input_adj, axis=-1)  # [b, R, n]
+            # Reference applies dropout to the one-hot adjacency before the
+            # bias projection (graph_att_net.py:25 with dropout 0.2).
+            label_bias_bd = wn.fcnet_apply(
+                params["bias"], input_adj, None, 0.2, train, rngs, compute_dtype
+            )[..., 0]  # [b, R, n]
+        neighbor = graph_attention_apply(
+            params["neighbor"][d],
+            self_feat,
+            nongt_dim=n,
+            num_heads=num_heads,
+            pos_emb=pos_emb,
+            adj_mask=adj_mask,
+            label_bias=label_bias_bd,
+            key_mask=key_mask,
+            drop_rate=drop_rate,
+            train=train,
+            rngs=rngs,
+            compute_dtype=compute_dtype,
+            impl=impl,
+        )
+        output = output + neighbor
+
+    output = nn.dropout(output, drop_rate, train, rngs)
+    return jax.nn.relu(output)
+
+
+# ------------------------------------------------------------ shared utilities
+def concat_visual_question(
+    question: jax.Array,  # [b, q_dim]
+    visual: jax.Array,  # [b, R, v_dim]
+    roi_mask: jax.Array,  # [b, R] bool
+) -> jax.Array:
+    """Broadcast the question vector onto every valid roi and concatenate
+    (reference relation_encoder.py:13-37; its mask of rows whose feature-sum
+    is zero becomes the explicit validity mask here)."""
+    b, R, _ = visual.shape
+    q = jnp.broadcast_to(question[:, None, :], (b, R, question.shape[-1]))
+    q = jnp.where(roi_mask[..., None], q, jnp.zeros_like(q))
+    return jnp.concatenate([visual, q], axis=-1)
+
+
+# ---------------------------------------------------- ImplicitRelationEncoder
+def implicit_encoder_init(
+    key: jax.Array,
+    v_dim: int,
+    q_dim: int,
+    out_dim: int,
+    dir_num: int,
+    pos_emb_dim: int,
+    num_heads: int,
+    label_bias: bool,
+) -> Dict[str, Any]:
+    k1, k2 = jax.random.split(key)
+    params: Dict[str, Any] = {
+        "gatt": gatt_net_init(
+            k2, dir_num, 1, out_dim + q_dim, out_dim, num_heads, pos_emb_dim, label_bias
+        )
+    }
+    if v_dim != out_dim:
+        params["v2out"] = wn.fcnet_init(k1, [v_dim, out_dim])
+    return params
+
+
+def implicit_encoder_apply(
+    params: Dict[str, Any],
+    visual: jax.Array,  # [b, R, v_dim]
+    pos_emb: jax.Array,  # [b, R, n, pos_dim]
+    question: jax.Array,  # [b, q_dim]
+    roi_mask: jax.Array,  # [b, R]
+    nongt_dim: int,
+    num_heads: int,
+    num_steps: int,
+    residual_connection: bool,
+    drop_rate: float = 0.2,
+    train: bool = False,
+    rngs: Optional[nn.RngGen] = None,
+    compute_dtype=jnp.float32,
+    impl: str = "jnp",
+) -> jax.Array:
+    if "v2out" in params:
+        # relu + dropout 0.2 (reference relation_encoder.py:55).
+        visual = wn.fcnet_apply(
+            params["v2out"], visual, "relu", 0.2, train, rngs, compute_dtype
+        )
+    for _ in range(num_steps):
+        v_cat_q = concat_visual_question(question, visual, roi_mask)
+        rel = gatt_net_apply(
+            params["gatt"],
+            v_cat_q,
+            nongt_dim,
+            num_heads,
+            roi_mask,
+            adj_labels_onehot=None,  # implicit graph is fully connected
+            pos_emb=pos_emb,
+            drop_rate=drop_rate,
+            train=train,
+            rngs=rngs,
+            compute_dtype=compute_dtype,
+            impl=impl,
+        )
+        visual = visual + rel if residual_connection else rel
+    return visual
+
+
+# ---------------------------------------------------- ExplicitRelationEncoder
+def explicit_encoder_init(
+    key: jax.Array,
+    v_dim: int,
+    q_dim: int,
+    out_dim: int,
+    dir_num: int,
+    label_num: int,
+    num_heads: int,
+    label_bias: bool,
+) -> Dict[str, Any]:
+    k1, k2 = jax.random.split(key)
+    params: Dict[str, Any] = {
+        "gatt": gatt_net_init(
+            k2, dir_num, label_num, out_dim + q_dim, out_dim, num_heads, -1, label_bias
+        )
+    }
+    if v_dim != out_dim:
+        params["v2out"] = wn.fcnet_init(k1, [v_dim, out_dim])
+    return params
+
+
+def explicit_encoder_apply(
+    params: Dict[str, Any],
+    visual: jax.Array,  # [b, R, v_dim]
+    adj_labels_onehot: jax.Array,  # [b, R, R, L]
+    question: jax.Array,  # [b, q_dim]
+    roi_mask: jax.Array,  # [b, R]
+    nongt_dim: int,
+    num_heads: int,
+    num_steps: int,
+    residual_connection: bool,
+    drop_rate: float = 0.2,
+    train: bool = False,
+    rngs: Optional[nn.RngGen] = None,
+    compute_dtype=jnp.float32,
+    impl: str = "jnp",
+) -> jax.Array:
+    if "v2out" in params:
+        # relu, no dropout (reference relation_encoder.py:108).
+        visual = wn.fcnet_apply(
+            params["v2out"], visual, "relu", 0.0, train, rngs, compute_dtype
+        )
+    for _ in range(num_steps):
+        v_cat_q = concat_visual_question(question, visual, roi_mask)
+        rel = gatt_net_apply(
+            params["gatt"],
+            v_cat_q,
+            nongt_dim,
+            num_heads,
+            roi_mask,
+            adj_labels_onehot=adj_labels_onehot,
+            pos_emb=None,
+            drop_rate=drop_rate,
+            train=train,
+            rngs=rngs,
+            compute_dtype=compute_dtype,
+            impl=impl,
+        )
+        visual = visual + rel if residual_connection else rel
+    return visual

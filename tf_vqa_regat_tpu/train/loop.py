@@ -1,0 +1,224 @@
+"""Train / eval orchestration.
+
+Log-line format follows the reference contract (train.py:57-133; the committed
+notebook log): optimizer banner, per-epoch LR transitions, step lines every
+`print_freq`, an eval pass every epoch, and the final
+`[DEBUG] train_score: .. eval_score: ..` line.
+
+TPU-first differences:
+  - metrics accumulate **on device** (tiny async adds); the host fetches once
+    per print and per epoch — no per-step device sync (reference pulled
+    .numpy() every step, train.py:116-119);
+  - the data loader runs in a background thread, double-buffering host->HBM
+    transfers against the mesh's data-axis sharding;
+  - per-epoch Orbax checkpoints + best tracking + resume (reference: none).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tf_vqa_regat_tpu.config import Config
+from tf_vqa_regat_tpu.data.features import VQADataset
+from tf_vqa_regat_tpu.data.loader import BatchLoader, prefetch_to_device
+from tf_vqa_regat_tpu.models.regat import (
+    apply_regat,
+    init_regat,
+    resolve_impl,
+    trainable_mask,
+)
+from tf_vqa_regat_tpu.parallel.mesh import batch_sharding, make_mesh
+from tf_vqa_regat_tpu.train import checkpoint as ckpt
+from tf_vqa_regat_tpu.train.logging import AverageMeter, Logger, MetricsWriter, time_since
+from tf_vqa_regat_tpu.train.optim import make_lr_schedule, make_optimizer
+from tf_vqa_regat_tpu.train.step import build_eval_step, build_train_step, init_train_state
+
+
+def run_training(
+    cfg: Config,
+    train_ds: VQADataset,
+    val_ds: VQADataset,
+    init_params: Optional[Any] = None,
+    emb2_trainable: bool = False,
+) -> Tuple[Any, float]:
+    """Full training run. Returns (final params, best eval score %)."""
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    mesh = make_mesh(cfg.dp_size, cfg.tp_size)
+    impl = resolve_impl(cfg)
+    R = cfg.resolved_num_rois()
+    include_adj = cfg.relation_type == "semantic"
+
+    train_loader = BatchLoader(
+        train_ds, cfg.batch_size, R, shuffle=True, seed=cfg.seed,
+        include_adj=include_adj,
+    )
+    eval_loader = BatchLoader(
+        val_ds, max(cfg.batch_size // 4, 1), R, shuffle=False,
+        include_adj=include_adj,
+    )
+    steps_per_epoch = len(train_loader)
+    ntoken = train_ds.dictionary.ntoken
+
+    params = init_params
+    if params is None:
+        params = init_regat(
+            jax.random.PRNGKey(cfg.seed), cfg, ntoken, train_ds.v_dim, train_ds.num_ans
+        )
+    mask = trainable_mask(params, emb2_trainable)
+    optimizer = make_optimizer(
+        cfg.base_lr, cfg.grad_clip, steps_per_epoch, cfg.lr_decay_rate,
+        cfg.lr_decay_step, mask,
+    )
+    lr_fn = make_lr_schedule(
+        cfg.base_lr, steps_per_epoch, cfg.lr_decay_rate, cfg.lr_decay_step
+    )
+    state = init_train_state(params, optimizer, mesh)
+
+    start_epoch = 0
+    best_score = -1.0
+    if cfg.resume:
+        latest = ckpt.latest_checkpoint(cfg.output)
+        if latest is not None:
+            state = ckpt.restore_checkpoint(latest, state)
+            last_epoch, best_score = ckpt.restore_meta(cfg.output)
+            start_epoch = last_epoch + 1
+
+    train_step = build_train_step(cfg, ntoken, optimizer, mesh, impl)
+    eval_step = build_eval_step(cfg, ntoken, mesh, impl)
+    bspec = batch_sharding(mesh)
+    base_rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    logger = Logger(os.path.join(cfg.output, "log.txt"))
+    metrics_writer = MetricsWriter(os.path.join(cfg.output, "metrics.jsonl"))
+    logger.write(
+        "optim: adamax lr=%.4f, decay_step=%d, decay_rate=%.2f,"
+        % (cfg.base_lr, cfg.lr_decay_step, cfg.lr_decay_rate)
+        + "grad_clip=%.2f" % cfg.grad_clip
+    )
+
+    N = steps_per_epoch
+    num_total = train_loader.num_examples
+    prev_lr = None
+    for epoch in range(start_epoch, cfg.epochs):
+        lr_now = float(lr_fn(jnp.asarray(epoch * steps_per_epoch)))
+        if prev_lr is not None and lr_now != prev_lr:
+            logger.write(
+                f"\nEpoch: {epoch}. Reducing Learning Rate from {prev_lr} to {lr_now}"
+            )
+        elif prev_lr is None:
+            logger.write(f"\nEpoch: {epoch}. Learning Rate {lr_now}")
+        prev_lr = lr_now
+
+        logger.write("--" * 50)
+        logger.write(f"[DEBUG] epoch {epoch}, number of steps: {N}")
+        logger.write("--" * 50)
+
+        losses = AverageMeter()
+        # on-device accumulators (async; fetched at print_freq / epoch end)
+        acc = {"score": jnp.zeros(()), "loss_sum": jnp.zeros(()), "n": jnp.zeros(())}
+        start = time.time()
+        fetched_loss = 0.0
+
+        it = prefetch_to_device(
+            train_loader.epoch(epoch), bspec, depth=cfg.prefetch
+        )
+        for i, batch in enumerate(it):
+            state, m = train_step(state, batch, base_rng)
+            acc["score"] = acc["score"] + m["score"]
+            acc["loss_sum"] = acc["loss_sum"] + m["loss"] * m["n"]
+            acc["n"] = acc["n"] + m["n"]
+            last = m["loss"]
+            if (i + 1) % cfg.print_freq == 0:
+                host = jax.device_get({"last": last, **acc})
+                losses.val = float(host["last"])
+                losses.sum = float(host["loss_sum"])
+                losses.count = float(host["n"])
+                losses.avg = losses.sum / max(losses.count, 1)
+                elapsed = time_since(start, float(i + 1) / N)
+                logger.write(
+                    f"Epoch [{epoch+1}][{i}/{N}] Elapsed {elapsed} "
+                    f"Loss: {losses.val:.5f}({losses.avg:.5f})"
+                )
+
+        host = jax.device_get(acc)
+        train_score = 100.0 * float(host["score"]) / max(float(host["n"]), 1.0)
+        train_time = time.time() - start
+
+        eval_score, eval_loss, eval_time = evaluate(
+            eval_step, state["params"], eval_loader, bspec, cfg, epoch, logger
+        )
+        logger.write(
+            f"[DEBUG] train_score: {train_score:.4f} eval_score: {eval_score:.4f}"
+        )
+        metrics_writer.write(
+            {
+                "epoch": epoch,
+                "lr": lr_now,
+                "train_loss": float(host["loss_sum"]) / max(float(host["n"]), 1.0),
+                "train_score": train_score,
+                "eval_score": eval_score,
+                "eval_loss": eval_loss,
+                "train_time_s": train_time,
+                "eval_time_s": eval_time,
+                "train_qps": float(host["n"]) / max(train_time, 1e-9),
+            }
+        )
+
+        is_best = eval_score > best_score
+        best_score = max(best_score, eval_score)
+        if cfg.save_every_epoch:
+            ckpt.save_checkpoint(cfg.output, state, epoch, best_score, is_best)
+
+    return state["params"], best_score
+
+
+def evaluate(
+    eval_step,
+    params,
+    eval_loader: BatchLoader,
+    bspec,
+    cfg: Config,
+    epoch: int,
+    logger: Logger,
+) -> Tuple[float, float, float]:
+    """Eval pass -> (score %, mean loss, elapsed seconds). Mirrors reference
+    train.py:136-177 log lines."""
+    logger.write("[DEBUG] Evaluation Start")
+    num_total = eval_loader.num_examples
+    N = len(eval_loader)
+    logger.write(f"[DEBUG] total eval data len: {num_total}")
+    logger.write(f"[DEBUG] eval data loader len: {N}")
+
+    losses = AverageMeter()
+    acc = {"score": jnp.zeros(()), "loss_sum": jnp.zeros(()), "n": jnp.zeros(())}
+    start = time.time()
+    it = prefetch_to_device(eval_loader.epoch(0), bspec, depth=cfg.prefetch)
+    for i, batch in enumerate(it):
+        m = eval_step(params, batch)
+        acc["score"] = acc["score"] + m["score"]
+        acc["loss_sum"] = acc["loss_sum"] + m["loss"] * m["n"]
+        acc["n"] = acc["n"] + m["n"]
+        if (i + 1) % cfg.print_freq == 0:
+            host = jax.device_get({"last": m["loss"], **acc})
+            losses.val = float(host["last"])
+            losses.sum = float(host["loss_sum"])
+            losses.count = float(host["n"])
+            losses.avg = losses.sum / max(losses.count, 1)
+            elapsed = time_since(start, float(i + 1) / N)
+            logger.write(
+                f"Epoch [{epoch+1}][{i}/{N}] Elapsed {elapsed} "
+                f"Loss: {losses.val:.5f}({losses.avg:.5f})"
+            )
+    host = jax.device_get(acc)
+    elapsed = time.time() - start
+    score = 100.0 * float(host["score"]) / max(float(host["n"]), 1.0)
+    mean_loss = float(host["loss_sum"]) / max(float(host["n"]), 1.0)
+    return score, mean_loss, elapsed
