@@ -1,0 +1,166 @@
+"""Benchmark: flagship ReGAT (implicit + BUTD, butd_vqa.json dims) train+eval
+throughput on the attached TPU chip, vs the reference single-GPU baseline.
+
+Baseline (BASELINE.md): A100/RTX-A6000 batch 256 → ~500 q/s train,
+~700 q/s eval; epoch-weighted aggregate over the real split sizes
+(443,757 train + 214,354 val q) = ~551 q/s.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "questions/sec/chip", "vs_baseline": N}
+
+Runs on synthetic data with real shapes (the 90GB dataset is not on disk);
+the measured path is the device-store pipeline: feature tables resident in
+HBM, per-step host->device transfer is the [batch] index vector, batch
+assembly is an on-device gather fused into the donated jitted train step
+(data/device_store.py — the same data path production training uses whenever
+the split fits in device memory).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+from tf_vqa_regat_tpu.config import Config
+from tf_vqa_regat_tpu.data.device_store import DeviceStore
+from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+from tf_vqa_regat_tpu.models.regat import init_regat, resolve_impl, trainable_mask
+from tf_vqa_regat_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from tf_vqa_regat_tpu.train.optim import make_optimizer
+from tf_vqa_regat_tpu.train.step import (
+    build_store_eval_step,
+    build_store_train_step,
+    init_train_state,
+)
+
+# Reference epoch proportions (BASELINE.md): train/val question counts.
+REF_TRAIN_Q = 443_757
+REF_VAL_Q = 214_354
+BASELINE_TRAIN_QPS = 500.0
+BASELINE_EVAL_QPS = 700.0
+BASELINE_AGG_QPS = (REF_TRAIN_Q + REF_VAL_Q) / (
+    REF_TRAIN_Q / BASELINE_TRAIN_QPS + REF_VAL_Q / BASELINE_EVAL_QPS
+)
+
+BATCH = 256
+NTOKEN = 19901
+NUM_ANS = 3129
+V_DIM = 2048
+
+
+def flagship_cfg() -> Config:
+    return Config(
+        batch_size=BATCH,
+        num_hid=768,
+        relation_dim=1024,
+        num_heads=16,
+        nongt_dim=20,
+        imp_pos_emb_dim=64,
+        dir_num=2,
+        num_steps=1,
+        residual_connection=True,
+        label_bias=False,
+        dropout=0.2,
+        fusion="butd",
+        relation_type="implicit",
+        adaptive=True,
+        base_lr=9e-4,
+        lr_decay_rate=0.75,
+        lr_decay_step=2,
+    )
+
+
+def _idx_batches(store, batch_size, bspec, n, shuffle, seed=0):
+    out = []
+    epoch = 0
+    while len(out) < n:
+        for idx in store.epoch_indices(epoch, batch_size, shuffle, seed):
+            out.append(jax.device_put(idx, bspec))
+            if len(out) >= n:
+                return out
+        epoch += 1
+    return out
+
+
+def main() -> None:
+    cfg = flagship_cfg()
+    mesh = make_mesh()
+    impl = resolve_impl(cfg)
+    bspec = batch_sharding(mesh)
+
+    ds = synthetic_dataset(
+        num_images=512, num_questions=8192, v_dim=V_DIM, num_ans=NUM_ANS,
+        adaptive=True, seed=0,
+    )
+    store = DeviceStore(ds, sharding=replicated(mesh))
+    # synthetic vocab is tiny; model embedding sized to the real vocab
+    params = init_regat(jax.random.PRNGKey(0), cfg, NTOKEN, V_DIM, NUM_ANS)
+    mask = trainable_mask(params, emb2_trainable=True)
+    steps_per_epoch = (len(ds) + BATCH - 1) // BATCH
+    optimizer = make_optimizer(
+        cfg.base_lr, cfg.grad_clip, steps_per_epoch, cfg.lr_decay_rate,
+        cfg.lr_decay_step, mask,
+    )
+    state = init_train_state(params, optimizer, mesh)
+    train_step = build_store_train_step(
+        cfg, NTOKEN, optimizer, mesh, impl, params, NUM_ANS, store.padding_idx
+    )
+    eval_step = build_store_eval_step(
+        cfg, NTOKEN, mesh, impl, NUM_ANS, store.padding_idx
+    )
+    base_rng = jax.random.PRNGKey(1)
+
+    # --- train phase ---
+    n_measure = 40
+    idxs = _idx_batches(store, BATCH, bspec, n_measure + 4, shuffle=True)
+    for i in range(4):  # warmup: compile + pipeline fill
+        state, m = train_step(state, store.arrays, idxs[i], base_rng)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for i in range(4, 4 + n_measure):
+        state, m = train_step(state, store.arrays, idxs[i], base_rng)
+    jax.block_until_ready(m)
+    train_qps = n_measure * BATCH / (time.perf_counter() - t0)
+
+    # --- eval phase (batch/4, reference main.py:118) ---
+    n_eval = 80
+    eidxs = _idx_batches(store, BATCH // 4, bspec, n_eval + 4, shuffle=False)
+    for i in range(4):
+        m = eval_step(state["params"], store.arrays, eidxs[i])
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for i in range(4, 4 + n_eval):
+        m = eval_step(state["params"], store.arrays, eidxs[i])
+    jax.block_until_ready(m)
+    eval_qps = n_eval * (BATCH // 4) / (time.perf_counter() - t0)
+
+    agg = (REF_TRAIN_Q + REF_VAL_Q) / (
+        REF_TRAIN_Q / train_qps + REF_VAL_Q / eval_qps
+    )
+    n_chips = len(jax.devices())
+    per_chip = agg / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "questions/sec/chip (train+eval) at batch 256",
+                "value": round(per_chip, 2),
+                "unit": "questions/sec/chip",
+                "vs_baseline": round(per_chip / BASELINE_AGG_QPS, 3),
+                "detail": {
+                    "train_qps": round(train_qps, 2),
+                    "eval_qps": round(eval_qps, 2),
+                    "impl": impl,
+                    "n_chips": n_chips,
+                    "baseline_agg_qps": round(BASELINE_AGG_QPS, 2),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

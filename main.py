@@ -133,7 +133,8 @@ def main(argv=None) -> None:
         eval_step = build_eval_step(cfg, ntoken, mesh, resolve_impl(cfg))
         loader = BatchLoader(
             val_ds, max(cfg.batch_size // 4, 1), cfg.resolved_num_rois(),
-            shuffle=False, include_adj=(cfg.relation_type == "semantic"),
+            shuffle=False,
+            include_adj=(cfg.relation_type in ("semantic", "spatial")),
         )
         logger = Logger(os.path.join(cfg.output, "eval_log.txt"))
         score, loss, elapsed = evaluate(

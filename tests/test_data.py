@@ -1,0 +1,160 @@
+"""Data pipeline: tokenizer exactness, fixture round-trip through the real
+loading path (adaptive + fixed-36), static-shape batching, loader determinism,
+GloVe/TF-IDF init."""
+
+import numpy as np
+import pytest
+
+from tf_vqa_regat_tpu.data.dictionary import Dictionary, encode_question
+from tf_vqa_regat_tpu.data.fixtures import make_dictionary, synthetic_dataset, write_fixture
+from tf_vqa_regat_tpu.data.features import load_vqa_dataset
+from tf_vqa_regat_tpu.data.loader import BatchLoader
+
+
+# ------------------------------------------------------------------- tokenizer
+def test_tokenizer_string_ops():
+    d = Dictionary()
+    for w in ["what", "is", "the", "dog", "'s", "name", "bebe", "x"]:
+        d.add_word(w)
+    # lowercase, strip ',', '?', split possessive 's (reference dataset.py:63-70)
+    toks = d.tokenize("What is the Dog's name?", False)
+    assert toks == [d.word2idx[w] for w in ["what", "is", "the", "dog", "'s", "name"]]
+    # comma stripped
+    assert d.tokenize("the, dog", False) == [d.word2idx["the"], d.word2idx["dog"]]
+    # OOV -> padding_idx - 1
+    assert d.tokenize("zzz", False) == [d.padding_idx - 1]
+
+
+def test_tokenizer_add_word_grows_dict():
+    d = Dictionary()
+    toks = d.tokenize("a b a", True)
+    assert toks == [0, 1, 0]
+    assert d.ntoken == 2
+    assert d.padding_idx == 2
+
+
+def test_encode_question_pads_back():
+    d = make_dictionary()
+    toks = encode_question(d, "what is", max_length=5)
+    assert len(toks) == 5
+    assert toks[2:] == [d.padding_idx] * 3
+
+
+def test_dictionary_pickle_roundtrip(tmp_path):
+    d = make_dictionary()
+    p = str(tmp_path / "dict.pkl")
+    d.dump_to_file(p)
+    d2 = Dictionary.load_from_file(p)
+    assert d2.word2idx == d.word2idx
+    assert d2.idx2word == d.idx2word
+
+
+# ------------------------------------------------------- fixture + real loaders
+@pytest.mark.parametrize("adaptive", [True, False])
+def test_fixture_roundtrip(tmp_path, adaptive):
+    root = str(tmp_path / "data")
+    write_fixture(root, adaptive=adaptive, num_images=6, num_questions=12)
+    d = Dictionary.load_from_file(root + "/glove/dictionary.pkl")
+    ds = load_vqa_dataset("train", d, "implicit", root, adaptive=adaptive)
+    assert len(ds) == 12
+    assert ds.num_ans == 13
+    R = 100 if adaptive else 36
+    loader = BatchLoader(ds, batch_size=5, num_rois=R, shuffle=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3  # ceil(12/5), final batch padded
+    b0 = batches[0]
+    assert b0["features"].shape == (5, R, 64)
+    assert b0["question"].shape == (5, 14)
+    assert b0["target"].shape == (5, 13)
+    assert b0["valid"].all()
+    last = batches[-1]
+    assert last["valid"].sum() == 2  # 12 = 5 + 5 + 2
+    # fixed-36 always has exactly 36 valid boxes; adaptive 10..30 per fixture
+    if adaptive:
+        assert (b0["num_boxes"] >= 10).all() and (b0["num_boxes"] <= 30).all()
+    else:
+        assert (b0["num_boxes"] == 36).all()
+    # features beyond num_boxes are zero padding
+    i = 0
+    nb = int(b0["num_boxes"][i])
+    assert np.abs(b0["features"][i, nb:]).sum() == 0
+
+
+def test_loader_epoch_shuffling_deterministic():
+    ds = synthetic_dataset(num_images=8, num_questions=64, v_dim=16, num_ans=7)
+    l1 = BatchLoader(ds, 16, 36, shuffle=True, seed=3)
+    l2 = BatchLoader(ds, 16, 36, shuffle=True, seed=3)
+    b1 = next(iter(l1.epoch(5)))
+    b2 = next(iter(l2.epoch(5)))
+    np.testing.assert_array_equal(b1["question"], b2["question"])
+    b3 = next(iter(l1.epoch(6)))
+    assert not np.array_equal(b1["question"], b3["question"])
+
+
+def test_soft_targets_scatter():
+    ds = synthetic_dataset(num_images=4, num_questions=8, v_dim=8, num_ans=11)
+    loader = BatchLoader(ds, 8, 36, shuffle=False)
+    batch = next(iter(loader.epoch(0)))
+    ent = ds.entries
+    for i in range(8):
+        s, e = ent.label_offsets[i], ent.label_offsets[i + 1]
+        want = np.zeros(11, np.float32)
+        want[ent.labels[s:e]] = ent.scores[s:e]
+        np.testing.assert_array_equal(batch["target"][i], want)
+
+
+def test_semantic_adj_in_batch():
+    ds = synthetic_dataset(
+        num_images=4, num_questions=8, v_dim=8, num_ans=5, semantic=True
+    )
+    loader = BatchLoader(ds, 4, 50, shuffle=False, include_adj=True)
+    batch = next(iter(loader.epoch(0)))
+    assert batch["adj_label"].shape == (4, 50, 50)
+    assert batch["adj_label"].max() <= 15
+
+
+# ------------------------------------------------------------- glove / tfidf
+def test_glove_tfidf_init(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from tf_vqa_regat_tpu.data.glove import tfidf_from_questions
+    from tf_vqa_regat_tpu.models.language import (
+        word_embedding_init,
+        word_embedding_load_glove,
+    )
+
+    root = str(tmp_path / "data")
+    write_fixture(root)
+    d = Dictionary.load_from_file(root + "/glove/dictionary.pkl")
+    ntoken = d.ntoken
+    tfidf, weights = tfidf_from_questions(["train"], d, root, target=["vqa"])
+    # fixture tfidf is ntoken x ext identity on base vocab
+    assert tfidf.shape[0] == ntoken
+    assert tfidf.shape[1] == len(d)
+    glove = np.load(root + "/glove/glove6b_init_300d.npy")
+    params = word_embedding_init(jax.random.PRNGKey(0), ntoken, 300, "c")
+    new, trainable = word_embedding_load_glove(params, glove, "c", tfidf, weights)
+    assert trainable
+    assert new["emb"]["table"].shape == (ntoken + 1, 300)
+    np.testing.assert_allclose(np.asarray(new["emb"]["table"][:ntoken]), glove)
+    np.testing.assert_allclose(np.asarray(new["emb"]["table"][ntoken]), 0.0)
+    # identity tfidf (over base vocab) -> second table == glove on base rows
+    np.testing.assert_allclose(
+        np.asarray(new["emb_"]["table"][:ntoken]), glove, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_glove_only_init_keeps_emb2_frozen():
+    import jax
+
+    from tf_vqa_regat_tpu.models.language import (
+        word_embedding_init,
+        word_embedding_load_glove,
+    )
+
+    glove = np.random.RandomState(0).randn(10, 300).astype(np.float32)
+    params = word_embedding_init(jax.random.PRNGKey(0), 10, 300, "c")
+    new, trainable = word_embedding_load_glove(params, glove, "c")
+    assert not trainable
+    np.testing.assert_allclose(np.asarray(new["emb_"]["table"][:10]), glove)

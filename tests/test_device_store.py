@@ -1,0 +1,75 @@
+"""Device-resident data path: the on-device gather must produce exactly the
+same batches as the host-streaming packer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf_vqa_regat_tpu.data.device_store import DeviceStore, build_arrays, gather_batch
+from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+from tf_vqa_regat_tpu.data.loader import BatchLoader
+
+
+@pytest.mark.parametrize("adaptive", [True, False])
+def test_gather_matches_host_packer(adaptive):
+    ds = synthetic_dataset(
+        num_images=6, num_questions=20, v_dim=16, num_ans=11, adaptive=adaptive
+    )
+    R = 40 if adaptive else 36
+    store = DeviceStore(ds)
+    loader = BatchLoader(ds, batch_size=7, num_rois=R, shuffle=False)
+
+    host_batches = list(loader.epoch(0))
+    idx_batches = list(store.epoch_indices(0, 7, shuffle=False, seed=0))
+    assert len(host_batches) == len(idx_batches)
+    for hb, idx in zip(host_batches, idx_batches):
+        db = jax.device_get(
+            gather_batch(store.arrays, jnp.asarray(idx), R, 11, store.padding_idx)
+        )
+        for k in ["features", "norm_bb", "bb", "question", "target"]:
+            np.testing.assert_allclose(db[k], hb[k], rtol=1e-6, atol=1e-6, err_msg=k)
+        np.testing.assert_array_equal(db["num_boxes"], hb["num_boxes"])
+        np.testing.assert_array_equal(db["valid"], hb["valid"])
+
+
+def test_gather_semantic_adj():
+    ds = synthetic_dataset(
+        num_images=4, num_questions=8, v_dim=8, num_ans=5, semantic=True
+    )
+    R = 30
+    store = DeviceStore(ds, include_adj=True)
+    loader = BatchLoader(ds, 4, R, shuffle=False, include_adj=True)
+    hb = next(iter(loader.epoch(0)))
+    idx = next(iter(store.epoch_indices(0, 4, False, 0)))
+    db = jax.device_get(
+        gather_batch(store.arrays, jnp.asarray(idx), R, 5, store.padding_idx)
+    )
+    np.testing.assert_array_equal(db["adj_label"], hb["adj_label"])
+
+
+def test_epoch_indices_shuffle_matches_loader():
+    ds = synthetic_dataset(num_images=4, num_questions=33, v_dim=8, num_ans=5)
+    store = DeviceStore(ds)
+    loader = BatchLoader(ds, 8, 20, shuffle=True, seed=7)
+    hb = list(loader.epoch(3))
+    idxs = list(store.epoch_indices(3, 8, shuffle=True, seed=7))
+    # same permutation stream (shared seeding scheme)
+    db = jax.device_get(
+        gather_batch(store.arrays, jnp.asarray(idxs[0]), 20, 5, store.padding_idx)
+    )
+    np.testing.assert_array_equal(db["question"], hb[0]["question"])
+    # final partial batch: -1 padding and valid mask
+    assert (idxs[-1] == -1).sum() == 8 - 33 % 8
+    db_last = jax.device_get(
+        gather_batch(store.arrays, jnp.asarray(idxs[-1]), 20, 5, store.padding_idx)
+    )
+    np.testing.assert_array_equal(db_last["valid"], hb[-1]["valid"])
+
+
+def test_build_arrays_sizes():
+    ds = synthetic_dataset(num_images=4, num_questions=8, v_dim=8, num_ans=5)
+    arrays = build_arrays(ds)
+    assert arrays["features"].ndim == 2
+    assert arrays["questions"].shape == (8, 14)
+    assert arrays["labels"].shape[0] == 8

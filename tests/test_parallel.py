@@ -1,0 +1,81 @@
+"""Distributed-without-a-cluster (SURVEY §4 item 4): the 8-device CPU mesh
+must produce the same numbers as the single-device run — DP sharding and TP
+sharding are layout changes, not math changes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf_vqa_regat_tpu.config import Config
+from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+from tf_vqa_regat_tpu.data.loader import BatchLoader
+from tf_vqa_regat_tpu.models.regat import init_regat, trainable_mask
+from tf_vqa_regat_tpu.parallel.mesh import batch_sharding, make_mesh
+from tf_vqa_regat_tpu.train.optim import make_optimizer
+from tf_vqa_regat_tpu.train.step import build_train_step, init_train_state
+
+CFG = Config(
+    num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6, imp_pos_emb_dim=16,
+    fusion="butd", relation_type="implicit", residual_connection=True,
+    base_lr=5e-3,
+)
+
+
+def _run_steps(mesh, n_steps=2):
+    ds = synthetic_dataset(num_images=8, num_questions=64, v_dim=32, num_ans=9)
+    ntoken = ds.dictionary.ntoken
+    params = init_regat(jax.random.PRNGKey(0), CFG, ntoken, 32, 9)
+    mask = trainable_mask(params, False)
+    opt = make_optimizer(CFG.base_lr, CFG.grad_clip, 4, 0.75, 2, mask)
+    state = init_train_state(params, opt, mesh)
+    step = build_train_step(CFG, ntoken, opt, mesh, "jnp", params)
+    loader = BatchLoader(ds, 16, 12, shuffle=False)
+    rng = jax.random.PRNGKey(1)
+    metrics = []
+    it = iter(loader.epoch(0))
+    for _ in range(n_steps):
+        batch = jax.device_put(next(it), batch_sharding(mesh))
+        state, m = step(state, batch, rng)
+        metrics.append(jax.device_get(m))
+    return metrics, jax.device_get(state["params"])
+
+
+def test_eight_device_dp_matches_single_device():
+    assert len(jax.devices()) >= 8
+    m1, p1 = _run_steps(make_mesh(dp_size=1, tp_size=1, devices=jax.devices()[:1]))
+    m8, p8 = _run_steps(make_mesh(dp_size=8, tp_size=1))
+    for a, b in zip(m1, m8):
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-5)
+        np.testing.assert_allclose(a["score"], b["score"], rtol=1e-5)
+    # Params: cross-device reduction order perturbs gradients at float eps;
+    # Adamax's m/max(u, |g|) ratio can amplify that for small-|g| elements,
+    # so the per-element tolerance is looser than the loss tolerance.
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=2e-3, atol=1e-4), p1, p8
+    )
+
+
+def test_tensor_parallel_matches_single_device():
+    assert len(jax.devices()) >= 8
+    m1, p1 = _run_steps(make_mesh(dp_size=1, tp_size=1, devices=jax.devices()[:1]))
+    mtp, ptp = _run_steps(make_mesh(dp_size=4, tp_size=2))
+    for a, b in zip(m1, mtp):
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-5)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=2e-3, atol=1e-4), p1, ptp
+    )
+
+
+def test_batch_actually_sharded_over_data_axis():
+    mesh = make_mesh(dp_size=8, tp_size=1)
+    x = jnp.zeros((16, 4))
+    xs = jax.device_put(x, batch_sharding(mesh))
+    assert len(xs.addressable_shards) == 8
+    assert xs.addressable_shards[0].data.shape == (2, 4)
+
+
+def test_dryrun_multichip_entry():
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)

@@ -1,0 +1,146 @@
+"""Training runtime: loss/score reduction contract, LR schedule table,
+per-tensor clipping, freezing, and a 2-step integration run (loss decreases,
+single compilation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tf_vqa_regat_tpu.train.loss import bce_with_logits_sum, vqa_score_sum
+from tf_vqa_regat_tpu.train.optim import (
+    clip_per_tensor,
+    freeze,
+    make_lr_schedule,
+    make_optimizer,
+)
+
+
+# ------------------------------------------------------------------------ loss
+def test_bce_reduction_matches_reference_contract():
+    """Reference: mean over all elements x num_answers == sum over answers,
+    mean over batch (train.py:107-108)."""
+    rng = np.random.RandomState(0)
+    logits = rng.randn(4, 7).astype(np.float32)
+    targets = rng.rand(4, 7).astype(np.float32)
+    valid = np.ones(4, bool)
+    got = float(bce_with_logits_sum(*map(jnp.asarray, (logits, targets, valid))))
+    # numpy reference: sigmoid BCE elementwise
+    z = 1.0 / (1.0 + np.exp(-logits))
+    per = -(targets * np.log(z) + (1 - targets) * np.log(1 - z))
+    want = per.mean() * 7
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_bce_ignores_invalid_examples():
+    rng = np.random.RandomState(1)
+    logits = rng.randn(4, 5).astype(np.float32)
+    targets = rng.rand(4, 5).astype(np.float32)
+    valid = np.array([True, True, False, False])
+    got = float(bce_with_logits_sum(*map(jnp.asarray, (logits, targets, valid))))
+    want = float(
+        bce_with_logits_sum(
+            jnp.asarray(logits[:2]), jnp.asarray(targets[:2]), jnp.ones(2, bool)
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_vqa_score():
+    logits = jnp.asarray([[0.1, 5.0, 0.0], [3.0, 0.0, 0.0]])
+    targets = jnp.asarray([[0.0, 0.6, 1.0], [0.9, 0.0, 0.0]])
+    valid = jnp.ones(2, bool)
+    np.testing.assert_allclose(float(vqa_score_sum(logits, targets, valid)), 1.5)
+    valid = jnp.asarray([True, False])
+    np.testing.assert_allclose(float(vqa_score_sum(logits, targets, valid)), 0.6)
+
+
+# -------------------------------------------------------------------- schedule
+def test_lr_schedule_matches_reference_table():
+    """Warmup [1,1,1.2,1.3,1.4] x base then x0.75 at epochs 5,7,9,...
+    (train.py:54-83; confirmed in the notebook log: 9e-4 -> 1.26e-3 then
+    x0.75 at 5,7,9,11,13)."""
+    base = 9e-4
+    spe = 100
+    sched = make_lr_schedule(base, spe, lr_decay_rate=0.75, lr_decay_step=2)
+    lr = lambda ep: float(sched(jnp.asarray(ep * spe)))
+    np.testing.assert_allclose(lr(0), base)
+    np.testing.assert_allclose(lr(1), base)
+    np.testing.assert_allclose(lr(2), 1.2 * base, rtol=1e-6)
+    np.testing.assert_allclose(lr(3), 1.3 * base, rtol=1e-6)
+    np.testing.assert_allclose(lr(4), 1.4 * base, rtol=1e-6)
+    np.testing.assert_allclose(lr(5), 1.4 * base * 0.75, rtol=1e-6)
+    np.testing.assert_allclose(lr(6), 1.4 * base * 0.75, rtol=1e-6)
+    np.testing.assert_allclose(lr(7), 1.4 * base * 0.75**2, rtol=1e-6)
+    np.testing.assert_allclose(lr(13), 1.4 * base * 0.75**5, rtol=1e-6)
+    # mid-epoch steps hold the epoch's LR
+    np.testing.assert_allclose(float(sched(jnp.asarray(2 * spe + 50))), 1.2 * base, rtol=1e-6)
+
+
+# -------------------------------------------------------------------- clipping
+def test_per_tensor_clip():
+    t = clip_per_tensor(0.25)
+    big = jnp.asarray([3.0, 4.0])  # norm 5
+    small = jnp.asarray([0.1, 0.0])
+    clipped, _ = t.update({"a": big, "b": small}, t.init(None))
+    np.testing.assert_allclose(
+        np.asarray(clipped["a"]), np.asarray(big) * 0.25 / 5.0, rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(clipped["b"]), np.asarray(small))
+
+
+def test_freeze_zeroes_updates():
+    t = freeze({"a": True, "b": False})
+    u, _ = t.update({"a": jnp.ones(2), "b": jnp.ones(2)}, t.init(None))
+    np.testing.assert_allclose(np.asarray(u["a"]), 1.0)
+    np.testing.assert_allclose(np.asarray(u["b"]), 0.0)
+
+
+def test_adamax_frozen_leaf_stays_constant():
+    params = {"a": jnp.ones(3), "b": jnp.ones(3)}
+    opt = make_optimizer(1e-2, 0.25, 10, 0.75, 2, {"a": True, "b": False})
+    state = opt.init(params)
+    grads = {"a": jnp.ones(3), "b": jnp.ones(3)}
+    import optax
+
+    updates, state = opt.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    assert float(jnp.abs(new["a"] - 1.0).max()) > 0
+    np.testing.assert_allclose(np.asarray(new["b"]), 1.0)
+
+
+# ----------------------------------------------------------------- integration
+def test_two_step_training_decreases_loss_single_compile():
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+    from tf_vqa_regat_tpu.data.loader import BatchLoader
+    from tf_vqa_regat_tpu.models.regat import init_regat, trainable_mask
+    from tf_vqa_regat_tpu.parallel.mesh import batch_sharding, make_mesh
+    from tf_vqa_regat_tpu.train.step import build_train_step, init_train_state
+
+    cfg = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+        residual_connection=True, base_lr=5e-3,
+    )
+    ds = synthetic_dataset(num_images=8, num_questions=64, v_dim=32, num_ans=9)
+    ntoken = ds.dictionary.ntoken
+    mesh = make_mesh()
+    params = init_regat(jax.random.PRNGKey(0), cfg, ntoken, 32, 9)
+    mask = trainable_mask(params, False)
+    from tf_vqa_regat_tpu.train.optim import make_optimizer as mo
+
+    opt = mo(cfg.base_lr, cfg.grad_clip, 4, 0.75, 2, mask)
+    state = init_train_state(params, opt, mesh)
+    step = build_train_step(cfg, ntoken, opt, mesh, "jnp", params)
+    loader = BatchLoader(ds, 16, 12, shuffle=False)
+    rng = jax.random.PRNGKey(1)
+
+    losses = []
+    for _ in range(3):
+        for batch in loader.epoch(0):
+            batch = jax.device_put(batch, batch_sharding(mesh))
+            state, m = step(state, batch, rng)
+            losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert step._cache_size() == 1  # static shapes -> no recompiles
+    assert int(jax.device_get(state["step"])) == len(losses)

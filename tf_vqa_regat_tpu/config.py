@@ -91,6 +91,11 @@ class Config:
     debug_nans: bool = False
     # Data loader prefetch depth (host->device double buffering).
     prefetch: int = 2
+    # Data path: "auto" keeps feature tables resident in HBM with on-device
+    # batch gather when they fit device_store_budget_gb, else streams from
+    # host; "device"/"host" force a mode.
+    data_mode: str = "auto"
+    device_store_budget_gb: float = 8.0
     # BAN glimpses / MuTAN rank+glimpses (net-new families; defaults match the
     # PyTorch ReGAT's ban_gamma=4 / mutan_gamma=2 and block-lib rank=15).
     ban_glimpse: int = 4

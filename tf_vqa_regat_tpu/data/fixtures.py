@@ -204,7 +204,10 @@ def synthetic_dataset(
     n_lab = rng.randint(1, 4, size=num_questions)
     offsets = np.zeros(num_questions + 1, np.int64)
     np.cumsum(n_lab, out=offsets[1:])
-    labels = rng.randint(0, num_ans, size=int(offsets[-1])).astype(np.int32)
+    # labels are unique within an entry, as in real VQA soft targets
+    labels = np.concatenate(
+        [rng.choice(num_ans, size=k, replace=False) for k in n_lab]
+    ).astype(np.int32)
     scores = rng.rand(int(offsets[-1])).astype(np.float32)
     q_tokens = rng.randint(0, d.ntoken, size=(num_questions, 14)).astype(np.int32)
     q_tokens[:, 11:] = d.padding_idx
@@ -225,5 +228,5 @@ def synthetic_dataset(
         num_ans=num_ans,
         label2ans=["ans%d" % i for i in range(num_ans)],
         dictionary=d,
-        relation_type="implicit",
+        relation_type="semantic" if semantic else "implicit",
     )

@@ -76,11 +76,17 @@ class BatchLoader:
         num_boxes = np.zeros((B,), np.int32)
         target = np.zeros((B, ds.num_ans), np.float32)
         valid = np.zeros((B,), bool)
-        adj = (
-            np.zeros((B, R, R), np.int32)
-            if self.include_adj and store.semantic_adj is not None
-            else None
-        )
+        # Precomputed edge labels: semantic from the HDF5 semantic_adj_matrix,
+        # spatial from image_adj_matrix when present (reference
+        # dataset.py:210-224); spatial otherwise falls back to the in-jit
+        # builder (models/regat.py).
+        adj_source = None
+        if self.include_adj:
+            if ds.relation_type == "semantic":
+                adj_source = store.semantic_adj
+            elif ds.relation_type == "spatial":
+                adj_source = store.spatial_adj
+        adj = np.zeros((B, R, R), np.int32) if adj_source is not None else None
 
         for row, entry_i in enumerate(idx):
             img = ent.image_index[entry_i]
@@ -94,7 +100,7 @@ class BatchLoader:
             target[row, ent.labels[s:e]] = ent.scores[s:e]
             valid[row] = True
             if adj is not None:
-                a = store.semantic_adj[img]
+                a = adj_source[img]
                 k = min(a.shape[0], R)
                 adj[row, :k, :k] = a[:k, :k]
 

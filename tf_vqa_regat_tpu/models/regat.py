@@ -184,10 +184,40 @@ def apply_regat(
 
 
 def trainable_mask(params: Dict[str, Any], emb2_trainable: bool) -> Dict[str, Any]:
-    """Boolean pytree: which leaves receive optimizer updates. The second word
-    embedding table is frozen until a TF-IDF init unfreezes it (reference
-    language_model.py:56-58,84-85)."""
+    """Boolean pytree: which leaves receive optimizer updates.
+
+    - The second word-embedding table is frozen until a TF-IDF init unfreezes
+      it (reference language_model.py:56-58,84-85).
+    - Biases that feed *directly into a softmax* are shift-invariant no-ops:
+      their true gradient is zero, realized numerically only by cancellation.
+      Left trainable, Adamax turns that float noise into O(lr) drift (noise /
+      max(noise) ~ 1), which breaks run-to-run and topology-equivalence
+      determinism without affecting the model function. They are frozen:
+      q_att's scoring bias (softmax over tokens), BUTD's attention bias
+      (softmax over rois), BAN's h_bias (softmax over roi x token), MuTAN's
+      glimpse-scoring bias (softmax over rois).
+    """
     mask = jax.tree.map(lambda _: True, params)
     if "emb_" in params["w_emb"] and not emb2_trainable:
         mask["w_emb"]["emb_"] = jax.tree.map(lambda _: False, params["w_emb"]["emb_"])
+
+    def freeze_last_bias(fc_mask):
+        if "b" in fc_mask["layers"][-1]:
+            fc_mask["layers"][-1]["b"] = False
+
+    freeze_last_bias(mask["q_att"]["linear2"])
+    # The graph-attention K-projection bias is inert too: it shifts every
+    # key's affinity by the same per-query constant (aff += q . b), which the
+    # softmax over keys cancels (reference graph_att_layer.py:58-66).
+    gatt = mask.get("v_relation", {}).get("gatt")
+    if gatt is not None:
+        for neigh in gatt["neighbor"]:
+            freeze_last_bias(neigh["key"])
+    joint = mask.get("joint_emb", {})
+    if "linear" in joint:  # BUTD
+        freeze_last_bias(joint["linear"])
+    if "h_bias" in joint:  # BAN
+        mask["joint_emb"]["h_bias"] = False
+    if "att_linear1" in joint:  # MuTAN
+        freeze_last_bias(joint["att_linear1"])
     return mask

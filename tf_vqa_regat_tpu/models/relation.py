@@ -10,10 +10,9 @@ the reference's bugs fixed:
 
 Implicit-mode note: the reference feeds an all-ones adjacency through the
 explicit masking path and adds a per-edge label bias that is *constant across
-keys* (graph_att_net.py:64-78). A constant key-bias is a softmax no-op and its
-params receive exactly zero gradient, so this implementation skips that
-computation in implicit mode while still creating the (dead) `bias` params for
-structural parity with reference checkpoints.
+keys* (graph_att_net.py:64-78). A constant key-bias is a softmax no-op whose
+gradient is zero only by cancellation, so this implementation neither computes
+it nor creates its params in implicit mode (see gatt_net_init).
 """
 
 from __future__ import annotations
@@ -41,19 +40,26 @@ def gatt_net_init(
     num_heads: int,
     pos_emb_dim: int,
     label_bias: bool,
+    use_label_bias_net: bool = True,
 ) -> Dict[str, Any]:
     assert dir_num <= 2, "Got more than two directions in a graph."
     keys = jax.random.split(key, 2 + dir_num)
-    return {
+    params = {
         "self_weights": wn.fcnet_init(keys[0], [in_feat_dim, out_feat_dim]),
-        # per-edge-label bias FC(label_num -> 1); use_bias gated by label_bias
-        # (reference graph_att_net.py:25).
-        "bias": wn.fcnet_init(keys[1], [label_num, 1], use_bias=label_bias),
         "neighbor": [
             graph_attention_init(keys[2 + d], out_feat_dim, num_heads, pos_emb_dim)
             for d in range(dir_num)
         ],
     }
+    if use_label_bias_net:
+        # per-edge-label bias FC(label_num -> 1); use_bias gated by label_bias
+        # (reference graph_att_net.py:25). Not created in implicit mode: with a
+        # fully-connected graph the bias is constant across keys — a softmax
+        # no-op whose gradient is zero only by cancellation, so keeping the
+        # param would accumulate Adamax-amplified float noise (and the
+        # reference's implicit models never load meaningful weights there).
+        params["bias"] = wn.fcnet_init(keys[1], [label_num, 1], use_bias=label_bias)
+    return params
 
 
 def gatt_net_apply(
@@ -142,7 +148,8 @@ def implicit_encoder_init(
     k1, k2 = jax.random.split(key)
     params: Dict[str, Any] = {
         "gatt": gatt_net_init(
-            k2, dir_num, 1, out_dim + q_dim, out_dim, num_heads, pos_emb_dim, label_bias
+            k2, dir_num, 1, out_dim + q_dim, out_dim, num_heads, pos_emb_dim,
+            label_bias, use_label_bias_net=False,
         )
     }
     if v_dim != out_dim:

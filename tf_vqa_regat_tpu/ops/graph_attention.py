@@ -68,20 +68,12 @@ def _grouped_proj_init(key: jax.Array, hidden_dim: int, num_heads: int, head_out
     return {"v": v, "g": g, "b": jnp.zeros((num_heads * head_out,), jnp.float32)}
 
 
-def _grouped_proj_apply(params, att, compute_dtype=jnp.float32):
-    """att [b, R, H, D] -> [b, R, H*o] via per-head projection with whole-tensor
-    weight norm (scalar g), matching WeightNorm(Conv2D(groups=H))."""
+def _grouped_kernel(params, compute_dtype=jnp.float32):
+    """Weight-normed grouped projection kernel [H, D, o] (whole-tensor scalar-g
+    norm, matching WeightNorm(Conv2D(groups=H)))."""
     v = params["v"]
     scale = params["g"] * jax.lax.rsqrt(jnp.sum(jnp.square(v)) + 1e-12)
-    kernel = (v * scale).astype(compute_dtype)
-    out = jnp.einsum(
-        "brhd,hdo->brho",
-        att.astype(compute_dtype),
-        kernel,
-        preferred_element_type=jnp.float32,
-    )
-    b, r, h, o = out.shape
-    return out.reshape(b, r, h * o) + params["b"]
+    return (v * scale).astype(compute_dtype)
 
 
 def graph_attention_apply(
@@ -130,10 +122,24 @@ def graph_attention_apply(
         bias = jnp.where((adj_mask > 0)[:, :, None, :], bias, neg)
     bias = bias + mask_add
 
+    # Key restructuring vs the reference: by matmul associativity,
+    # (softmax @ V) @ W_grouped == softmax @ (V @ W_grouped). The reference
+    # materializes the per-head attended values [b, R, H, D] (~6.7 GB at
+    # batch 256, R=100) and then runs the grouped conv
+    # (graph_att_layer.py:110-117); projecting V first gives a tiny
+    # [b, n, H, o] tensor and ~65x fewer FLOPs in the AV+projection chain.
+    kernel = _grouped_kernel(params["out"], compute_dtype)  # [H, D, o]
+    vw = jnp.einsum(
+        "bnd,hdo->bnho",
+        trunc.astype(compute_dtype),
+        kernel,
+        preferred_element_type=jnp.float32,
+    )  # [b, n, H, o]
+
     if impl == "pallas":
         from tf_vqa_regat_tpu.ops.pallas.graph_attention import fused_graph_attention
 
-        att = fused_graph_attention(q, k, trunc, bias, compute_dtype=compute_dtype)
+        out = fused_graph_attention(q, k, vw, bias)
     else:
         aff = jnp.einsum(
             "brhd,bnhd->brhn",
@@ -142,11 +148,11 @@ def graph_attention_apply(
             preferred_element_type=jnp.float32,
         ) * (1.0 / jnp.sqrt(jnp.float32(head_dim)))
         weights = jax.nn.softmax(aff + bias, axis=-1)  # [b, R, H, n]
-        att = jnp.einsum(
-            "brhn,bnd->brhd",
+        out = jnp.einsum(
+            "brhn,bnho->brho",
             weights.astype(compute_dtype),
-            trunc.astype(compute_dtype),
+            vw.astype(compute_dtype),
             preferred_element_type=jnp.float32,
-        )  # [b, R, H, D]
+        )  # [b, R, H, o]
 
-    return _grouped_proj_apply(params["out"], att, compute_dtype)
+    return out.reshape(b, R, D) + params["out"]["b"]

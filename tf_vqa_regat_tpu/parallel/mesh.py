@@ -73,6 +73,44 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     treedef = jax.tree.structure(params)
     specs = []
     for keypath, leaf in flat:
-        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
-        specs.append(NamedSharding(mesh, spec_for(path, leaf)))
+        specs.append(NamedSharding(mesh, spec_for(_path_str(keypath), leaf)))
     return jax.tree.unflatten(treedef, specs)
+
+
+def _key_str(k) -> str:
+    for attr in ("key", "idx", "name"):
+        if hasattr(k, attr):
+            return str(getattr(k, attr))
+    return str(k)
+
+
+def _path_str(keypath) -> str:
+    return "/".join(_key_str(k) for k in keypath)
+
+
+def train_state_shardings(params: Any, optimizer, mesh: Mesh) -> Dict[str, Any]:
+    """Explicit shardings for the full train state. Optimizer-state moment
+    leaves (mu/nu mirror the param tree) inherit the param shardings by path;
+    counts and other scalars are replicated. Making these explicit on both
+    in_shardings and out_shardings keeps the donated train step's jit cache
+    key stable (one compilation per run)."""
+    rep = replicated(mesh)
+    pshard = param_shardings(params, mesh)
+    flat_p = {
+        _path_str(kp): s
+        for kp, s in jax.tree_util.tree_flatten_with_path(pshard)[0]
+    }
+
+    abstract_opt = jax.eval_shape(optimizer.init, params)
+
+    def opt_leaf(keypath, leaf):
+        parts = [_key_str(k) for k in keypath]
+        for marker in ("mu", "nu"):
+            if marker in parts:
+                sub = "/".join(parts[parts.index(marker) + 1 :])
+                if sub in flat_p:
+                    return flat_p[sub]
+        return rep
+
+    opt_sh = jax.tree_util.tree_map_with_path(opt_leaf, abstract_opt)
+    return {"params": pshard, "opt_state": opt_sh, "step": rep}

@@ -54,7 +54,7 @@ def run_training(
     mesh = make_mesh(cfg.dp_size, cfg.tp_size)
     impl = resolve_impl(cfg)
     R = cfg.resolved_num_rois()
-    include_adj = cfg.relation_type == "semantic"
+    include_adj = cfg.relation_type in ("semantic", "spatial")
 
     train_loader = BatchLoader(
         train_ds, cfg.batch_size, R, shuffle=True, seed=cfg.seed,
@@ -91,10 +91,77 @@ def run_training(
             last_epoch, best_score = ckpt.restore_meta(cfg.output)
             start_epoch = last_epoch + 1
 
-    train_step = build_train_step(cfg, ntoken, optimizer, mesh, impl)
-    eval_step = build_eval_step(cfg, ntoken, mesh, impl)
     bspec = batch_sharding(mesh)
     base_rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    # Data path selection: device-resident tables (per-step transfer = the
+    # index vector, batch gather on device) when the split fits the budget;
+    # host-streaming prefetch otherwise (data/device_store.py docstring).
+    use_store = cfg.data_mode == "device"
+    if cfg.data_mode == "auto":
+        from tf_vqa_regat_tpu.data import device_store as dstore
+
+        budget = int(cfg.device_store_budget_gb * 1e9)
+        use_store = dstore.fits_in_memory(
+            dstore.build_arrays(train_ds, include_adj), budget // 2
+        ) and dstore.fits_in_memory(
+            dstore.build_arrays(val_ds, include_adj), budget // 2
+        )
+
+    if use_store:
+        from tf_vqa_regat_tpu.data.device_store import DeviceStore
+        from tf_vqa_regat_tpu.parallel.mesh import replicated
+        from tf_vqa_regat_tpu.train.step import (
+            build_store_eval_step,
+            build_store_train_step,
+        )
+
+        rep = replicated(mesh)
+        train_store = DeviceStore(train_ds, rep, include_adj)
+        eval_store = DeviceStore(val_ds, rep, include_adj)
+        s_train_step = build_store_train_step(
+            cfg, ntoken, optimizer, mesh, impl, state["params"],
+            train_ds.num_ans, train_store.padding_idx,
+        )
+        s_eval_step = build_store_eval_step(
+            cfg, ntoken, mesh, impl, val_ds.num_ans, eval_store.padding_idx
+        )
+
+        def train_call(state, item, rng):
+            return s_train_step(state, train_store.arrays, item, rng)
+
+        def eval_call(params, item):
+            return s_eval_step(params, eval_store.arrays, item)
+
+        def train_iter(epoch):
+            for idx in train_store.epoch_indices(
+                epoch, cfg.batch_size, True, cfg.seed
+            ):
+                yield jax.device_put(idx, bspec)
+
+        def eval_iter():
+            for idx in eval_store.epoch_indices(
+                0, max(cfg.batch_size // 4, 1), False, cfg.seed
+            ):
+                yield jax.device_put(idx, bspec)
+
+    else:
+        h_train_step = build_train_step(
+            cfg, ntoken, optimizer, mesh, impl, state["params"]
+        )
+        h_eval_step = build_eval_step(cfg, ntoken, mesh, impl)
+        train_call = lambda state, item, rng: h_train_step(state, item, rng)
+        eval_call = lambda params, item: h_eval_step(params, item)
+
+        def train_iter(epoch):
+            return prefetch_to_device(
+                train_loader.epoch(epoch), bspec, depth=cfg.prefetch
+            )
+
+        def eval_iter():
+            return prefetch_to_device(
+                eval_loader.epoch(0), bspec, depth=cfg.prefetch
+            )
 
     logger = Logger(os.path.join(cfg.output, "log.txt"))
     metrics_writer = MetricsWriter(os.path.join(cfg.output, "metrics.jsonl"))
@@ -127,11 +194,8 @@ def run_training(
         start = time.time()
         fetched_loss = 0.0
 
-        it = prefetch_to_device(
-            train_loader.epoch(epoch), bspec, depth=cfg.prefetch
-        )
-        for i, batch in enumerate(it):
-            state, m = train_step(state, batch, base_rng)
+        for i, batch in enumerate(train_iter(epoch)):
+            state, m = train_call(state, batch, base_rng)
             acc["score"] = acc["score"] + m["score"]
             acc["loss_sum"] = acc["loss_sum"] + m["loss"] * m["n"]
             acc["n"] = acc["n"] + m["n"]
@@ -152,8 +216,9 @@ def run_training(
         train_score = 100.0 * float(host["score"]) / max(float(host["n"]), 1.0)
         train_time = time.time() - start
 
-        eval_score, eval_loss, eval_time = evaluate(
-            eval_step, state["params"], eval_loader, bspec, cfg, epoch, logger
+        eval_score, eval_loss, eval_time = _run_eval(
+            eval_call, state["params"], eval_iter(), len(eval_loader),
+            eval_loader.num_examples, cfg, epoch, logger,
         )
         logger.write(
             f"[DEBUG] train_score: {train_score:.4f} eval_score: {eval_score:.4f}"
@@ -189,20 +254,35 @@ def evaluate(
     epoch: int,
     logger: Logger,
 ) -> Tuple[float, float, float]:
+    """Host-streaming eval pass (used by `--mode eval`)."""
+    it = prefetch_to_device(eval_loader.epoch(0), bspec, depth=cfg.prefetch)
+    return _run_eval(
+        lambda p, b: eval_step(p, b), params, it, len(eval_loader),
+        eval_loader.num_examples, cfg, epoch, logger,
+    )
+
+
+def _run_eval(
+    eval_call,
+    params,
+    batch_iter,
+    N: int,
+    num_total: int,
+    cfg: Config,
+    epoch: int,
+    logger: Logger,
+) -> Tuple[float, float, float]:
     """Eval pass -> (score %, mean loss, elapsed seconds). Mirrors reference
     train.py:136-177 log lines."""
     logger.write("[DEBUG] Evaluation Start")
-    num_total = eval_loader.num_examples
-    N = len(eval_loader)
     logger.write(f"[DEBUG] total eval data len: {num_total}")
     logger.write(f"[DEBUG] eval data loader len: {N}")
 
     losses = AverageMeter()
     acc = {"score": jnp.zeros(()), "loss_sum": jnp.zeros(()), "n": jnp.zeros(())}
     start = time.time()
-    it = prefetch_to_device(eval_loader.epoch(0), bspec, depth=cfg.prefetch)
-    for i, batch in enumerate(it):
-        m = eval_step(params, batch)
+    for i, batch in enumerate(batch_iter):
+        m = eval_call(params, batch)
         acc["score"] = acc["score"] + m["score"]
         acc["loss_sum"] = acc["loss_sum"] + m["loss"] * m["n"]
         acc["n"] = acc["n"] + m["n"]

@@ -17,7 +17,11 @@ import optax
 
 from tf_vqa_regat_tpu.config import Config
 from tf_vqa_regat_tpu.models.regat import apply_regat
-from tf_vqa_regat_tpu.parallel.mesh import batch_sharding, param_shardings, replicated
+from tf_vqa_regat_tpu.parallel.mesh import (
+    batch_sharding,
+    replicated,
+    train_state_shardings,
+)
 from tf_vqa_regat_tpu.train.loss import bce_with_logits_sum, vqa_score_sum
 
 TrainState = Dict[str, Any]  # {"params", "opt_state", "step"}
@@ -26,13 +30,46 @@ TrainState = Dict[str, Any]  # {"params", "opt_state", "step"}
 def init_train_state(
     params: Any, optimizer: optax.GradientTransformation, mesh
 ) -> TrainState:
-    """Place params per the sharding rules, then let GSPMD lay out the
-    optimizer state to match (mu/nu inherit the param shardings)."""
-    pspec = param_shardings(params, mesh)
-    params = jax.device_put(params, pspec)
-    opt_state = jax.jit(optimizer.init)(params)
-    step = jax.device_put(jnp.zeros((), jnp.int32), replicated(mesh))
+    """Build the train state placed against its explicit shardings (params per
+    the TP rules, optimizer moments following them, scalars replicated)."""
+    shardings = train_state_shardings(params, optimizer, mesh)
+    params = jax.device_put(params, shardings["params"])
+    opt_state = jax.jit(optimizer.init, out_shardings=shardings["opt_state"])(params)
+    step = jax.device_put(jnp.zeros((), jnp.int32), shardings["step"])
     return {"params": params, "opt_state": opt_state, "step": step}
+
+
+def _train_core(state, batch, base_rng, cfg, ntoken, optimizer, impl):
+    rng = jax.random.fold_in(base_rng, state["step"])
+
+    def loss_fn(params):
+        logits = apply_regat(
+            params, cfg, batch, ntoken, train=True, rng=rng, impl=impl
+        )
+        loss = bce_with_logits_sum(logits, batch["target"], batch["valid"])
+        return loss, logits
+
+    (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state["params"]
+    )
+    updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
+    params = optax.apply_updates(state["params"], updates)
+    metrics = {
+        "loss": loss,
+        "score": vqa_score_sum(logits, batch["target"], batch["valid"]),
+        "n": jnp.sum(batch["valid"].astype(jnp.float32)),
+    }
+    new_state = {"params": params, "opt_state": opt_state, "step": state["step"] + 1}
+    return new_state, metrics
+
+
+def _eval_core(params, batch, cfg, ntoken, impl):
+    logits = apply_regat(params, cfg, batch, ntoken, train=False, impl=impl)
+    return {
+        "loss": bce_with_logits_sum(logits, batch["target"], batch["valid"]),
+        "score": vqa_score_sum(logits, batch["target"], batch["valid"]),
+        "n": jnp.sum(batch["valid"].astype(jnp.float32)),
+    }
 
 
 def build_train_step(
@@ -41,45 +78,77 @@ def build_train_step(
     optimizer: optax.GradientTransformation,
     mesh,
     impl: str,
+    params: Any,
 ) -> Callable[
     [TrainState, Dict[str, jax.Array], jax.Array],
     Tuple[TrainState, Dict[str, jax.Array]],
 ]:
+    """Host-streaming variant: the batch dict arrives from the prefetch
+    pipeline. `params` may be concrete or abstract — only shapes/structure are
+    used to pin the state shardings on both sides of the donated jit (stable
+    cache key: exactly one compilation per run)."""
+    state_sh = train_state_shardings(params, optimizer, mesh)
+
     def train_step(state, batch, base_rng):
-        rng = jax.random.fold_in(base_rng, state["step"])
-
-        def loss_fn(params):
-            logits = apply_regat(
-                params, cfg, batch, ntoken, train=True, rng=rng, impl=impl
-            )
-            loss = bce_with_logits_sum(logits, batch["target"], batch["valid"])
-            return loss, logits
-
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"]
-        )
-        updates, opt_state = optimizer.update(
-            grads, state["opt_state"], state["params"]
-        )
-        params = optax.apply_updates(state["params"], updates)
-        metrics = {
-            "loss": loss,
-            "score": vqa_score_sum(logits, batch["target"], batch["valid"]),
-            "n": jnp.sum(batch["valid"].astype(jnp.float32)),
-        }
-        new_state = {
-            "params": params,
-            "opt_state": opt_state,
-            "step": state["step"] + 1,
-        }
-        return new_state, metrics
+        return _train_core(state, batch, base_rng, cfg, ntoken, optimizer, impl)
 
     rep = replicated(mesh)
     return jax.jit(
         train_step,
         donate_argnums=(0,),
-        in_shardings=(None, batch_sharding(mesh), rep),
-        out_shardings=(None, rep),
+        in_shardings=(state_sh, batch_sharding(mesh), rep),
+        out_shardings=(state_sh, rep),
+    )
+
+
+def build_store_train_step(
+    cfg: Config,
+    ntoken: int,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    impl: str,
+    params: Any,
+    num_ans: int,
+    padding_idx: int,
+):
+    """Device-store variant: feature tables stay resident in HBM; the per-step
+    host->device transfer is just the [batch] int32 index vector, and batch
+    assembly is an on-device gather fused into the step
+    (data/device_store.py). Signature: (state, arrays, idx, base_rng)."""
+    from tf_vqa_regat_tpu.data.device_store import gather_batch
+
+    state_sh = train_state_shardings(params, optimizer, mesh)
+    R = cfg.resolved_num_rois()
+
+    def train_step(state, arrays, idx, base_rng):
+        batch = gather_batch(arrays, idx, R, num_ans, padding_idx)
+        return _train_core(state, batch, base_rng, cfg, ntoken, optimizer, impl)
+
+    rep = replicated(mesh)
+    return jax.jit(
+        train_step,
+        donate_argnums=(0,),
+        in_shardings=(state_sh, rep, batch_sharding(mesh), rep),
+        out_shardings=(state_sh, rep),
+    )
+
+
+def build_store_eval_step(
+    cfg: Config, ntoken: int, mesh, impl: str, num_ans: int, padding_idx: int
+):
+    from tf_vqa_regat_tpu.data.device_store import gather_batch
+
+    R = cfg.resolved_num_rois()
+
+    def eval_step(params, arrays, idx):
+        batch = gather_batch(arrays, idx, R, num_ans, padding_idx)
+        return _eval_core(params, batch, cfg, ntoken, impl)
+
+    rep = replicated(mesh)
+    return jax.jit(
+        eval_step,
+        in_shardings=(None, rep, batch_sharding(mesh)),
+        out_shardings=rep,
     )
 
 
