@@ -68,14 +68,58 @@ def build_datasets(cfg: Config):
     dictionary = Dictionary.load_from_file(
         os.path.join(cfg.data_folder, "glove", "dictionary.pkl")
     )
-    val = load_vqa_dataset(
-        "val", dictionary, cfg.relation_type, cfg.data_folder, cfg.adaptive
-    )
-    train = None
-    if cfg.mode == "train":
-        train = load_vqa_dataset(
-            "train", dictionary, cfg.relation_type, cfg.data_folder, cfg.adaptive
+    if cfg.dataset == "vqa_cp":
+        from tf_vqa_regat_tpu.data.compose import load_vqa_cp_dataset
+
+        val = load_vqa_cp_dataset(
+            "test", dictionary, cfg.relation_type, cfg.data_folder, cfg.adaptive
         )
+        train = None
+        if cfg.mode == "train":
+            train = load_vqa_cp_dataset(
+                "train", dictionary, cfg.relation_type, cfg.data_folder, cfg.adaptive
+            )
+    else:
+        val = load_vqa_dataset(
+            "val", dictionary, cfg.relation_type, cfg.data_folder, cfg.adaptive
+        )
+        train = None
+        if cfg.mode == "train":
+            train = load_vqa_dataset(
+                "train", dictionary, cfg.relation_type, cfg.data_folder, cfg.adaptive
+            )
+            if cfg.use_both:
+                from tf_vqa_regat_tpu.data.compose import concat_datasets
+
+                train = concat_datasets(train, val, "trainval")
+            if cfg.use_vg:
+                import pickle as _pickle
+
+                from tf_vqa_regat_tpu.data.compose import (
+                    append_entries,
+                    load_visual_genome_entries,
+                )
+                from tf_vqa_regat_tpu.data.features import load_imgid2idx
+
+                with open(
+                    os.path.join(cfg.data_folder, "cache", "trainval_ans2label.pkl"),
+                    "rb",
+                ) as fh:
+                    ans2label = _pickle.load(fh)
+                img_id2idx = load_imgid2idx(cfg.data_folder, "train", cfg.adaptive)
+                if cfg.use_both:
+                    val_map = load_imgid2idx(cfg.data_folder, "val", cfg.adaptive)
+                    offset = (
+                        train.store.pos_boxes.shape[0] - len(val_map)
+                        if cfg.adaptive
+                        else train.store.features.shape[0] - len(val_map)
+                    )
+                    for k, v in val_map.items():
+                        img_id2idx.setdefault(k, v + offset)
+                vg = load_visual_genome_entries(
+                    cfg.data_folder, dictionary, ans2label, img_id2idx
+                )
+                train = append_entries(train, vg, train.name + "+vg")
     tfidf = weights = None
     if cfg.tfidf:
         # Extends the dictionary as a side effect (SURVEY §3.5) — must run

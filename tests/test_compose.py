@@ -1,0 +1,101 @@
+"""Dataset composition: VQA-CP v2, --use_both concatenation, --use_vg
+augmentation (net-new — the reference accepts the flags but implements none,
+dataset.py:159-247)."""
+
+import numpy as np
+import pytest
+
+from tf_vqa_regat_tpu.data.compose import (
+    append_entries,
+    concat_datasets,
+    load_visual_genome_entries,
+    load_vqa_cp_dataset,
+    merge_stores,
+)
+from tf_vqa_regat_tpu.data.dictionary import Dictionary
+from tf_vqa_regat_tpu.data.features import load_imgid2idx, load_vqa_dataset
+from tf_vqa_regat_tpu.data.fixtures import write_cp_vg_fixture, write_fixture
+from tf_vqa_regat_tpu.data.loader import BatchLoader
+
+
+@pytest.fixture(scope="module")
+def dataroot(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    write_fixture(root, name="train", num_images=6, num_questions=12, seed=0,
+                  first_image_id=1000)
+    write_fixture(root, name="val", num_images=4, num_questions=8, seed=1,
+                  first_image_id=2000, first_question_id=100)
+    write_cp_vg_fixture(root)
+    return root
+
+
+def _dict(root):
+    return Dictionary.load_from_file(root + "/glove/dictionary.pkl")
+
+
+def test_use_both_concat(dataroot):
+    d = _dict(dataroot)
+    train = load_vqa_dataset("train", d, "implicit", dataroot, adaptive=True)
+    val = load_vqa_dataset("val", d, "implicit", dataroot, adaptive=True)
+    both = concat_datasets(train, val, "trainval")
+    assert len(both) == 20
+    # every entry's image slice matches the split it came from
+    f_train, _, _ = train.store.image_slice(train.entries.image_index[0])
+    f_both, _, _ = both.store.image_slice(both.entries.image_index[0])
+    np.testing.assert_array_equal(f_both, f_train)
+    f_val, _, _ = val.store.image_slice(val.entries.image_index[0])
+    f_both_v, _, _ = both.store.image_slice(both.entries.image_index[12])
+    np.testing.assert_array_equal(f_both_v, f_val)
+    # batcher works over the concat
+    loader = BatchLoader(both, 8, 100, shuffle=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+
+
+def test_vqa_cp_loading(dataroot):
+    d = _dict(dataroot)
+    cp_train = load_vqa_cp_dataset("train", d, "implicit", dataroot, adaptive=True)
+    cp_test = load_vqa_cp_dataset("test", d, "implicit", dataroot, adaptive=True)
+    assert len(cp_train) == 10
+    assert len(cp_test) == 10
+    assert cp_train.num_ans == 13
+    # entries reference images across BOTH original splits
+    max_train_imgs = 6
+    assert cp_train.entries.image_index.max() >= max_train_imgs or \
+        cp_test.entries.image_index.max() >= max_train_imgs
+    loader = BatchLoader(cp_train, 4, 100, shuffle=False)
+    b = next(iter(loader.epoch(0)))
+    assert b["features"].shape == (4, 100, 64)
+    assert np.isfinite(b["target"]).all()
+
+
+def test_visual_genome_entries(dataroot):
+    import pickle
+
+    d = _dict(dataroot)
+    with open(dataroot + "/cache/trainval_ans2label.pkl", "rb") as fh:
+        ans2label = pickle.load(fh)
+    img_id2idx = load_imgid2idx(dataroot, "train", adaptive=True)
+    vg = load_visual_genome_entries(dataroot, d, ans2label, img_id2idx)
+    # 4 VG images x 1 in-vocab QA each (the out-of-vocab answers are dropped)
+    assert len(vg) == 4
+    assert (vg.scores == 1.0).all()
+    train = load_vqa_dataset("train", d, "implicit", dataroot, adaptive=True)
+    aug = append_entries(train, vg, "train+vg")
+    assert len(aug) == len(train) + 4
+    loader = BatchLoader(aug, 16, 100, shuffle=False)
+    assert len(list(loader.epoch(0))) == 1
+
+
+def test_merge_stores_fixed(tmp_path):
+    root = str(tmp_path / "d")
+    write_fixture(root, name="train", adaptive=False, num_images=3, num_questions=6)
+    write_fixture(root, name="val", adaptive=False, num_images=2, num_questions=4,
+                  seed=1, first_image_id=2000, first_question_id=50)
+    d = _dict(root)
+    a = load_vqa_dataset("train", d, "implicit", root, adaptive=False)
+    b = load_vqa_dataset("val", d, "implicit", root, adaptive=False)
+    merged, offset = merge_stores(a.store, b.store)
+    assert offset == 3
+    assert merged.features.shape[0] == 5
+    np.testing.assert_array_equal(merged.image_slice(3)[0], b.store.image_slice(0)[0])

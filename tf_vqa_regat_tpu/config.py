@@ -89,6 +89,10 @@ class Config:
     save_every_epoch: bool = True
     # Debug switches (SURVEY §5): jax_debug_nans behind a flag.
     debug_nans: bool = False
+    # Profiling (SURVEY §5): trace server port (0 = off) and per-epoch
+    # programmatic traces directory ("" = off).
+    profile_port: int = 0
+    profile_dir: str = ""
     # Data loader prefetch depth (host->device double buffering).
     prefetch: int = 2
     # Data path: "auto" keeps feature tables resident in HBM with on-device

@@ -1,0 +1,245 @@
+"""Dataset composition: VQA-CP v2, train+val concatenation (--use_both), and
+Visual Genome augmentation (--use_vg).
+
+The reference accepts all three flags (main.py:41-44, --dataset vqa_cp) but
+implements none of them — its VQAFeatureDataset hardcodes the VQA v2 paths and
+ignores use_both/use_vg (dataset.py:159-247). These implementations follow the
+PyTorch original's layouts (linjieli222/VQA_ReGAT dataset.py /
+dataset_cp_v2.py):
+
+  VQA-CP v2:  questions  cp_v2_questions/vqacp_v2_{train,test}_questions.json
+              (a flat JSON list, unlike VQA v2's {"questions": [...]}),
+              targets    cache/cp_v2_cache/{train,test}_target.pkl,
+              features   the COCO train2014+val2014 stores merged (CP re-splits
+              across both COCO splits).
+  use_both:   concatenate the train and val splits' entries over merged
+              feature stores.
+  use_vg:     Visual Genome QA pairs over COCO images with in-vocabulary
+              answers (score 1.0), reusing the merged feature stores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from tf_vqa_regat_tpu.data.dictionary import Dictionary, encode_question
+from tf_vqa_regat_tpu.data.entries import EntryTable
+from tf_vqa_regat_tpu.data.features import (
+    FeatureStore,
+    VQADataset,
+    load_feature_store,
+    load_imgid2idx,
+)
+
+
+def merge_stores(a: FeatureStore, b: FeatureStore) -> Tuple[FeatureStore, int]:
+    """Concatenate two feature stores; returns (merged, image-index offset for
+    b's images)."""
+    assert a.adaptive == b.adaptive
+    if a.adaptive:
+        box_offset = a.features.shape[0]
+        pos_b = b.pos_boxes + box_offset
+        merged = FeatureStore(
+            adaptive=True,
+            features=np.concatenate([a.features, b.features], axis=0),
+            normalized_bb=np.concatenate([a.normalized_bb, b.normalized_bb], axis=0),
+            bb=np.concatenate([a.bb, b.bb], axis=0),
+            pos_boxes=np.concatenate([a.pos_boxes, pos_b], axis=0),
+        )
+        img_offset = a.pos_boxes.shape[0]
+    else:
+        merged = FeatureStore(
+            adaptive=False,
+            features=np.concatenate([a.features, b.features], axis=0),
+            normalized_bb=np.concatenate([a.normalized_bb, b.normalized_bb], axis=0),
+            bb=np.concatenate([a.bb, b.bb], axis=0),
+        )
+        img_offset = a.features.shape[0]
+
+    def _cat_adj(x, y):
+        if x is None or y is None:
+            return None
+        return np.concatenate([x, y], axis=0)
+
+    merged.semantic_adj = _cat_adj(a.semantic_adj, b.semantic_adj)
+    merged.spatial_adj = _cat_adj(a.spatial_adj, b.spatial_adj)
+    return merged, img_offset
+
+
+def concat_entries(a: EntryTable, b: EntryTable, b_image_offset: int) -> EntryTable:
+    return EntryTable(
+        question_ids=np.concatenate([a.question_ids, b.question_ids]),
+        image_ids=np.concatenate([a.image_ids, b.image_ids]),
+        image_index=np.concatenate(
+            [a.image_index, b.image_index + b_image_offset]
+        ).astype(np.int32),
+        q_tokens=np.concatenate([a.q_tokens, b.q_tokens], axis=0),
+        label_offsets=np.concatenate(
+            [a.label_offsets, a.label_offsets[-1] + b.label_offsets[1:]]
+        ),
+        labels=np.concatenate([a.labels, b.labels]),
+        scores=np.concatenate([a.scores, b.scores]),
+        has_answers=a.has_answers and b.has_answers,
+    )
+
+
+def concat_datasets(a: VQADataset, b: VQADataset, name: str) -> VQADataset:
+    """--use_both: one dataset spanning both splits' entries and features."""
+    store, offset = merge_stores(a.store, b.store)
+    entries = concat_entries(a.entries, b.entries, offset)
+    return VQADataset(
+        name=name,
+        entries=entries,
+        store=store,
+        num_ans=a.num_ans,
+        label2ans=a.label2ans,
+        dictionary=a.dictionary,
+        relation_type=a.relation_type,
+    )
+
+
+# ------------------------------------------------------------------ VQA-CP v2
+def load_vqa_cp_dataset(
+    name: str,
+    dictionary: Dictionary,
+    relation_type: str,
+    dataroot: str = "data",
+    adaptive: bool = False,
+    max_q_len: int = 14,
+) -> VQADataset:
+    """VQA-CP v2 split ('train' | 'test') over merged COCO train+val features."""
+    assert name in ("train", "test")
+    with open(os.path.join(dataroot, "cache", "trainval_ans2label.pkl"), "rb") as fh:
+        ans2label = pickle.load(fh)
+    with open(os.path.join(dataroot, "cache", "trainval_label2ans.pkl"), "rb") as fh:
+        label2ans = pickle.load(fh)
+
+    store_tr = load_feature_store(dataroot, "train", adaptive, relation_type)
+    store_va = load_feature_store(dataroot, "val", adaptive, relation_type)
+    store, offset = merge_stores(store_tr, store_va)
+    id2idx_tr = load_imgid2idx(dataroot, "train", adaptive)
+    id2idx_va = load_imgid2idx(dataroot, "val", adaptive)
+    img_id2idx = dict(id2idx_tr)
+    for k, v in id2idx_va.items():
+        img_id2idx.setdefault(k, v + offset)
+
+    qpath = os.path.join(
+        dataroot, "cp_v2_questions", "vqacp_v2_%s_questions.json" % name
+    )
+    with open(qpath) as fh:
+        raw = json.load(fh)
+    questions = raw["questions"] if isinstance(raw, dict) else raw  # CP = flat list
+    questions = sorted(questions, key=lambda x: x["question_id"])
+
+    apath = os.path.join(dataroot, "cache", "cp_v2_cache", "%s_target.pkl" % name)
+    with open(apath, "rb") as fh:
+        answers = sorted(pickle.load(fh), key=lambda x: x["question_id"])
+    assert len(questions) == len(answers)
+
+    qids, iids, iidx, toks = [], [], [], []
+    label_list, score_list, counts = [], [], []
+    for q, a in zip(questions, answers):
+        assert q["question_id"] == a["question_id"]
+        assert q["image_id"] == a["image_id"]
+        qids.append(q["question_id"])
+        iids.append(q["image_id"])
+        iidx.append(img_id2idx[q["image_id"]])
+        toks.append(encode_question(dictionary, q["question"], max_q_len))
+        labels = np.asarray(a["labels"], np.int32).ravel()
+        scores = np.asarray(a["scores"], np.float32).ravel()
+        label_list.append(labels)
+        score_list.append(scores)
+        counts.append(len(labels))
+
+    offsets = np.zeros(len(qids) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    entries = EntryTable(
+        question_ids=np.asarray(qids, np.int64),
+        image_ids=np.asarray(iids, np.int64),
+        image_index=np.asarray(iidx, np.int32),
+        q_tokens=np.asarray(toks, np.int32),
+        label_offsets=offsets,
+        labels=np.concatenate(label_list) if label_list else np.zeros(0, np.int32),
+        scores=np.concatenate(score_list) if score_list else np.zeros(0, np.float32),
+        has_answers=True,
+    )
+    return VQADataset(
+        name="cp_" + name,
+        entries=entries,
+        store=store,
+        num_ans=len(ans2label),
+        label2ans=label2ans,
+        dictionary=dictionary,
+        relation_type=relation_type,
+    )
+
+
+# -------------------------------------------------------------- Visual Genome
+def load_visual_genome_entries(
+    dataroot: str,
+    dictionary: Dictionary,
+    ans2label: Dict[str, int],
+    img_id2idx: Dict[int, int],
+    max_q_len: int = 14,
+) -> EntryTable:
+    """--use_vg: VG QA pairs over COCO images present in the feature store,
+    with in-vocabulary answers (score 1.0), following the PyTorch original's
+    VisualGenomeFeatureDataset."""
+    with open(os.path.join(dataroot, "visualGenome", "image_data.json")) as fh:
+        image_data = json.load(fh)
+    vg_to_coco = {
+        img["image_id"]: img["coco_id"]
+        for img in image_data
+        if img.get("coco_id") is not None
+    }
+    with open(os.path.join(dataroot, "visualGenome", "question_answers.json")) as fh:
+        vgq = json.load(fh)
+
+    qids, iids, iidx, toks = [], [], [], []
+    labels, counts = [], []
+    for vg in vgq:
+        coco_id = vg_to_coco.get(vg["id"] if "id" in vg else vg.get("image_id"))
+        if coco_id is None or coco_id not in img_id2idx:
+            continue
+        for qa in vg["qas"]:
+            answer = qa["answer"].lower().strip(".").strip()
+            if answer not in ans2label:
+                continue
+            qids.append(qa["qa_id"])
+            iids.append(coco_id)
+            iidx.append(img_id2idx[coco_id])
+            toks.append(encode_question(dictionary, qa["question"], max_q_len))
+            labels.append(ans2label[answer])
+            counts.append(1)
+
+    offsets = np.zeros(len(qids) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return EntryTable(
+        question_ids=np.asarray(qids, np.int64),
+        image_ids=np.asarray(iids, np.int64),
+        image_index=np.asarray(iidx, np.int32),
+        q_tokens=np.asarray(toks, np.int32).reshape(len(qids), max_q_len),
+        label_offsets=offsets,
+        labels=np.asarray(labels, np.int32),
+        scores=np.ones(len(labels), np.float32),
+        has_answers=True,
+    )
+
+
+def append_entries(ds: VQADataset, extra: EntryTable, name: str) -> VQADataset:
+    """Append extra entries (already indexed against ds.store) to a dataset."""
+    entries = concat_entries(ds.entries, extra, b_image_offset=0)
+    return VQADataset(
+        name=name,
+        entries=entries,
+        store=ds.store,
+        num_ans=ds.num_ans,
+        label2ans=ds.label2ans,
+        dictionary=ds.dictionary,
+        relation_type=ds.relation_type,
+    )

@@ -54,6 +54,8 @@ def write_fixture(
     name: str = "train",
     seed: int = 0,
     semantic: bool = False,
+    first_image_id: int = 1000,
+    first_question_id: int = 0,
 ) -> None:
     """Write a miniature copy of the reference on-disk layout: HDF5 features,
     questions JSON, soft-target pkl, answer vocab pkls, imgid2idx pkl,
@@ -86,7 +88,7 @@ def write_fixture(
         pickle.dump(label2ans, fh)
 
     # features HDF5 (+ imgid2idx)
-    image_ids = list(range(1000, 1000 + num_images))
+    image_ids = list(range(first_image_id, first_image_id + num_images))
     suffix = "" if adaptive else "36"
     h5_path = os.path.join(dataroot, feat_dir, "%s%s.hdf5" % (name, suffix))
     with h5py.File(h5_path, "w") as hf:
@@ -126,8 +128,9 @@ def write_fixture(
 
     # questions + soft targets
     questions, targets = [], []
-    for qi in range(num_questions):
-        img = image_ids[qi % num_images]
+    for qoff in range(num_questions):
+        qi = first_question_id + qoff
+        img = image_ids[qoff % num_images]
         n_words = rng.randint(3, 10)
         words = [_WORDS[rng.randint(len(_WORDS))] for _ in range(n_words)]
         questions.append(
@@ -158,6 +161,97 @@ def write_fixture(
     inds = np.stack([np.arange(n), np.arange(n)], axis=1).astype(np.int64)
     np.save(os.path.join(dataroot, "tfidf", "indices.npy"), inds)
     np.save(os.path.join(dataroot, "tfidf", "values.npy"), np.ones(n, np.float32))
+
+
+def write_cp_vg_fixture(dataroot: str, num_cp_questions: int = 10) -> None:
+    """VQA-CP v2 + Visual Genome fixture files over previously written
+    train/val split fixtures (call write_fixture for both splits first)."""
+    import pickle
+
+    d = make_dictionary()
+    with open(os.path.join(dataroot, "cache", "trainval_label2ans.pkl"), "rb") as fh:
+        label2ans = pickle.load(fh)
+    num_ans = len(label2ans)
+    with open(os.path.join(dataroot, "imgids", "train_imgid2idx.pkl"), "rb") as fh:
+        train_ids = sorted(pickle.load(fh))
+    with open(os.path.join(dataroot, "imgids", "val_imgid2idx.pkl"), "rb") as fh:
+        val_ids = sorted(pickle.load(fh))
+
+    rng = np.random.RandomState(7)
+    os.makedirs(os.path.join(dataroot, "cp_v2_questions"), exist_ok=True)
+    os.makedirs(os.path.join(dataroot, "cache", "cp_v2_cache"), exist_ok=True)
+    all_ids = train_ids + val_ids
+    for split in ("train", "test"):
+        qs, targets = [], []
+        for qi in range(num_cp_questions):
+            img = all_ids[rng.randint(len(all_ids))]
+            words = [_WORDS[rng.randint(len(_WORDS))] for _ in range(5)]
+            qid = (0 if split == "train" else 10**6) + qi
+            qs.append(
+                {"question_id": qid, "image_id": img, "question": " ".join(words) + "?"}
+            )
+            labels = rng.choice(num_ans, size=2, replace=False)
+            targets.append(
+                {
+                    "question_id": qid,
+                    "image_id": img,
+                    "labels": labels.tolist(),
+                    "scores": [1.0, 0.3],
+                }
+            )
+        # CP question files are flat JSON lists (no {"questions": ...} wrapper)
+        with open(
+            os.path.join(dataroot, "cp_v2_questions", f"vqacp_v2_{split}_questions.json"),
+            "w",
+        ) as fh:
+            json.dump(qs, fh)
+        with open(
+            os.path.join(dataroot, "cache", "cp_v2_cache", f"{split}_target.pkl"), "wb"
+        ) as fh:
+            pickle.dump(targets, fh)
+
+    # test2015 questions (no answers) — the TF-IDF dictionary-extension pass
+    # reads train/val/test2015 (reference main.py:136).
+    test_qs = [
+        {"question_id": 2 * 10**6 + i, "image_id": all_ids[i % len(all_ids)],
+         "question": "what is the color of the dog?"}
+        for i in range(5)
+    ]
+    with open(
+        os.path.join(dataroot, "Questions", "v2_OpenEnded_mscoco_test2015_questions.json"),
+        "w",
+    ) as fh:
+        json.dump({"questions": test_qs}, fh)
+
+    # Visual Genome: half the VG images map to COCO train images.
+    os.makedirs(os.path.join(dataroot, "visualGenome"), exist_ok=True)
+    image_data = []
+    qas = []
+    for i, coco in enumerate(train_ids[:4]):
+        vg_id = 5000 + i
+        image_data.append({"image_id": vg_id, "coco_id": coco})
+        qas.append(
+            {
+                "id": vg_id,
+                "qas": [
+                    {
+                        "qa_id": 9000 + i,
+                        "question": "what is the color?",
+                        "answer": label2ans[i % num_ans],
+                    },
+                    {
+                        "qa_id": 9500 + i,
+                        "question": "what is this?",
+                        "answer": "not-in-vocab-answer",
+                    },
+                ],
+            }
+        )
+    image_data.append({"image_id": 5999, "coco_id": None})  # non-COCO VG image
+    with open(os.path.join(dataroot, "visualGenome", "image_data.json"), "w") as fh:
+        json.dump(image_data, fh)
+    with open(os.path.join(dataroot, "visualGenome", "question_answers.json"), "w") as fh:
+        json.dump(qas, fh)
 
 
 def synthetic_dataset(

@@ -50,6 +50,9 @@ def run_training(
     """Full training run. Returns (final params, best eval score %)."""
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    from tf_vqa_regat_tpu.train.profiling import maybe_start_server, trace_epoch
+
+    maybe_start_server(cfg.profile_port)
 
     mesh = make_mesh(cfg.dp_size, cfg.tp_size)
     impl = resolve_impl(cfg)
@@ -194,23 +197,24 @@ def run_training(
         start = time.time()
         fetched_loss = 0.0
 
-        for i, batch in enumerate(train_iter(epoch)):
-            state, m = train_call(state, batch, base_rng)
-            acc["score"] = acc["score"] + m["score"]
-            acc["loss_sum"] = acc["loss_sum"] + m["loss"] * m["n"]
-            acc["n"] = acc["n"] + m["n"]
-            last = m["loss"]
-            if (i + 1) % cfg.print_freq == 0:
-                host = jax.device_get({"last": last, **acc})
-                losses.val = float(host["last"])
-                losses.sum = float(host["loss_sum"])
-                losses.count = float(host["n"])
-                losses.avg = losses.sum / max(losses.count, 1)
-                elapsed = time_since(start, float(i + 1) / N)
-                logger.write(
-                    f"Epoch [{epoch+1}][{i}/{N}] Elapsed {elapsed} "
-                    f"Loss: {losses.val:.5f}({losses.avg:.5f})"
-                )
+        with trace_epoch(cfg.profile_dir, epoch):
+            for i, batch in enumerate(train_iter(epoch)):
+                state, m = train_call(state, batch, base_rng)
+                acc["score"] = acc["score"] + m["score"]
+                acc["loss_sum"] = acc["loss_sum"] + m["loss"] * m["n"]
+                acc["n"] = acc["n"] + m["n"]
+                last = m["loss"]
+                if (i + 1) % cfg.print_freq == 0:
+                    host = jax.device_get({"last": last, **acc})
+                    losses.val = float(host["last"])
+                    losses.sum = float(host["loss_sum"])
+                    losses.count = float(host["n"])
+                    losses.avg = losses.sum / max(losses.count, 1)
+                    elapsed = time_since(start, float(i + 1) / N)
+                    logger.write(
+                        f"Epoch [{epoch+1}][{i}/{N}] Elapsed {elapsed} "
+                        f"Loss: {losses.val:.5f}({losses.avg:.5f})"
+                    )
 
         host = jax.device_get(acc)
         train_score = 100.0 * float(host["score"]) / max(float(host["n"]), 1.0)
