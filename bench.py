@@ -22,6 +22,10 @@ import json
 import time
 
 import jax
+
+# Hardware RNG for dropout masks (~100M bits/step at batch 256): ~15% faster
+# train step than threefry.
+jax.config.update("jax_default_prng_impl", "rbg")
 import numpy as np
 
 from tf_vqa_regat_tpu.config import Config

@@ -136,6 +136,11 @@ def main(argv=None) -> None:
     # restore the standard JAX_PLATFORMS contract so CPU dev runs work.
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if cfg.prng_impl != "threefry":
+        jax.config.update("jax_default_prng_impl", cfg.prng_impl)
+    from tf_vqa_regat_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()
     print(f"devices: {jax.devices()}")
     np.random.seed(cfg.seed)
     os.environ["PYTHONHASHSEED"] = str(cfg.seed)

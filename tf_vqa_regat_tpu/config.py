@@ -75,8 +75,14 @@ class Config:
     # Static roi padding (reference padded to the per-batch max, dataset.py:329;
     # TPU needs static shapes). 0 = auto: 36 fixed / 100 adaptive.
     num_rois: int = 0
-    # bfloat16 matmuls (params stay float32). Off by default for fidelity.
+    # bfloat16 matmuls (params stay float32). Off by default for fidelity —
+    # and measured slower on v5e: f32 inputs already take single bf16 MXU
+    # passes at default precision, so the explicit casts only add work.
     compute_dtype: str = "float32"
+    # PRNG implementation for dropout masks: "threefry" (default, stable
+    # cross-platform streams) or "rbg" (hardware RNG; ~15% faster train step
+    # at these shapes — dropout masks are ~100M bits/step).
+    prng_impl: str = "threefry"
     # Mesh axes: data-parallel size (0 = all local devices) x model-parallel.
     dp_size: int = 0
     tp_size: int = 1

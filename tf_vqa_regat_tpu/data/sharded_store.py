@@ -1,0 +1,197 @@
+"""Data-axis-sharded device store: feature tables partitioned across chips.
+
+The replicated DeviceStore (device_store.py) needs the whole split on every
+chip (~40 GB fp32 for the adaptive train split — too big for one v5e). Here
+each data-parallel shard owns a *disjoint subset of images*: its slice of the
+feature tables lives in its own HBM, and each step it gathers its share of the
+batch from purely local rows inside a `shard_map` region — no cross-chip
+traffic for data at all. The model step around it stays GSPMD (grads
+all-reduce over ICI as usual).
+
+Sampling semantics: entries are assigned to the shard that owns their image;
+each epoch every shard draws a seeded permutation of its local entries
+(shard-local shuffle — the standard sharded-dataset trade: global coverage per
+epoch, shuffling within shards). Ragged tails pad with -1 and mask out, so
+every epoch visits every entry exactly once.
+
+Image->shard assignment greedily balances total box counts so per-shard table
+sizes (padded to the max shard) stay within ~1/dp of the split.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tf_vqa_regat_tpu.data.device_store import MAX_LABELS, gather_batch
+from tf_vqa_regat_tpu.data.features import VQADataset
+from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+
+
+def _assign_images(box_counts: np.ndarray, n_shards: int) -> List[np.ndarray]:
+    """Greedy balanced partition of image indices by box count."""
+    order = np.argsort(-box_counts, kind="stable")
+    loads = np.zeros(n_shards, np.int64)
+    buckets: List[List[int]] = [[] for _ in range(n_shards)]
+    for img in order:
+        s = int(np.argmin(loads))
+        buckets[s].append(int(img))
+        loads[s] += int(box_counts[img])
+    return [np.asarray(sorted(b), np.int64) for b in buckets]
+
+
+class ShardedDeviceStore:
+    def __init__(self, dataset: VQADataset, mesh, include_adj: bool = False):
+        if include_adj:
+            raise NotImplementedError(
+                "sharded store does not carry precomputed adjacency yet; "
+                "spatial adjacency is built in-jit from boxes"
+            )
+        self.mesh = mesh
+        self.dp = mesh.shape[DATA_AXIS]
+        ent = dataset.entries
+        store = dataset.store
+        self.num_ans = dataset.num_ans
+        self.padding_idx = dataset.dictionary.padding_idx
+        self.num_entries = len(ent)
+
+        if store.adaptive:
+            img_start = store.pos_boxes[:, 0]
+            img_len = (store.pos_boxes[:, 1] - store.pos_boxes[:, 0]).astype(np.int64)
+        else:
+            n_img, n_box, _ = store.features.shape
+            img_start = np.arange(n_img, dtype=np.int64) * n_box
+            img_len = np.full((n_img,), n_box, np.int64)
+        n_img = len(img_len)
+
+        buckets = _assign_images(img_len, self.dp)
+        # per-shard feature tables (rows re-packed contiguously per shard)
+        shard_rows = [int(img_len[b].sum()) for b in buckets]
+        max_rows = max(shard_rows) if shard_rows else 1
+        v_dim = store.features.shape[-1]
+        s_dim = store.normalized_bb.shape[-1]
+
+        feats = np.zeros((self.dp, max_rows, v_dim), np.float32)
+        norms = np.zeros((self.dp, max_rows, s_dim), np.float32)
+        bbs = np.zeros((self.dp, max_rows, 4), np.float32)
+        local_start = np.zeros((self.dp, n_img), np.int32)  # per shard, by local img
+        local_len = np.zeros((self.dp, n_img), np.int32)
+        # map global image -> (shard, local image slot)
+        img_shard = np.zeros(n_img, np.int32)
+        img_local = np.zeros(n_img, np.int32)
+        n_local_imgs = np.zeros(self.dp, np.int32)
+        for s, bucket in enumerate(buckets):
+            off = 0
+            for li, img in enumerate(bucket):
+                ln = int(img_len[img])
+                st = int(img_start[img])
+                if store.adaptive:
+                    feats[s, off : off + ln] = store.features[st : st + ln]
+                    norms[s, off : off + ln] = store.normalized_bb[st : st + ln]
+                    bbs[s, off : off + ln] = store.bb[st : st + ln]
+                else:
+                    feats[s, off : off + ln] = store.features[img]
+                    norms[s, off : off + ln] = store.normalized_bb[img]
+                    bbs[s, off : off + ln] = store.bb[img]
+                local_start[s, li] = off
+                local_len[s, li] = ln
+                img_shard[img] = s
+                img_local[img] = li
+                off += ln
+            n_local_imgs[s] = len(bucket)
+
+        # entries per shard, padded to the max shard entry count
+        entry_shard = img_shard[ent.image_index]
+        shard_entry_ids = [np.where(entry_shard == s)[0] for s in range(self.dp)]
+        self.local_entry_counts = np.asarray([len(e) for e in shard_entry_ids])
+        max_entries = int(self.local_entry_counts.max()) if self.num_entries else 1
+
+        q_len = ent.q_tokens.shape[1]
+        questions = np.full((self.dp, max_entries, q_len), self.padding_idx, np.int32)
+        labels = np.full((self.dp, max_entries, MAX_LABELS), -1, np.int32)
+        scores = np.zeros((self.dp, max_entries, MAX_LABELS), np.float32)
+        entry_img = np.zeros((self.dp, max_entries), np.int32)
+        for s, ids in enumerate(shard_entry_ids):
+            for j, e in enumerate(ids):
+                questions[s, j] = ent.q_tokens[e]
+                so, eo = ent.label_offsets[e], ent.label_offsets[e + 1]
+                k = min(eo - so, MAX_LABELS)
+                labels[s, j, :k] = ent.labels[so : so + k]
+                scores[s, j, :k] = ent.scores[so : so + k]
+                entry_img[s, j] = img_local[ent.image_index[e]]
+
+        host = {
+            "features": feats.reshape(self.dp * max_rows, v_dim),
+            "norm_bb": norms.reshape(self.dp * max_rows, s_dim),
+            "bb": bbs.reshape(self.dp * max_rows, 4),
+            "img_start": local_start.reshape(self.dp * n_img),
+            "img_len": local_len.reshape(self.dp * n_img),
+            "entry_img": entry_img.reshape(self.dp * max_entries),
+            "questions": questions.reshape(self.dp * max_entries, q_len),
+            "labels": labels.reshape(self.dp * max_entries, MAX_LABELS),
+            "scores": scores.reshape(self.dp * max_entries, MAX_LABELS),
+        }
+        sh = NamedSharding(mesh, P(DATA_AXIS))
+        self.arrays = {k: jax.device_put(v, sh) for k, v in host.items()}
+        self.max_entries = max_entries
+
+    def epoch_indices(
+        self, epoch: int, batch_size: int, shuffle: bool, seed: int
+    ) -> Iterator[np.ndarray]:
+        """Global [batch] index vectors; segment s holds shard-local entry
+        indices (or -1 padding). batch_size must divide by dp."""
+        dp = self.dp
+        assert batch_size % dp == 0, f"batch {batch_size} not divisible by dp={dp}"
+        per = batch_size // dp
+        orders = []
+        steps = 0
+        for s in range(dp):
+            n = int(self.local_entry_counts[s])
+            if shuffle:
+                rng = np.random.RandomState(
+                    (seed * 100003 + epoch * 7919 + s) % (2**31)
+                )
+                orders.append(rng.permutation(n))
+            else:
+                orders.append(np.arange(n))
+            steps = max(steps, (n + per - 1) // per)
+        for i in range(steps):
+            out = np.full((dp, per), -1, np.int32)
+            for s in range(dp):
+                chunk = orders[s][i * per : (i + 1) * per]
+                out[s, : len(chunk)] = chunk
+            yield out.reshape(dp * per)
+
+
+def build_sharded_gather(mesh, num_rois: int, num_ans: int, padding_idx: int):
+    """shard_map'ed gather: each device assembles its batch segment from its
+    local table shard; the result re-enters the GSPMD world with the batch dim
+    sharded over the data axis."""
+    from jax import shard_map
+
+    def local_gather(arrays, idx):
+        return gather_batch(arrays, idx, num_rois, num_ans, padding_idx)
+
+    in_spec = (
+        {k: P(DATA_AXIS) for k in [
+            "features", "norm_bb", "bb", "img_start", "img_len",
+            "entry_img", "questions", "labels", "scores",
+        ]},
+        P(DATA_AXIS),
+    )
+    out_spec = {
+        "features": P(DATA_AXIS),
+        "norm_bb": P(DATA_AXIS),
+        "bb": P(DATA_AXIS),
+        "question": P(DATA_AXIS),
+        "target": P(DATA_AXIS),
+        "num_boxes": P(DATA_AXIS),
+        "valid": P(DATA_AXIS),
+    }
+    return shard_map(
+        local_gather, mesh=mesh, in_specs=in_spec, out_specs=out_spec
+    )

@@ -111,7 +111,44 @@ def run_training(
             dstore.build_arrays(val_ds, include_adj), budget // 2
         )
 
-    if use_store:
+    if cfg.data_mode == "sharded":
+        # Feature tables partitioned across the data axis — for splits too
+        # large to replicate per chip (data/sharded_store.py).
+        from tf_vqa_regat_tpu.data.sharded_store import ShardedDeviceStore
+        from tf_vqa_regat_tpu.train.step import (
+            build_sharded_store_eval_step,
+            build_sharded_store_train_step,
+        )
+
+        train_store = ShardedDeviceStore(train_ds, mesh, include_adj)
+        eval_store = ShardedDeviceStore(val_ds, mesh, include_adj)
+        s_train_step = build_sharded_store_train_step(
+            cfg, ntoken, optimizer, mesh, impl, state["params"],
+            train_ds.num_ans, train_store.padding_idx,
+        )
+        s_eval_step = build_sharded_store_eval_step(
+            cfg, ntoken, mesh, impl, val_ds.num_ans, eval_store.padding_idx
+        )
+
+        def train_call(state, item, rng):
+            return s_train_step(state, train_store.arrays, item, rng)
+
+        def eval_call(params, item):
+            return s_eval_step(params, eval_store.arrays, item)
+
+        def train_iter(epoch):
+            for idx in train_store.epoch_indices(
+                epoch, cfg.batch_size, True, cfg.seed
+            ):
+                yield jax.device_put(idx, bspec)
+
+        def eval_iter():
+            for idx in eval_store.epoch_indices(
+                0, max(cfg.batch_size // 4, 1), False, cfg.seed
+            ):
+                yield jax.device_put(idx, bspec)
+
+    elif use_store:
         from tf_vqa_regat_tpu.data.device_store import DeviceStore
         from tf_vqa_regat_tpu.parallel.mesh import replicated
         from tf_vqa_regat_tpu.train.step import (

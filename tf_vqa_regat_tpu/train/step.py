@@ -169,3 +169,60 @@ def build_eval_step(
         in_shardings=(None, batch_sharding(mesh)),
         out_shardings=rep,
     )
+
+def build_sharded_store_train_step(
+    cfg: Config,
+    ntoken: int,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    impl: str,
+    params: Any,
+    num_ans: int,
+    padding_idx: int,
+):
+    """Sharded-store variant: each device's shard of the batch is gathered
+    from its *local* slice of the data-axis-partitioned tables inside a
+    shard_map region (data/sharded_store.py); the model step stays GSPMD."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tf_vqa_regat_tpu.data.sharded_store import build_sharded_gather
+    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+
+    state_sh = train_state_shardings(params, optimizer, mesh)
+    gather = build_sharded_gather(mesh, cfg.resolved_num_rois(), num_ans, padding_idx)
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def train_step(state, arrays, idx, base_rng):
+        batch = gather(arrays, idx)
+        return _train_core(state, batch, base_rng, cfg, ntoken, optimizer, impl)
+
+    rep = replicated(mesh)
+    return jax.jit(
+        train_step,
+        donate_argnums=(0,),
+        in_shardings=(state_sh, dsh, batch_sharding(mesh), rep),
+        out_shardings=(state_sh, rep),
+    )
+
+
+def build_sharded_store_eval_step(
+    cfg: Config, ntoken: int, mesh, impl: str, num_ans: int, padding_idx: int
+):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tf_vqa_regat_tpu.data.sharded_store import build_sharded_gather
+    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+
+    gather = build_sharded_gather(mesh, cfg.resolved_num_rois(), num_ans, padding_idx)
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def eval_step(params, arrays, idx):
+        batch = gather(arrays, idx)
+        return _eval_core(params, batch, cfg, ntoken, impl)
+
+    rep = replicated(mesh)
+    return jax.jit(
+        eval_step,
+        in_shardings=(None, dsh, batch_sharding(mesh)),
+        out_shardings=rep,
+    )
