@@ -86,9 +86,11 @@ class Config:
     # Mesh axes: data-parallel size (0 = all local devices) x model-parallel.
     dp_size: int = 0
     tp_size: int = 1
-    # Use the fused Pallas graph-attention kernel (falls back to the jnp oracle
-    # on platforms without Mosaic support).
-    use_pallas: bool = True
+    # Use the fused Pallas graph-attention kernel instead of XLA batched
+    # einsums. Off by default: XLA is ~2x faster at the flagship shapes (the
+    # 20-key axis starves per-head MXU tiles in the kernel's grid) — see
+    # models/regat.py::resolve_impl.
+    use_pallas: bool = False
     # Checkpoint every epoch + keep best (reference saved final weights only,
     # main.py:145). Resume picks up the latest checkpoint in `output`.
     resume: bool = False

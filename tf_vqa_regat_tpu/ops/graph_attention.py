@@ -105,12 +105,21 @@ def graph_attention_apply(
     # Bias terms, all shaped [b, R, H, n] (or broadcastable).
     bias = jnp.zeros((b, R, 1, n), jnp.float32)
     if pos_emb is not None:
-        pw = wn.fcnet_apply(
-            params["pair_pos_fc"], pos_emb, None, drop_rate, train, rngs, compute_dtype
-        )  # [b, R, n, H]
+        # The pos FC is computed directly into [b, R, H, n] layout via einsum
+        # (equivalent to FCNet + transpose(0,1,3,2); a separate transpose of
+        # this tiny-trailing-dim tensor costs a full relayout on TPU).
+        layer = params["pair_pos_fc"]["layers"][0]
+        pe = nn.dropout(pos_emb, drop_rate, train, rngs)
+        pw = jnp.einsum(
+            "brnp,ph->brhn",
+            pe.astype(compute_dtype),
+            wn.wn_kernel(layer, compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if "b" in layer:
+            pw = pw + layer["b"][None, None, :, None]
         pw = jax.nn.relu(pw)
-        pos_bias = jnp.log(jnp.maximum(pw, 1e-6))  # graph_att_layer.py:86-88
-        bias = bias + pos_bias.transpose(0, 1, 3, 2)  # [b, R, H, n]
+        bias = bias + jnp.log(jnp.maximum(pw, 1e-6))  # graph_att_layer.py:86-88
     if label_bias is not None:
         bias = bias + label_bias[:, :, None, :]
 

@@ -62,12 +62,21 @@ def position_embedding(pos_mat: jnp.ndarray, feat_dim: int, wave_length: float =
     Returns:
       [b, R, n, feat_dim]; layout is 4 geometric dims x (feat_dim/8 sin then
       feat_dim/8 cos), matching the reference's reshape.
+
+    TPU note: the naive [..., 4, feat_dim/8] formulation leaves trailing dims
+    of 4 and 8 — padded to full (8, 128) VPU tiles, ~30x wasted lanes (measured
+    ~2.9 ms at batch 256). This computes directly in the final
+    [..., feat_dim] lane layout: repeat the 4 geometric features 2*(feat_dim/8)
+    times, divide by a precomputed per-lane frequency pattern, and select
+    sin/cos per lane.
     """
-    feat_range = jnp.arange(0, feat_dim / 8.0, dtype=jnp.float32)
-    dim_mat = jnp.power(wave_length, (8.0 / feat_dim) * feat_range)  # [feat_dim/8]
-    scaled = (100.0 * pos_mat)[..., None] / dim_mat  # [b, R, n, 4, feat_dim/8]
-    emb = jnp.concatenate([jnp.sin(scaled), jnp.cos(scaled)], axis=-1)
-    return emb.reshape(*pos_mat.shape[:3], feat_dim)
+    k = feat_dim // 8  # frequencies per (geom, sin|cos) block
+    lane = jnp.arange(feat_dim)
+    freq_idx = (lane % (2 * k)) % k
+    inv_dim = jnp.power(wave_length, -(8.0 / feat_dim) * freq_idx.astype(jnp.float32))
+    is_cos = (lane % (2 * k)) >= k  # [feat_dim]
+    scaled = jnp.repeat(100.0 * pos_mat, 2 * k, axis=-1) * inv_dim  # [b,R,n,feat_dim]
+    return jnp.where(is_cos, jnp.cos(scaled), jnp.sin(scaled))
 
 
 def implicit_pos_emb(bb: jnp.ndarray, nongt_dim: int, feat_dim: int) -> jnp.ndarray:
