@@ -42,7 +42,9 @@ def build_datasets(cfg: Config):
     in-memory data with real shapes; real mode reads the reference's on-disk
     layout."""
     if cfg.synthetic:
-        semantic = cfg.relation_type == "semantic"
+        semantic = cfg.relation_type == "semantic" or (
+            cfg.mode == "ensemble_eval" and "semantic:" in cfg.ensemble_checkpoints
+        )
         val = synthetic_dataset(
             num_images=max(cfg.synthetic_val_size // 8, 8),
             num_questions=cfg.synthetic_val_size,
@@ -190,6 +192,14 @@ def main(argv=None) -> None:
             eval_step, params, loader, batch_sharding(mesh), cfg, 0, logger
         )
         logger.write(f"Final eval score: {score:.4f}")
+
+    elif cfg.mode == "ensemble_eval":
+        from tf_vqa_regat_tpu.train.ensemble import run_ensemble_eval
+
+        mesh = make_mesh(cfg.dp_size, cfg.tp_size)
+        logger = Logger(os.path.join(cfg.output, "eval_log.txt"))
+        score = run_ensemble_eval(cfg, val_ds, mesh, resolve_impl(cfg), logger)
+        logger.write(f"Final ensemble eval score: {score:.4f}")
     else:
         raise ValueError(f"unknown mode {cfg.mode!r}")
 

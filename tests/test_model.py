@@ -142,3 +142,31 @@ def test_jit_forward_single_compilation():
     fwd(params, b1)
     fwd(params, b2)  # same shapes -> cache hit
     assert fwd._cache_size() == 1
+
+
+def test_forward_num_steps_and_single_direction():
+    """Graph propagation depth >1 and dir_num=1 paths (reference flags
+    --num_steps / --dir_num, main.py:80-86)."""
+    cfg = tiny_cfg(num_steps=2, dir_num=1)
+    params = init_regat(jax.random.PRNGKey(6), cfg, NTOKEN, V_DIM, NUM_ANS)
+    batch = make_batch(seed=6)
+    logits = apply_regat(params, cfg, batch, NTOKEN, train=False)
+    assert logits.shape == (B, NUM_ANS)
+    assert np.isfinite(np.asarray(logits)).all()
+    assert len(params["v_relation"]["gatt"]["neighbor"]) == 1
+
+
+def test_forward_no_residual():
+    cfg = tiny_cfg(residual_connection=False)
+    params = init_regat(jax.random.PRNGKey(7), cfg, NTOKEN, V_DIM, NUM_ANS)
+    logits = apply_regat(params, cfg, make_batch(seed=7), NTOKEN, train=False)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_forward_label_bias_enabled():
+    cfg = tiny_cfg(relation_type="semantic", label_bias=True)
+    params = init_regat(jax.random.PRNGKey(8), cfg, NTOKEN, V_DIM, NUM_ANS)
+    assert "b" in params["v_relation"]["gatt"]["bias"]["layers"][0]
+    batch = make_batch(seed=8, semantic=True)
+    logits = apply_regat(params, cfg, batch, NTOKEN, train=False)
+    assert np.isfinite(np.asarray(logits)).all()

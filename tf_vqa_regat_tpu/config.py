@@ -64,7 +64,10 @@ class Config:
 
     # --- run control (main.py:94-95) ---
     print_freq: int = 500
-    mode: str = "train"  # train | eval
+    mode: str = "train"  # train | eval | ensemble_eval
+    # Three-branch ensemble eval (ReGAT paper headline setting; BASELINE
+    # config #5): "implicit:PATH,spatial:PATH,semantic:PATH".
+    ensemble_checkpoints: str = ""
 
     # --- present in shipped JSON config but unused by the reference model
     # (config/butd_vqa.json:15) — accepted for compatibility ---

@@ -212,7 +212,6 @@ def run_training(
     )
 
     N = steps_per_epoch
-    num_total = train_loader.num_examples
     prev_lr = None
     for epoch in range(start_epoch, cfg.epochs):
         lr_now = float(lr_fn(jnp.asarray(epoch * steps_per_epoch)))
@@ -232,7 +231,6 @@ def run_training(
         # on-device accumulators (async; fetched at print_freq / epoch end)
         acc = {"score": jnp.zeros(()), "loss_sum": jnp.zeros(()), "n": jnp.zeros(())}
         start = time.time()
-        fetched_loss = 0.0
 
         with trace_epoch(cfg.profile_dir, epoch):
             for i, batch in enumerate(train_iter(epoch)):
