@@ -144,3 +144,49 @@ def test_two_step_training_decreases_loss_single_compile():
     assert losses[-1] < losses[0], losses
     assert step._cache_size() == 1  # static shapes -> no recompiles
     assert int(jax.device_get(state["step"])) == len(losses)
+
+
+def test_overfit_small_dataset():
+    """Learning sanity: the full train step memorizes 16 examples — train
+    VQA score approaches the soft-target ceiling (reference's acceptance
+    signal is the training log's rising score curve, train.ipynb)."""
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+    from tf_vqa_regat_tpu.data.loader import BatchLoader
+    from tf_vqa_regat_tpu.models.regat import init_regat, trainable_mask
+    from tf_vqa_regat_tpu.parallel.mesh import batch_sharding, make_mesh
+    from tf_vqa_regat_tpu.train.optim import make_optimizer
+    from tf_vqa_regat_tpu.train.step import build_train_step, init_train_state
+
+    cfg = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+        residual_connection=True, base_lr=1e-2, dropout=0.0,
+    )
+    ds = synthetic_dataset(num_images=4, num_questions=16, v_dim=24, num_ans=9)
+    ntoken = ds.dictionary.ntoken
+    mesh = make_mesh(dp_size=1, tp_size=1, devices=jax.devices()[:1])
+    params = init_regat(jax.random.PRNGKey(0), cfg, ntoken, 24, 9)
+    # large steps_per_epoch keeps the warmup LR constant for the whole test
+    opt = make_optimizer(cfg.base_lr, cfg.grad_clip, 10000, 0.75, 2, trainable_mask(params, False))
+    state = init_train_state(params, opt, mesh)
+    step = build_train_step(cfg, ntoken, opt, mesh, "jnp", params)
+    batch = jax.device_put(
+        next(iter(BatchLoader(ds, 16, 12, shuffle=False).epoch(0))),
+        batch_sharding(mesh),
+    )
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for i in range(100):
+        state, m = step(state, batch, rng)
+        if first is None:
+            first = jax.device_get(m)
+    last = jax.device_get(m)
+    # soft-target ceiling: mean over entries of their max score
+    ent = ds.entries
+    ceil = np.mean(
+        [ent.scores[ent.label_offsets[i]:ent.label_offsets[i+1]].max() for i in range(16)]
+    )
+    final_score = last["score"] / last["n"]
+    assert last["loss"] < first["loss"] * 0.5, (first["loss"], last["loss"])
+    assert final_score > 0.95 * ceil, (final_score, ceil)
