@@ -176,7 +176,15 @@ def main(argv=None) -> None:
         abstract = init_regat(
             jax.random.PRNGKey(cfg.seed), cfg, ntoken, val_ds.v_dim, val_ds.num_ans
         )
-        params = ckpt.load_params(cfg.checkpoint, abstract)
+        if cfg.checkpoint.endswith(".h5"):
+            # reference-trained keras weights (see train/h5_import.py)
+            from tf_vqa_regat_tpu.train.h5_import import import_reference_h5
+
+            params = import_reference_h5(
+                cfg.checkpoint, cfg, ntoken, val_ds.v_dim, val_ds.num_ans
+            )
+        else:
+            params = ckpt.load_params(cfg.checkpoint, abstract)
         mesh = make_mesh(cfg.dp_size, cfg.tp_size)
         from tf_vqa_regat_tpu.parallel.mesh import replicated
 

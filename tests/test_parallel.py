@@ -22,14 +22,15 @@ CFG = Config(
 )
 
 
-def _run_steps(mesh, n_steps=2):
+def _run_steps(mesh, n_steps=2, cfg=None):
+    cfg = cfg or CFG
     ds = synthetic_dataset(num_images=8, num_questions=64, v_dim=32, num_ans=9)
     ntoken = ds.dictionary.ntoken
-    params = init_regat(jax.random.PRNGKey(0), CFG, ntoken, 32, 9)
+    params = init_regat(jax.random.PRNGKey(0), cfg, ntoken, 32, 9)
     mask = trainable_mask(params, False)
-    opt = make_optimizer(CFG.base_lr, CFG.grad_clip, 4, 0.75, 2, mask)
+    opt = make_optimizer(cfg.base_lr, cfg.grad_clip, 4, 0.75, 2, mask)
     state = init_train_state(params, opt, mesh)
-    step = build_train_step(CFG, ntoken, opt, mesh, "jnp", params)
+    step = build_train_step(cfg, ntoken, opt, mesh, "jnp", params)
     loader = BatchLoader(ds, 16, 12, shuffle=False)
     rng = jax.random.PRNGKey(1)
     metrics = []
@@ -79,3 +80,18 @@ def test_dryrun_multichip_entry():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_sp_rois_sharding_matches_single_device():
+    """Roi-axis sharding over the model axis (the SP analog, SURVEY §2.5)
+    is a layout change only."""
+    assert len(jax.devices()) >= 8
+    m1, p1 = _run_steps(make_mesh(dp_size=1, tp_size=1, devices=jax.devices()[:1]))
+    msp, psp = _run_steps(
+        make_mesh(dp_size=4, tp_size=2), cfg=CFG.replace(sp_rois=True)
+    )
+    for a, b in zip(m1, msp):
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-5)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=2e-3, atol=1e-4), p1, psp
+    )

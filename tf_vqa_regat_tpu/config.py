@@ -89,6 +89,9 @@ class Config:
     # Mesh axes: data-parallel size (0 = all local devices) x model-parallel.
     dp_size: int = 0
     tp_size: int = 1
+    # Roi-axis sharding over the 'model' axis (the sequence-parallel analog
+    # for this model family, SURVEY §2.5) — anchor constraints in apply_regat.
+    sp_rois: bool = False
     # Use the fused Pallas graph-attention kernel instead of XLA batched
     # einsums. Off by default: XLA is ~2x faster at the flagship shapes (the
     # 20-key axis starves per-head MXU tiles in the kernel's grid) — see

@@ -116,8 +116,16 @@ def apply_regat(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     impl: str = "jnp",
+    sp_mesh=None,
 ) -> jax.Array:
-    """Forward pass -> logits [b, num_answers]."""
+    """Forward pass -> logits [b, num_answers].
+
+    sp_mesh (+ cfg.sp_rois): the roi-axis analog of sequence parallelism
+    (SURVEY §2.5) — anchor the visual activations' roi axis to the 'model'
+    mesh axis with sharding constraints; GSPMD propagates the layout through
+    the relation encoder and inserts the (tiny, 20-key) gathers over ICI.
+    Useful only at roi counts far beyond this model's 100; provided for
+    framework completeness and tested for numerical equivalence."""
     compute_dtype = _DTYPES[cfg.compute_dtype]
     rngs = nn.RngGen(rng) if (train and rng is not None) else None
     drop = cfg.dropout
@@ -127,6 +135,21 @@ def apply_regat(
     roi_mask = (
         jnp.arange(R, dtype=jnp.int32)[None, :] < batch["num_boxes"][:, None]
     )  # [b, R]
+
+    shard_rois = lambda x: x
+    if sp_mesh is not None and cfg.sp_rois:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        def shard_rois(x):
+            spec = [None] * x.ndim
+            spec[0], spec[1] = DATA_AXIS, MODEL_AXIS
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(sp_mesh, P(*spec))
+            )
+
+        features = shard_rois(features)
 
     w_emb = language.word_embedding_apply(
         params["w_emb"], batch["question"], ntoken, cfg.op, drop, train, rngs, compute_dtype
@@ -149,8 +172,10 @@ def apply_regat(
     )
     if cfg.relation_type == "implicit":
         pos_emb = implicit_pos_emb(batch["bb"], cfg.nongt_dim, cfg.imp_pos_emb_dim)
-        v_emb = relation.implicit_encoder_apply(
-            params["v_relation"], features, pos_emb, q_vec, roi_mask, **rel_kw
+        v_emb = shard_rois(
+            relation.implicit_encoder_apply(
+                params["v_relation"], features, pos_emb, q_vec, roi_mask, **rel_kw
+            )
         )
     else:
         label_num = cfg.spa_label_num if cfg.relation_type == "spatial" else cfg.sem_label_num
@@ -162,8 +187,10 @@ def apply_regat(
         else:
             raise ValueError("semantic relation requires adj_label in the batch")
         adj_onehot = broadcast_adj_labels(adj_label, label_num)
-        v_emb = relation.explicit_encoder_apply(
-            params["v_relation"], features, adj_onehot, q_vec, roi_mask, **rel_kw
+        v_emb = shard_rois(
+            relation.explicit_encoder_apply(
+                params["v_relation"], features, adj_onehot, q_vec, roi_mask, **rel_kw
+            )
         )
 
     if cfg.fusion == "butd":

@@ -39,12 +39,13 @@ def init_train_state(
     return {"params": params, "opt_state": opt_state, "step": step}
 
 
-def _train_core(state, batch, base_rng, cfg, ntoken, optimizer, impl):
+def _train_core(state, batch, base_rng, cfg, ntoken, optimizer, impl, sp_mesh=None):
     rng = jax.random.fold_in(base_rng, state["step"])
 
     def loss_fn(params):
         logits = apply_regat(
-            params, cfg, batch, ntoken, train=True, rng=rng, impl=impl
+            params, cfg, batch, ntoken, train=True, rng=rng, impl=impl,
+            sp_mesh=sp_mesh,
         )
         loss = bce_with_logits_sum(logits, batch["target"], batch["valid"])
         return loss, logits
@@ -63,8 +64,10 @@ def _train_core(state, batch, base_rng, cfg, ntoken, optimizer, impl):
     return new_state, metrics
 
 
-def _eval_core(params, batch, cfg, ntoken, impl):
-    logits = apply_regat(params, cfg, batch, ntoken, train=False, impl=impl)
+def _eval_core(params, batch, cfg, ntoken, impl, sp_mesh=None):
+    logits = apply_regat(
+        params, cfg, batch, ntoken, train=False, impl=impl, sp_mesh=sp_mesh
+    )
     return {
         "loss": bce_with_logits_sum(logits, batch["target"], batch["valid"]),
         "score": vqa_score_sum(logits, batch["target"], batch["valid"]),
@@ -89,8 +92,12 @@ def build_train_step(
     cache key: exactly one compilation per run)."""
     state_sh = train_state_shardings(params, optimizer, mesh)
 
+    sp_mesh = mesh if cfg.sp_rois else None
+
     def train_step(state, batch, base_rng):
-        return _train_core(state, batch, base_rng, cfg, ntoken, optimizer, impl)
+        return _train_core(
+            state, batch, base_rng, cfg, ntoken, optimizer, impl, sp_mesh
+        )
 
     rep = replicated(mesh)
     return jax.jit(
@@ -120,9 +127,13 @@ def build_store_train_step(
     state_sh = train_state_shardings(params, optimizer, mesh)
     R = cfg.resolved_num_rois()
 
+    sp_mesh = mesh if cfg.sp_rois else None
+
     def train_step(state, arrays, idx, base_rng):
         batch = gather_batch(arrays, idx, R, num_ans, padding_idx)
-        return _train_core(state, batch, base_rng, cfg, ntoken, optimizer, impl)
+        return _train_core(
+            state, batch, base_rng, cfg, ntoken, optimizer, impl, sp_mesh
+        )
 
     rep = replicated(mesh)
     return jax.jit(
@@ -140,9 +151,11 @@ def build_store_eval_step(
 
     R = cfg.resolved_num_rois()
 
+    sp_mesh = mesh if cfg.sp_rois else None
+
     def eval_step(params, arrays, idx):
         batch = gather_batch(arrays, idx, R, num_ans, padding_idx)
-        return _eval_core(params, batch, cfg, ntoken, impl)
+        return _eval_core(params, batch, cfg, ntoken, impl, sp_mesh)
 
     rep = replicated(mesh)
     return jax.jit(
@@ -192,9 +205,13 @@ def build_sharded_store_train_step(
     gather = build_sharded_gather(mesh, cfg.resolved_num_rois(), num_ans, padding_idx)
     dsh = NamedSharding(mesh, P(DATA_AXIS))
 
+    sp_mesh = mesh if cfg.sp_rois else None
+
     def train_step(state, arrays, idx, base_rng):
         batch = gather(arrays, idx)
-        return _train_core(state, batch, base_rng, cfg, ntoken, optimizer, impl)
+        return _train_core(
+            state, batch, base_rng, cfg, ntoken, optimizer, impl, sp_mesh
+        )
 
     rep = replicated(mesh)
     return jax.jit(
@@ -216,9 +233,11 @@ def build_sharded_store_eval_step(
     gather = build_sharded_gather(mesh, cfg.resolved_num_rois(), num_ans, padding_idx)
     dsh = NamedSharding(mesh, P(DATA_AXIS))
 
+    sp_mesh = mesh if cfg.sp_rois else None
+
     def eval_step(params, arrays, idx):
         batch = gather(arrays, idx)
-        return _eval_core(params, batch, cfg, ntoken, impl)
+        return _eval_core(params, batch, cfg, ntoken, impl, sp_mesh)
 
     rep = replicated(mesh)
     return jax.jit(
