@@ -73,3 +73,17 @@ def test_build_arrays_sizes():
     assert arrays["features"].ndim == 2
     assert arrays["questions"].shape == (8, 14)
     assert arrays["labels"].shape[0] == 8
+
+
+def test_bf16_feature_tables_close_to_f32():
+    ds = synthetic_dataset(num_images=4, num_questions=8, v_dim=16, num_ans=5)
+    R = 30
+    s32 = DeviceStore(ds)
+    s16 = DeviceStore(ds, feature_dtype="bfloat16")
+    idx = jnp.asarray(next(iter(s32.epoch_indices(0, 8, False, 0))))
+    b32 = jax.device_get(gather_batch(s32.arrays, idx, R, 5, s32.padding_idx))
+    b16 = jax.device_get(gather_batch(s16.arrays, idx, R, 5, s16.padding_idx))
+    assert b16["features"].dtype == np.float32  # re-widened at gather
+    np.testing.assert_allclose(b16["features"], b32["features"], rtol=1e-2, atol=1e-2)
+    np.testing.assert_array_equal(b16["question"], b32["question"])
+    np.testing.assert_array_equal(b16["target"], b32["target"])

@@ -114,6 +114,9 @@ class Config:
     # host; "device"/"host" force a mode.
     data_mode: str = "auto"
     device_store_budget_gb: float = 8.0
+    # Device-store table dtype: "bfloat16" halves resident footprint +
+    # gather traffic (re-widened to f32 at gather; input-rounding only).
+    feature_dtype: str = "float32"
     # BAN glimpses / MuTAN rank+glimpses (net-new families; defaults match the
     # PyTorch ReGAT's ban_gamma=4 / mutan_gamma=2 and block-lib rank=15).
     ban_glimpse: int = 4

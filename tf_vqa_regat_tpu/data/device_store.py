@@ -91,10 +91,26 @@ def fits_in_memory(arrays: Dict[str, np.ndarray], budget_bytes: int) -> bool:
 
 
 class DeviceStore:
-    """Tables placed on device (replicated across the mesh)."""
+    """Tables placed on device (replicated across the mesh).
 
-    def __init__(self, dataset: VQADataset, sharding=None, include_adj: bool = False):
+    feature_dtype="bfloat16" halves the resident footprint and gather traffic
+    of the three float tables (features/norm_bb/bb); the gather casts back to
+    float32, so the model computes exactly as before modulo input rounding
+    (region features carry ~3 significant digits of signal)."""
+
+    def __init__(
+        self,
+        dataset: VQADataset,
+        sharding=None,
+        include_adj: bool = False,
+        feature_dtype: str = "float32",
+    ):
         host = build_arrays(dataset, include_adj)
+        if feature_dtype == "bfloat16":
+            import jax.numpy as _jnp
+
+            for k in ("features", "norm_bb", "bb"):
+                host[k] = host[k].astype(_jnp.bfloat16)
         self.num_entries = len(dataset.entries)
         self.num_ans = dataset.num_ans
         self.padding_idx = dataset.dictionary.padding_idx
@@ -150,6 +166,7 @@ def gather_batch(
 
     def take(tab):
         out = jnp.take(tab, rows.reshape(-1), axis=0).reshape(B, num_rois, -1)
+        out = out.astype(jnp.float32)  # bf16 tables re-widen here
         return jnp.where(roi_ok[..., None], out, jnp.zeros_like(out))
 
     features = take(arrays["features"])

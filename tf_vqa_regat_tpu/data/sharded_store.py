@@ -45,7 +45,14 @@ def _assign_images(box_counts: np.ndarray, n_shards: int) -> List[np.ndarray]:
 
 
 class ShardedDeviceStore:
-    def __init__(self, dataset: VQADataset, mesh, include_adj: bool = False):
+    def __init__(
+        self,
+        dataset: VQADataset,
+        mesh,
+        include_adj: bool = False,
+        feature_dtype: str = "float32",
+    ):
+        self._feature_dtype = feature_dtype
         if include_adj:
             raise NotImplementedError(
                 "sharded store does not carry precomputed adjacency yet; "
@@ -124,6 +131,10 @@ class ShardedDeviceStore:
                 scores[s, j, :k] = ent.scores[so : so + k]
                 entry_img[s, j] = img_local[ent.image_index[e]]
 
+        if feature_dtype == "bfloat16":
+            feats = feats.astype(jnp.bfloat16)
+            norms = norms.astype(jnp.bfloat16)
+            bbs = bbs.astype(jnp.bfloat16)
         host = {
             "features": feats.reshape(self.dp * max_rows, v_dim),
             "norm_bb": norms.reshape(self.dp * max_rows, s_dim),

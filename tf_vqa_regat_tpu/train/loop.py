@@ -120,8 +120,8 @@ def run_training(
             build_sharded_store_train_step,
         )
 
-        train_store = ShardedDeviceStore(train_ds, mesh, include_adj)
-        eval_store = ShardedDeviceStore(val_ds, mesh, include_adj)
+        train_store = ShardedDeviceStore(train_ds, mesh, include_adj, cfg.feature_dtype)
+        eval_store = ShardedDeviceStore(val_ds, mesh, include_adj, cfg.feature_dtype)
         s_train_step = build_sharded_store_train_step(
             cfg, ntoken, optimizer, mesh, impl, state["params"],
             train_ds.num_ans, train_store.padding_idx,
@@ -157,8 +157,8 @@ def run_training(
         )
 
         rep = replicated(mesh)
-        train_store = DeviceStore(train_ds, rep, include_adj)
-        eval_store = DeviceStore(val_ds, rep, include_adj)
+        train_store = DeviceStore(train_ds, rep, include_adj, cfg.feature_dtype)
+        eval_store = DeviceStore(val_ds, rep, include_adj, cfg.feature_dtype)
         s_train_step = build_store_train_step(
             cfg, ntoken, optimizer, mesh, impl, state["params"],
             train_ds.num_ans, train_store.padding_idx,
