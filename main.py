@@ -151,7 +151,9 @@ def main(argv=None) -> None:
 
     if cfg.mode == "train":
         ds = train_ds
-        ntoken = ds.dictionary.ntoken
+        # snapshotted at tokenization time — NOT dictionary.ntoken, which the
+        # TF-IDF init has since extended (VQADataset.ntoken docstring)
+        ntoken = ds.ntoken
         params = init_regat(
             jax.random.PRNGKey(cfg.seed), cfg, ntoken, ds.v_dim, ds.num_ans
         )
@@ -172,7 +174,7 @@ def main(argv=None) -> None:
         print(f"saved final model to {path} (best eval score {best:.4f})")
 
     elif cfg.mode == "eval":
-        ntoken = val_ds.dictionary.ntoken
+        ntoken = val_ds.ntoken
         abstract = init_regat(
             jax.random.PRNGKey(cfg.seed), cfg, ntoken, val_ds.v_dim, val_ds.num_ans
         )

@@ -158,3 +158,22 @@ def test_glove_only_init_keeps_emb2_frozen():
     new, trainable = word_embedding_load_glove(params, glove, "c")
     assert not trainable
     np.testing.assert_allclose(np.asarray(new["emb_"]["table"][:10]), glove)
+
+
+def test_ntoken_snapshot_survives_dictionary_extension():
+    """The TF-IDF init extends the shared dictionary AFTER datasets are
+    tokenized (reference builds the model before tfidf_from_questions,
+    main.py:128-136); the dataset must keep the tokenization-time vocab size
+    or padding ids and embedding sizes diverge (code-review finding)."""
+    ds = synthetic_dataset(num_images=4, num_questions=9, v_dim=8, num_ans=5)
+    orig_ntoken = ds.ntoken
+    assert orig_ntoken == ds.dictionary.ntoken
+    # simulate the tfidf side effect
+    for w in ["zzz1", "zzz2", "zzz3"]:
+        ds.dictionary.add_word(w)
+    assert ds.dictionary.ntoken == orig_ntoken + 3
+    assert ds.ntoken == orig_ntoken  # snapshot unchanged
+    assert ds.padding_idx == orig_ntoken
+    loader = BatchLoader(ds, 4, 12, shuffle=False)
+    last = list(loader.epoch(0))[-1]  # padded final batch uses the snapshot
+    assert (last["question"][last["valid"] == False] == orig_ntoken).all()  # noqa: E712

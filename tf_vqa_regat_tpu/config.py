@@ -111,7 +111,9 @@ class Config:
     prefetch: int = 2
     # Data path: "auto" keeps feature tables resident in HBM with on-device
     # batch gather when they fit device_store_budget_gb, else streams from
-    # host; "device"/"host" force a mode.
+    # host; "device"/"host" force those modes; "sharded" partitions the
+    # tables across the data mesh axis for splits too large to replicate
+    # (data/sharded_store.py).
     data_mode: str = "auto"
     device_store_budget_gb: float = 8.0
     # Device-store table dtype: "bfloat16" halves resident footprint +
@@ -153,8 +155,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     for f in dataclasses.fields(Config):
         name = "--" + f.name
         if f.name in _BOOL_FLAGS:
-            # Reference used store_true for booleans (main.py:41-46,86-89).
-            parser.add_argument(name, action="store_true", default=f.default)
+            # Superset of the reference's store_true booleans
+            # (main.py:41-46,86-89): `--flag` still sets True, and
+            # `--no-flag` can disable default-True fields (e.g.
+            # --no-save_every_epoch), which store_true could not express.
+            parser.add_argument(
+                name, action=argparse.BooleanOptionalAction, default=f.default
+            )
         else:
             parser.add_argument(name, type=type(f.default), default=f.default)
     parser.add_argument("--config", type=str, default=None, help="JSON config file")
@@ -174,9 +181,14 @@ def parse_with_config(argv: Optional[List[str]] = None) -> Config:
     if args.config is not None:
         with open(args.config) as fh:
             config_args = json.load(fh)
-        override_keys = {
-            a[2:].split("=")[0] for a in argv if a.startswith("--")
-        }
+        override_keys = set()
+        for a in argv:
+            if not a.startswith("--"):
+                continue
+            k = a[2:].split("=")[0]
+            if k.startswith("no-"):  # BooleanOptionalAction off-switch
+                k = k[3:]
+            override_keys.add(k)
         known = {f.name for f in dataclasses.fields(Config)}
         for k, v in config_args.items():
             if k in override_keys:

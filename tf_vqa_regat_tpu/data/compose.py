@@ -100,6 +100,7 @@ def concat_datasets(a: VQADataset, b: VQADataset, name: str) -> VQADataset:
         label2ans=a.label2ans,
         dictionary=a.dictionary,
         relation_type=a.relation_type,
+        ntoken=a.ntoken,
     )
 
 
@@ -242,4 +243,5 @@ def append_entries(ds: VQADataset, extra: EntryTable, name: str) -> VQADataset:
         label2ans=ds.label2ans,
         dictionary=ds.dictionary,
         relation_type=ds.relation_type,
+        ntoken=ds.ntoken,
     )

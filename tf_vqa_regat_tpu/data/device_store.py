@@ -86,6 +86,36 @@ def nbytes(arrays: Dict[str, np.ndarray]) -> int:
     return sum(int(a.nbytes) for a in arrays.values())
 
 
+def estimate_nbytes(
+    dataset: VQADataset, include_adj: bool = False, feature_dtype: str = "float32"
+) -> int:
+    """Device-table footprint WITHOUT building the tables (the budget check
+    runs before construction), accounting for feature_dtype."""
+    store = dataset.store
+    n_entries = len(dataset.entries)
+    float_scale = 0.5 if feature_dtype == "bfloat16" else 1.0
+    total = int(
+        (store.features.nbytes + store.normalized_bb.nbytes + store.bb.nbytes)
+        * float_scale
+    )
+    n_img = (
+        store.pos_boxes.shape[0] if store.adaptive else store.features.shape[0]
+    )
+    total += 2 * 4 * n_img  # img_start/img_len
+    total += 4 * n_entries  # entry_img
+    total += 4 * n_entries * dataset.entries.q_tokens.shape[1]  # questions
+    total += (4 + 4) * n_entries * MAX_LABELS  # labels + scores
+    if include_adj:
+        adj = (
+            store.semantic_adj
+            if dataset.relation_type == "semantic"
+            else store.spatial_adj
+        )
+        if adj is not None:
+            total += int(adj.nbytes) // adj.itemsize  # stored as int8
+    return total
+
+
 def fits_in_memory(arrays: Dict[str, np.ndarray], budget_bytes: int) -> bool:
     return nbytes(arrays) <= budget_bytes
 
@@ -113,7 +143,7 @@ class DeviceStore:
                 host[k] = host[k].astype(_jnp.bfloat16)
         self.num_entries = len(dataset.entries)
         self.num_ans = dataset.num_ans
-        self.padding_idx = dataset.dictionary.padding_idx
+        self.padding_idx = dataset.padding_idx
         self.has_adj = "adj" in host
         if sharding is None:
             self.arrays = jax.device_put(host)

@@ -95,7 +95,13 @@ def load_imgid2idx(dataroot: str, name: str, adaptive: bool) -> Dict[int, int]:
 
 @dataclass
 class VQADataset:
-    """One split, ready to batch: entries + features + answer vocabulary."""
+    """One split, ready to batch: entries + features + answer vocabulary.
+
+    ``ntoken`` is snapshotted at tokenization time: the TF-IDF init later
+    *extends* the shared dictionary (19,901 -> 28,333 words, SURVEY §3.5), but
+    the questions were padded with the pre-extension padding_idx and the model
+    embedding must be sized to it — the reference builds the model before
+    calling tfidf_from_questions (reference main.py:128-136)."""
 
     name: str
     entries: EntryTable
@@ -104,6 +110,15 @@ class VQADataset:
     label2ans: List[str]
     dictionary: Dictionary
     relation_type: str
+    ntoken: int = -1
+
+    def __post_init__(self):
+        if self.ntoken < 0:
+            self.ntoken = self.dictionary.ntoken
+
+    @property
+    def padding_idx(self) -> int:
+        return self.ntoken  # == padding_idx at tokenization time
 
     @property
     def v_dim(self) -> int:

@@ -106,7 +106,7 @@ class BatchLoader:
 
         question = np.zeros((B, ent.q_tokens.shape[1]), np.int32)
         question[:n_real] = ent.q_tokens[idx]
-        question[n_real:] = ds.dictionary.padding_idx
+        question[n_real:] = ds.padding_idx
 
         batch = {
             "features": features,

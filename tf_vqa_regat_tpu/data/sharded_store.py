@@ -63,7 +63,7 @@ class ShardedDeviceStore:
         ent = dataset.entries
         store = dataset.store
         self.num_ans = dataset.num_ans
-        self.padding_idx = dataset.dictionary.padding_idx
+        self.padding_idx = dataset.padding_idx
         self.num_entries = len(ent)
 
         if store.adaptive:
@@ -149,6 +149,13 @@ class ShardedDeviceStore:
         sh = NamedSharding(mesh, P(DATA_AXIS))
         self.arrays = {k: jax.device_put(v, sh) for k, v in host.items()}
         self.max_entries = max_entries
+
+    def steps_per_epoch(self, batch_size: int) -> int:
+        """Steps actually executed per epoch: the max over shards of their
+        local step counts (ragged tails pad with -1). Use this — not
+        ceil(total/batch) — for anything epoch-keyed (e.g. the LR schedule)."""
+        per = batch_size // self.dp
+        return int(max((n + per - 1) // per for n in self.local_entry_counts))
 
     def epoch_indices(
         self, epoch: int, batch_size: int, shuffle: bool, seed: int

@@ -68,7 +68,7 @@ def run_ensemble_eval(
     logger: Logger,
 ) -> float:
     """Returns the ensemble VQA score (%)."""
-    ntoken = val_ds.dictionary.ntoken
+    ntoken = val_ds.ntoken
     members = parse_members(cfg.ensemble_checkpoints)
     steps = []
     for rt, path in members:
@@ -80,22 +80,41 @@ def run_ensemble_eval(
         steps.append((rt, build_member_step(mcfg, ntoken, mesh, impl), params))
         logger.write(f"[ensemble] loaded {rt} member from {path}")
 
-    loader = BatchLoader(
-        val_ds, max(cfg.batch_size // 4, 1), cfg.resolved_num_rois(),
-        shuffle=False, include_adj=any(rt != "implicit" for rt, _ in members),
-    )
+    # Per-member loaders: each relation type needs its own adjacency in the
+    # batch (semantic: the label table; spatial: precomputed if the HDF5 has
+    # it, else the in-jit builder; implicit: none). shuffle=False keeps all
+    # loaders in lockstep over the same entries, so targets align.
+    import dataclasses as _dc
+
     bspec = batch_sharding(mesh)
+    # batch//4 (reference main.py:118), rounded up to a data-mesh multiple so
+    # the sharded batch dim stays divisible
+    dp = mesh.shape["data"]
+    eval_batch = -(-max(cfg.batch_size // 4, 1) // dp) * dp
+    R = cfg.resolved_num_rois()
+    member_iters = []
+    for rt, _ in members:
+        member_ds = _dc.replace(val_ds, relation_type=rt)
+        loader = BatchLoader(
+            member_ds, eval_batch, R, shuffle=False,
+            include_adj=(rt in ("semantic", "spatial")),
+        )
+        member_iters.append(
+            prefetch_to_device(loader.epoch(0), bspec, depth=cfg.prefetch)
+        )
+
     score = jnp.zeros(())
     n = jnp.zeros(())
     start = time.time()
-    for batch in prefetch_to_device(loader.epoch(0), bspec, depth=cfg.prefetch):
+    for batches in zip(*member_iters):
         probs = None
-        for rt, step, params in steps:
+        for (rt, step, params), batch in zip(steps, batches):
             p = step(params, batch)
             probs = p if probs is None else probs + p
         probs = probs / len(steps)
-        score = score + vqa_score_sum(probs, batch["target"], batch["valid"])
-        n = n + jnp.sum(batch["valid"].astype(jnp.float32))
+        ref_batch = batches[0]
+        score = score + vqa_score_sum(probs, ref_batch["target"], ref_batch["valid"])
+        n = n + jnp.sum(ref_batch["valid"].astype(jnp.float32))
     score_pct = 100.0 * float(jax.device_get(score)) / max(float(jax.device_get(n)), 1.0)
     logger.write(
         f"[ensemble] members={[rt for rt, _ in members]} "

@@ -59,22 +59,41 @@ def run_training(
     R = cfg.resolved_num_rois()
     include_adj = cfg.relation_type in ("semantic", "spatial")
 
+    dp = mesh.shape["data"]
+    if cfg.batch_size % dp != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must be divisible by the data-mesh "
+            f"size {dp} (the batch dim is sharded over it)"
+        )
+    # Reference eval batch is batch//4 (main.py:118); round up to a data-mesh
+    # multiple so the sharded batch dim stays divisible.
+    eval_batch = -(-max(cfg.batch_size // 4, 1) // dp) * dp
+
     train_loader = BatchLoader(
         train_ds, cfg.batch_size, R, shuffle=True, seed=cfg.seed,
         include_adj=include_adj,
     )
     eval_loader = BatchLoader(
-        val_ds, max(cfg.batch_size // 4, 1), R, shuffle=False,
+        val_ds, eval_batch, R, shuffle=False,
         include_adj=include_adj,
     )
     steps_per_epoch = len(train_loader)
-    ntoken = train_ds.dictionary.ntoken
+    ntoken = train_ds.ntoken
 
     params = init_params
     if params is None:
         params = init_regat(
             jax.random.PRNGKey(cfg.seed), cfg, ntoken, train_ds.v_dim, train_ds.num_ans
         )
+
+    bspec = batch_sharding(mesh)
+    base_rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    # --- data path selection (before the optimizer: the sharded store's true
+    # steps-per-epoch feeds the epoch-keyed LR schedule) ---------------------
+    data = _DataPath(cfg, train_ds, val_ds, train_loader, eval_loader, mesh, bspec)
+    steps_per_epoch = data.steps_per_epoch
+
     mask = trainable_mask(params, emb2_trainable)
     optimizer = make_optimizer(
         cfg.base_lr, cfg.grad_clip, steps_per_epoch, cfg.lr_decay_rate,
@@ -94,114 +113,9 @@ def run_training(
             last_epoch, best_score = ckpt.restore_meta(cfg.output)
             start_epoch = last_epoch + 1
 
-    bspec = batch_sharding(mesh)
-    base_rng = jax.random.PRNGKey(cfg.seed + 1)
-
-    # Data path selection: device-resident tables (per-step transfer = the
-    # index vector, batch gather on device) when the split fits the budget;
-    # host-streaming prefetch otherwise (data/device_store.py docstring).
-    use_store = cfg.data_mode == "device"
-    if cfg.data_mode == "auto":
-        from tf_vqa_regat_tpu.data import device_store as dstore
-
-        budget = int(cfg.device_store_budget_gb * 1e9)
-        use_store = dstore.fits_in_memory(
-            dstore.build_arrays(train_ds, include_adj), budget // 2
-        ) and dstore.fits_in_memory(
-            dstore.build_arrays(val_ds, include_adj), budget // 2
-        )
-
-    if cfg.data_mode == "sharded":
-        # Feature tables partitioned across the data axis — for splits too
-        # large to replicate per chip (data/sharded_store.py).
-        from tf_vqa_regat_tpu.data.sharded_store import ShardedDeviceStore
-        from tf_vqa_regat_tpu.train.step import (
-            build_sharded_store_eval_step,
-            build_sharded_store_train_step,
-        )
-
-        train_store = ShardedDeviceStore(train_ds, mesh, include_adj, cfg.feature_dtype)
-        eval_store = ShardedDeviceStore(val_ds, mesh, include_adj, cfg.feature_dtype)
-        s_train_step = build_sharded_store_train_step(
-            cfg, ntoken, optimizer, mesh, impl, state["params"],
-            train_ds.num_ans, train_store.padding_idx,
-        )
-        s_eval_step = build_sharded_store_eval_step(
-            cfg, ntoken, mesh, impl, val_ds.num_ans, eval_store.padding_idx
-        )
-
-        def train_call(state, item, rng):
-            return s_train_step(state, train_store.arrays, item, rng)
-
-        def eval_call(params, item):
-            return s_eval_step(params, eval_store.arrays, item)
-
-        def train_iter(epoch):
-            for idx in train_store.epoch_indices(
-                epoch, cfg.batch_size, True, cfg.seed
-            ):
-                yield jax.device_put(idx, bspec)
-
-        def eval_iter():
-            for idx in eval_store.epoch_indices(
-                0, max(cfg.batch_size // 4, 1), False, cfg.seed
-            ):
-                yield jax.device_put(idx, bspec)
-
-    elif use_store:
-        from tf_vqa_regat_tpu.data.device_store import DeviceStore
-        from tf_vqa_regat_tpu.parallel.mesh import replicated
-        from tf_vqa_regat_tpu.train.step import (
-            build_store_eval_step,
-            build_store_train_step,
-        )
-
-        rep = replicated(mesh)
-        train_store = DeviceStore(train_ds, rep, include_adj, cfg.feature_dtype)
-        eval_store = DeviceStore(val_ds, rep, include_adj, cfg.feature_dtype)
-        s_train_step = build_store_train_step(
-            cfg, ntoken, optimizer, mesh, impl, state["params"],
-            train_ds.num_ans, train_store.padding_idx,
-        )
-        s_eval_step = build_store_eval_step(
-            cfg, ntoken, mesh, impl, val_ds.num_ans, eval_store.padding_idx
-        )
-
-        def train_call(state, item, rng):
-            return s_train_step(state, train_store.arrays, item, rng)
-
-        def eval_call(params, item):
-            return s_eval_step(params, eval_store.arrays, item)
-
-        def train_iter(epoch):
-            for idx in train_store.epoch_indices(
-                epoch, cfg.batch_size, True, cfg.seed
-            ):
-                yield jax.device_put(idx, bspec)
-
-        def eval_iter():
-            for idx in eval_store.epoch_indices(
-                0, max(cfg.batch_size // 4, 1), False, cfg.seed
-            ):
-                yield jax.device_put(idx, bspec)
-
-    else:
-        h_train_step = build_train_step(
-            cfg, ntoken, optimizer, mesh, impl, state["params"]
-        )
-        h_eval_step = build_eval_step(cfg, ntoken, mesh, impl)
-        train_call = lambda state, item, rng: h_train_step(state, item, rng)
-        eval_call = lambda params, item: h_eval_step(params, item)
-
-        def train_iter(epoch):
-            return prefetch_to_device(
-                train_loader.epoch(epoch), bspec, depth=cfg.prefetch
-            )
-
-        def eval_iter():
-            return prefetch_to_device(
-                eval_loader.epoch(0), bspec, depth=cfg.prefetch
-            )
+    data.build_steps(ntoken, optimizer, params, impl)
+    train_call, eval_call = data.train_call, data.eval_call
+    train_iter, eval_iter = data.train_iter, data.eval_iter
 
     logger = Logger(os.path.join(cfg.output, "log.txt"))
     metrics_writer = MetricsWriter(os.path.join(cfg.output, "metrics.jsonl"))
@@ -341,3 +255,130 @@ def _run_eval(
     score = 100.0 * float(host["score"]) / max(float(host["n"]), 1.0)
     mean_loss = float(host["loss_sum"]) / max(float(host["n"]), 1.0)
     return score, mean_loss, elapsed
+
+
+class _DataPath:
+    """Unified data-path selection + step/iterator construction.
+
+    Modes (cfg.data_mode): 'device' = HBM-replicated tables with on-device
+    gather; 'sharded' = tables partitioned over the data axis (splits too
+    large to replicate); 'host' = host-streaming prefetch; 'auto' = device if
+    the estimated table footprint (at cfg.feature_dtype) fits the budget,
+    else host. One class so the three paths can't drift apart.
+    """
+
+    def __init__(self, cfg, train_ds, val_ds, train_loader, eval_loader, mesh, bspec):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.bspec = bspec
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.train_loader = train_loader
+        self.eval_loader = eval_loader
+        self.include_adj = cfg.relation_type in ("semantic", "spatial")
+        self.eval_batch = eval_loader.batch_size  # dp-rounded by run_training
+
+        mode = cfg.data_mode
+        if mode == "auto":
+            from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
+
+            budget = int(cfg.device_store_budget_gb * 1e9)
+            fits = (
+                estimate_nbytes(train_ds, self.include_adj, cfg.feature_dtype)
+                <= budget // 2
+                and estimate_nbytes(val_ds, self.include_adj, cfg.feature_dtype)
+                <= budget // 2
+            )
+            mode = "device" if fits else "host"
+        self.mode = mode
+
+        if mode == "sharded":
+            from tf_vqa_regat_tpu.data.sharded_store import ShardedDeviceStore
+
+            # spatial adjacency is built in-jit from boxes; only semantic
+            # needs the precomputed table (which the sharded store rejects)
+            adj = cfg.relation_type == "semantic"
+            self.train_store = ShardedDeviceStore(
+                train_ds, mesh, adj, cfg.feature_dtype
+            )
+            self.eval_store = ShardedDeviceStore(val_ds, mesh, adj, cfg.feature_dtype)
+            self.steps_per_epoch = self.train_store.steps_per_epoch(cfg.batch_size)
+        elif mode == "device":
+            from tf_vqa_regat_tpu.data.device_store import DeviceStore
+            from tf_vqa_regat_tpu.parallel.mesh import replicated
+
+            rep = replicated(mesh)
+            self.train_store = DeviceStore(
+                train_ds, rep, self.include_adj, cfg.feature_dtype
+            )
+            self.eval_store = DeviceStore(
+                val_ds, rep, self.include_adj, cfg.feature_dtype
+            )
+            self.steps_per_epoch = len(train_loader)
+        else:
+            self.train_store = self.eval_store = None
+            self.steps_per_epoch = len(train_loader)
+
+    def build_steps(self, ntoken, optimizer, params, impl):
+        cfg, mesh = self.cfg, self.mesh
+        if self.mode == "sharded":
+            from tf_vqa_regat_tpu.train.step import (
+                build_sharded_store_eval_step,
+                build_sharded_store_train_step,
+            )
+
+            t = build_sharded_store_train_step(
+                cfg, ntoken, optimizer, mesh, impl, params,
+                self.train_ds.num_ans, self.train_store.padding_idx,
+            )
+            e = build_sharded_store_eval_step(
+                cfg, ntoken, mesh, impl, self.val_ds.num_ans,
+                self.eval_store.padding_idx,
+            )
+            self.train_call = lambda s, item, rng: t(s, self.train_store.arrays, item, rng)
+            self.eval_call = lambda p, item: e(p, self.eval_store.arrays, item)
+        elif self.mode == "device":
+            from tf_vqa_regat_tpu.train.step import (
+                build_store_eval_step,
+                build_store_train_step,
+            )
+
+            t = build_store_train_step(
+                cfg, ntoken, optimizer, mesh, impl, params,
+                self.train_ds.num_ans, self.train_store.padding_idx,
+            )
+            e = build_store_eval_step(
+                cfg, ntoken, mesh, impl, self.val_ds.num_ans,
+                self.eval_store.padding_idx,
+            )
+            self.train_call = lambda s, item, rng: t(s, self.train_store.arrays, item, rng)
+            self.eval_call = lambda p, item: e(p, self.eval_store.arrays, item)
+        else:
+            t = build_train_step(cfg, ntoken, optimizer, mesh, impl, params)
+            e = build_eval_step(cfg, ntoken, mesh, impl)
+            self.train_call = t
+            self.eval_call = e
+
+    def train_iter(self, epoch):
+        cfg = self.cfg
+        if self.mode in ("sharded", "device"):
+            for idx in self.train_store.epoch_indices(
+                epoch, cfg.batch_size, True, cfg.seed
+            ):
+                yield jax.device_put(idx, self.bspec)
+        else:
+            yield from prefetch_to_device(
+                self.train_loader.epoch(epoch), self.bspec, depth=cfg.prefetch
+            )
+
+    def eval_iter(self):
+        cfg = self.cfg
+        if self.mode in ("sharded", "device"):
+            for idx in self.eval_store.epoch_indices(
+                0, self.eval_batch, False, cfg.seed
+            ):
+                yield jax.device_put(idx, self.bspec)
+        else:
+            yield from prefetch_to_device(
+                self.eval_loader.epoch(0), self.bspec, depth=cfg.prefetch
+            )
