@@ -22,12 +22,7 @@ from tf_vqa_regat_tpu.config import Config, parse_with_config
 from tf_vqa_regat_tpu.data.dictionary import Dictionary
 from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
 from tf_vqa_regat_tpu.data.glove import tfidf_from_questions
-from tf_vqa_regat_tpu.models.regat import (
-    apply_regat,
-    init_regat,
-    resolve_impl,
-    trainable_mask,
-)
+from tf_vqa_regat_tpu.models.regat import init_regat, resolve_impl
 from tf_vqa_regat_tpu.models.language import word_embedding_load_glove
 from tf_vqa_regat_tpu.parallel.mesh import batch_sharding, make_mesh
 from tf_vqa_regat_tpu.train import checkpoint as ckpt

@@ -20,7 +20,7 @@ sizes (padded to the max shard) stay within ~1/dp of the split.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Tuple
+from typing import Iterator, List
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ The batch is a dict of statically-shaped arrays:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ CLI: --mode ensemble_eval
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,12 +27,7 @@ import numpy as np
 from tf_vqa_regat_tpu.config import Config
 from tf_vqa_regat_tpu.data.features import VQADataset
 from tf_vqa_regat_tpu.data.loader import BatchLoader, prefetch_to_device
-from tf_vqa_regat_tpu.models.regat import (
-    apply_regat,
-    init_regat,
-    resolve_impl,
-    trainable_mask,
-)
+from tf_vqa_regat_tpu.models.regat import init_regat, resolve_impl, trainable_mask
 from tf_vqa_regat_tpu.parallel.mesh import batch_sharding, make_mesh
 from tf_vqa_regat_tpu.train import checkpoint as ckpt
 from tf_vqa_regat_tpu.train.logging import AverageMeter, Logger, MetricsWriter, time_since
