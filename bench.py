@@ -77,12 +77,21 @@ def flagship_cfg() -> Config:
     )
 
 
+# Roi buckets: homogeneous-size batches routed to per-size programs recover
+# the padding waste of always-padding to 100 (+34% measured end-to-end;
+# PERF_NOTES.md). 64/100 keeps compile count moderate for the bench.
+BUCKETS = [64, 100]
+
+
 def _idx_batches(store, batch_size, bspec, n, shuffle, seed=0):
+    """n (R, device_idx) batches from the bucketed sampler."""
     out = []
     epoch = 0
     while len(out) < n:
-        for idx in store.epoch_indices(epoch, batch_size, shuffle, seed):
-            out.append(jax.device_put(idx, bspec))
+        for R, idx in store.epoch_indices_bucketed(
+            epoch, batch_size, BUCKETS, shuffle, seed
+        ):
+            out.append((R, jax.device_put(idx, bspec)))
             if len(out) >= n:
                 return out
         epoch += 1
@@ -109,35 +118,47 @@ def main() -> None:
         cfg.lr_decay_step, mask,
     )
     state = init_train_state(params, optimizer, mesh)
-    train_step = build_store_train_step(
-        cfg, NTOKEN, optimizer, mesh, impl, params, NUM_ANS, store.padding_idx
-    )
-    eval_step = build_store_eval_step(
-        cfg, NTOKEN, mesh, impl, NUM_ANS, store.padding_idx
-    )
+    train_steps = {
+        R: build_store_train_step(
+            cfg.replace(num_rois=R), NTOKEN, optimizer, mesh, impl, params,
+            NUM_ANS, store.padding_idx,
+        )
+        for R in BUCKETS
+    }
+    eval_steps = {
+        R: build_store_eval_step(
+            cfg.replace(num_rois=R), NTOKEN, mesh, impl, NUM_ANS,
+            store.padding_idx,
+        )
+        for R in BUCKETS
+    }
     base_rng = jax.random.PRNGKey(1)
 
     # --- train phase ---
-    n_measure = 40
-    idxs = _idx_batches(store, BATCH, bspec, n_measure + 4, shuffle=True)
-    for i in range(4):  # warmup: compile + pipeline fill
-        state, m = train_step(state, store.arrays, idxs[i], base_rng)
+    n_measure = 48
+    idxs = _idx_batches(store, BATCH, bspec, n_measure, shuffle=True)
+    warm = [
+        next(x for x in idxs if x[0] == R) for R in BUCKETS
+    ] + idxs[:2]  # compile every bucket program + pipeline fill
+    for R, idx in warm:
+        state, m = train_steps[R](state, store.arrays, idx, base_rng)
     jax.block_until_ready(m)
     t0 = time.perf_counter()
-    for i in range(4, 4 + n_measure):
-        state, m = train_step(state, store.arrays, idxs[i], base_rng)
+    for R, idx in idxs:
+        state, m = train_steps[R](state, store.arrays, idx, base_rng)
     jax.block_until_ready(m)
     train_qps = n_measure * BATCH / (time.perf_counter() - t0)
 
     # --- eval phase (batch/4, reference main.py:118) ---
-    n_eval = 80
-    eidxs = _idx_batches(store, BATCH // 4, bspec, n_eval + 4, shuffle=False)
-    for i in range(4):
-        m = eval_step(state["params"], store.arrays, eidxs[i])
+    n_eval = 96
+    eidxs = _idx_batches(store, BATCH // 4, bspec, n_eval, shuffle=False)
+    ewarm = [next(x for x in eidxs if x[0] == R) for R in BUCKETS] + eidxs[:2]
+    for R, idx in ewarm:
+        m = eval_steps[R](state["params"], store.arrays, idx)
     jax.block_until_ready(m)
     t0 = time.perf_counter()
-    for i in range(4, 4 + n_eval):
-        m = eval_step(state["params"], store.arrays, eidxs[i])
+    for R, idx in eidxs:
+        m = eval_steps[R](state["params"], store.arrays, idx)
     jax.block_until_ready(m)
     eval_qps = n_eval * (BATCH // 4) / (time.perf_counter() - t0)
 

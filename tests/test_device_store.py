@@ -87,3 +87,43 @@ def test_bf16_feature_tables_close_to_f32():
     np.testing.assert_allclose(b16["features"], b32["features"], rtol=1e-2, atol=1e-2)
     np.testing.assert_array_equal(b16["question"], b32["question"])
     np.testing.assert_array_equal(b16["target"], b32["target"])
+
+
+def test_bucketed_epoch_coverage_and_homogeneity():
+    ds = synthetic_dataset(num_images=16, num_questions=60, v_dim=8, num_ans=5)
+    store = DeviceStore(ds)
+    buckets = [36, 64, 100]
+    seen = []
+    for R, idx in store.epoch_indices_bucketed(0, 8, buckets, shuffle=True, seed=1):
+        real = idx[idx >= 0]
+        seen.extend(real.tolist())
+        # homogeneity: every entry's image fits (or truncates into) its bucket
+        nb = store.entry_nbox[real]
+        assert (nb <= R).all() or R == buckets[-1]
+        smaller = [b for b in buckets if b < R]
+        if smaller:
+            assert (nb > smaller[-1]).all()  # not placeable in a smaller bucket
+    assert sorted(seen) == list(range(60))  # exactly once per epoch
+    n_steps = store.bucketed_steps_per_epoch(8, buckets)
+    assert n_steps == sum(
+        1 for _ in store.epoch_indices_bucketed(0, 8, buckets, True, 1)
+    )
+
+
+def test_bucketed_training_runs(tmp_path):
+    import jax
+
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.train.loop import run_training
+
+    cfg = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6, imp_pos_emb_dim=16,
+        fusion="butd", relation_type="implicit", residual_connection=True,
+        epochs=1, batch_size=16, print_freq=100, adaptive=True,
+        data_mode="device", roi_buckets="36,64,100",
+        output=str(tmp_path) + "/", save_every_epoch=False,
+    )
+    train = synthetic_dataset(num_images=16, num_questions=64, v_dim=24, num_ans=7)
+    val = synthetic_dataset(num_images=8, num_questions=32, v_dim=24, num_ans=7, seed=1)
+    params, best = run_training(cfg, train, val)
+    assert np.isfinite(best)

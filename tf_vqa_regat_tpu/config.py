@@ -119,6 +119,12 @@ class Config:
     # Device-store table dtype: "bfloat16" halves resident footprint +
     # gather traffic (re-widened to f32 at gather; input-rounding only).
     feature_dtype: str = "float32"
+    # Roi bucketing (device data mode): comma-separated static roi sizes,
+    # e.g. "36,64,100" — homogeneous-size batches route to per-size compiled
+    # programs, recovering the padding waste of always-padding to the max
+    # (measured R=100/64/36 -> 8.5k/12.0k/16.6k train q/s; SURVEY §7).
+    # Empty = single static size (resolved_num_rois()).
+    roi_buckets: str = ""
     # BAN glimpses / MuTAN rank+glimpses (net-new families; defaults match the
     # PyTorch ReGAT's ban_gamma=4 / mutan_gamma=2 and block-lib rank=15).
     ban_glimpse: int = 4
@@ -133,6 +139,10 @@ class Config:
         if self.num_rois > 0:
             return self.num_rois
         return 100 if self.adaptive else 36
+
+    def parsed_roi_buckets(self):
+        buckets = sorted(int(x) for x in self.roi_buckets.split(",") if x.strip())
+        return buckets or None
 
     @property
     def word_dim(self) -> int:

@@ -145,6 +145,10 @@ class DeviceStore:
         self.num_ans = dataset.num_ans
         self.padding_idx = dataset.padding_idx
         self.has_adj = "adj" in host
+        # per-entry box counts, for roi bucketing (host-side sampler)
+        self.entry_nbox = np.asarray(host["img_len"])[
+            np.asarray(host["entry_img"])
+        ].astype(np.int32)
         if sharding is None:
             self.arrays = jax.device_put(host)
         else:
@@ -167,6 +171,64 @@ class DeviceStore:
                     [idx, np.full(batch_size - len(idx), -1, np.int32)]
                 )
             yield idx
+
+    def epoch_indices_bucketed(
+        self,
+        epoch: int,
+        batch_size: int,
+        buckets: "list[int]",
+        shuffle: bool,
+        seed: int,
+    ) -> "Iterator[tuple[int, np.ndarray]]":
+        """Roi-bucketed batches: each yielded (R, idx) batch contains only
+        entries whose image has <= R boxes, routed to the compiled program for
+        that static R (SURVEY §7 padding economics: always-padding the
+        adaptive split to 100 rois costs ~40% throughput vs 64; measured
+        R=100/64/36 -> 8.5k/12.0k/16.6k train q/s on v5e).
+
+        Batches are homogeneous per bucket; bucket order is shuffled with the
+        entries, so the training stream interleaves sizes. Every entry appears
+        exactly once per epoch. The last bucket must cover the max box count.
+        """
+        buckets = sorted(buckets)
+        nbox = self.entry_nbox
+        # images with more boxes than the largest bucket truncate to it (the
+        # same clamp gather_batch applies to num_rois)
+        bucket_of = np.minimum(
+            np.searchsorted(np.asarray(buckets), nbox), len(buckets) - 1
+        )
+        rng = np.random.RandomState((seed * 100003 + epoch * 31 + 7) % (2**31))
+        jobs = []  # (R, idx-batch)
+        for bi, R in enumerate(buckets):
+            ids = np.where(bucket_of == bi)[0].astype(np.int32)
+            if len(ids) == 0:
+                continue
+            if shuffle:
+                ids = ids[rng.permutation(len(ids))]
+            for start in range(0, len(ids), batch_size):
+                idx = ids[start : start + batch_size]
+                if len(idx) < batch_size:
+                    idx = np.concatenate(
+                        [idx, np.full(batch_size - len(idx), -1, np.int32)]
+                    )
+                jobs.append((R, idx))
+        if shuffle:
+            order = rng.permutation(len(jobs))
+            jobs = [jobs[i] for i in order]
+        yield from jobs
+
+    def bucketed_steps_per_epoch(self, batch_size: int, buckets: "list[int]") -> int:
+        buckets = sorted(buckets)
+        bucket_of = np.minimum(
+            np.searchsorted(np.asarray(buckets), self.entry_nbox), len(buckets) - 1
+        )
+        return int(
+            sum(
+                -(-int((bucket_of == bi).sum()) // batch_size)
+                for bi in range(len(buckets))
+                if (bucket_of == bi).any()
+            )
+        )
 
 
 def gather_batch(

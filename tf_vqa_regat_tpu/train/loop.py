@@ -272,6 +272,7 @@ class _DataPath:
         self.eval_loader = eval_loader
         self.include_adj = cfg.relation_type in ("semantic", "spatial")
         self.eval_batch = eval_loader.batch_size  # dp-rounded by run_training
+        self.buckets = None  # set in device mode from cfg.roi_buckets
 
         mode = cfg.data_mode
         if mode == "auto":
@@ -309,7 +310,13 @@ class _DataPath:
             self.eval_store = DeviceStore(
                 val_ds, rep, self.include_adj, cfg.feature_dtype
             )
-            self.steps_per_epoch = len(train_loader)
+            self.buckets = cfg.parsed_roi_buckets()
+            if self.buckets:
+                self.steps_per_epoch = self.train_store.bucketed_steps_per_epoch(
+                    cfg.batch_size, self.buckets
+                )
+            else:
+                self.steps_per_epoch = len(train_loader)
         else:
             self.train_store = self.eval_store = None
             self.steps_per_epoch = len(train_loader)
@@ -338,16 +345,35 @@ class _DataPath:
                 build_store_train_step,
             )
 
-            t = build_store_train_step(
-                cfg, ntoken, optimizer, mesh, impl, params,
-                self.train_ds.num_ans, self.train_store.padding_idx,
-            )
-            e = build_store_eval_step(
-                cfg, ntoken, mesh, impl, self.val_ds.num_ans,
-                self.eval_store.padding_idx,
-            )
-            self.train_call = lambda s, item, rng: t(s, self.train_store.arrays, item, rng)
-            self.eval_call = lambda p, item: e(p, self.eval_store.arrays, item)
+            sizes = self.buckets or [cfg.resolved_num_rois()]
+            t_by_R = {
+                R: build_store_train_step(
+                    cfg.replace(num_rois=R), ntoken, optimizer, mesh, impl,
+                    params, self.train_ds.num_ans, self.train_store.padding_idx,
+                )
+                for R in sizes
+            }
+            e_by_R = {
+                R: build_store_eval_step(
+                    cfg.replace(num_rois=R), ntoken, mesh, impl,
+                    self.val_ds.num_ans, self.eval_store.padding_idx,
+                )
+                for R in sizes
+            }
+            if self.buckets:
+                self.train_call = lambda s, item, rng: t_by_R[item[0]](
+                    s, self.train_store.arrays, item[1], rng
+                )
+                self.eval_call = lambda p, item: e_by_R[item[0]](
+                    p, self.eval_store.arrays, item[1]
+                )
+            else:
+                (t,) = t_by_R.values()
+                (e,) = e_by_R.values()
+                self.train_call = lambda s, item, rng: t(
+                    s, self.train_store.arrays, item, rng
+                )
+                self.eval_call = lambda p, item: e(p, self.eval_store.arrays, item)
         else:
             t = build_train_step(cfg, ntoken, optimizer, mesh, impl, params)
             e = build_eval_step(cfg, ntoken, mesh, impl)
@@ -356,7 +382,12 @@ class _DataPath:
 
     def train_iter(self, epoch):
         cfg = self.cfg
-        if self.mode in ("sharded", "device"):
+        if self.mode == "device" and self.buckets:
+            for R, idx in self.train_store.epoch_indices_bucketed(
+                epoch, cfg.batch_size, self.buckets, True, cfg.seed
+            ):
+                yield (R, jax.device_put(idx, self.bspec))
+        elif self.mode in ("sharded", "device"):
             for idx in self.train_store.epoch_indices(
                 epoch, cfg.batch_size, True, cfg.seed
             ):
@@ -368,7 +399,12 @@ class _DataPath:
 
     def eval_iter(self):
         cfg = self.cfg
-        if self.mode in ("sharded", "device"):
+        if self.mode == "device" and self.buckets:
+            for R, idx in self.eval_store.epoch_indices_bucketed(
+                0, self.eval_batch, self.buckets, False, cfg.seed
+            ):
+                yield (R, jax.device_put(idx, self.bspec))
+        elif self.mode in ("sharded", "device"):
             for idx in self.eval_store.epoch_indices(
                 0, self.eval_batch, False, cfg.seed
             ):
