@@ -135,6 +135,12 @@ def main(argv=None) -> None:
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if cfg.prng_impl != "threefry":
         jax.config.update("jax_default_prng_impl", cfg.prng_impl)
+    # Persistent compilation cache (flagship programs compile in ~90s through
+    # the remote helper; reruns reuse them).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
     from tf_vqa_regat_tpu.parallel.distributed import maybe_initialize
 
     maybe_initialize()
