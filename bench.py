@@ -19,7 +19,13 @@ the split fits in device memory).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+# importable regardless of caller cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 import jax
 
@@ -27,13 +33,9 @@ import jax
 # train step than threefry.
 jax.config.update("jax_default_prng_impl", "rbg")
 # Persistent compilation cache: the flagship programs take ~90s each to
-# compile through the remote helper; repeat bench runs reuse them.
-import os as _os
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"),
-)
+# compile through the remote helper; repeat bench runs reuse them
+# (cold ~14 min, warm ~2.5 min).
+jax.config.update("jax_compilation_cache_dir", os.path.join(_HERE, ".jax_cache"))
 import numpy as np
 
 from tf_vqa_regat_tpu.config import Config

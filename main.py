@@ -14,6 +14,10 @@ in-memory data with real shapes (no 90GB download needed) — used by bench.py.
 from __future__ import annotations
 
 import os
+import sys
+
+# importable regardless of caller cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import numpy as np
@@ -175,6 +179,11 @@ def main(argv=None) -> None:
         print(f"saved final model to {path} (best eval score {best:.4f})")
 
     elif cfg.mode == "eval":
+        if not cfg.checkpoint:
+            raise ValueError(
+                "--mode eval needs --checkpoint (an orbax dir from training "
+                "or a reference-trained .h5)"
+            )
         ntoken = val_ds.ntoken
         abstract = init_regat(
             jax.random.PRNGKey(cfg.seed), cfg, ntoken, val_ds.v_dim, val_ds.num_ans
