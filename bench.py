@@ -89,8 +89,8 @@ def flagship_cfg() -> Config:
 
 # Roi buckets: homogeneous-size batches routed to per-size programs recover
 # the padding waste of always-padding to 100 (+34% measured end-to-end;
-# PERF_NOTES.md). 64/100 keeps compile count moderate for the bench.
-BUCKETS = [64, 100]
+# PERF_NOTES.md). Compiles are one-time via the persistent cache.
+BUCKETS = [36, 64, 100]
 
 
 def _idx_batches(store, batch_size, bspec, n, shuffle, seed=0):
