@@ -93,18 +93,16 @@ def flagship_cfg() -> Config:
 BUCKETS = [36, 64, 100]
 
 
-def _idx_batches(store, batch_size, bspec, n, shuffle, seed=0):
-    """n (R, device_idx) batches from the bucketed sampler."""
+def _epoch_batches(store, batch_size, bspec, shuffle, seed=0, epoch=0):
+    """One FULL epoch of (R, device_idx, n_valid) batches — measuring whole
+    epochs keeps the bucket mix unbiased (a fixed-count prefix of the
+    bucket-major eval stream would undersample the slowest bucket), and
+    n_valid counts real questions so -1-padded tail slots don't inflate q/s."""
     out = []
-    epoch = 0
-    while len(out) < n:
-        for R, idx in store.epoch_indices_bucketed(
-            epoch, batch_size, BUCKETS, shuffle, seed
-        ):
-            out.append((R, jax.device_put(idx, bspec)))
-            if len(out) >= n:
-                return out
-        epoch += 1
+    for R, idx in store.epoch_indices_bucketed(
+        epoch, batch_size, BUCKETS, shuffle, seed
+    ):
+        out.append((R, jax.device_put(idx, bspec), int((idx >= 0).sum())))
     return out
 
 
@@ -144,33 +142,34 @@ def main() -> None:
     }
     base_rng = jax.random.PRNGKey(1)
 
-    # --- train phase ---
-    n_measure = 48
-    idxs = _idx_batches(store, BATCH, bspec, n_measure, shuffle=True)
-    warm = [
-        next(x for x in idxs if x[0] == R) for R in BUCKETS
-    ] + idxs[:2]  # compile every bucket program + pipeline fill
-    for R, idx in warm:
-        state, m = train_steps[R](state, store.arrays, idx, base_rng)
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for R, idx in idxs:
-        state, m = train_steps[R](state, store.arrays, idx, base_rng)
-    jax.block_until_ready(m)
-    train_qps = n_measure * BATCH / (time.perf_counter() - t0)
+    def _warmup_batches(batches):
+        """First batch of each bucket present (compile) + two more (pipeline)."""
+        first = {}
+        for item in batches:
+            first.setdefault(item[0], item)
+        return list(first.values()) + batches[:2]
 
-    # --- eval phase (batch/4, reference main.py:118) ---
-    n_eval = 96
-    eidxs = _idx_batches(store, BATCH // 4, bspec, n_eval, shuffle=False)
-    ewarm = [next(x for x in eidxs if x[0] == R) for R in BUCKETS] + eidxs[:2]
-    for R, idx in ewarm:
+    # --- train phase: one full epoch (unbiased bucket mix) ---
+    idxs = _epoch_batches(store, BATCH, bspec, shuffle=True)
+    for R, idx, _ in _warmup_batches(idxs):
+        state, m = train_steps[R](state, store.arrays, idx, base_rng)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for R, idx, _ in idxs:
+        state, m = train_steps[R](state, store.arrays, idx, base_rng)
+    jax.block_until_ready(m)
+    train_qps = sum(v for _, _, v in idxs) / (time.perf_counter() - t0)
+
+    # --- eval phase (batch/4, reference main.py:118): one full epoch ---
+    eidxs = _epoch_batches(store, BATCH // 4, bspec, shuffle=False)
+    for R, idx, _ in _warmup_batches(eidxs):
         m = eval_steps[R](state["params"], store.arrays, idx)
     jax.block_until_ready(m)
     t0 = time.perf_counter()
-    for R, idx in eidxs:
+    for R, idx, _ in eidxs:
         m = eval_steps[R](state["params"], store.arrays, idx)
     jax.block_until_ready(m)
-    eval_qps = n_eval * (BATCH // 4) / (time.perf_counter() - t0)
+    eval_qps = sum(v for _, _, v in eidxs) / (time.perf_counter() - t0)
 
     agg = (REF_TRAIN_Q + REF_VAL_Q) / (
         REF_TRAIN_Q / train_qps + REF_VAL_Q / eval_qps

@@ -188,15 +188,12 @@ class DeviceStore:
 
         Batches are homogeneous per bucket; bucket order is shuffled with the
         entries, so the training stream interleaves sizes. Every entry appears
-        exactly once per epoch. The last bucket must cover the max box count.
+        exactly once per epoch. Images with more boxes than the largest
+        bucket truncate to it — the same clamp a plain --num_rois applies
+        (callers warn; see _DataPath).
         """
         buckets = sorted(buckets)
-        nbox = self.entry_nbox
-        # images with more boxes than the largest bucket truncate to it (the
-        # same clamp gather_batch applies to num_rois)
-        bucket_of = np.minimum(
-            np.searchsorted(np.asarray(buckets), nbox), len(buckets) - 1
-        )
+        bucket_of = self._bucket_of(buckets)
         rng = np.random.RandomState((seed * 100003 + epoch * 31 + 7) % (2**31))
         jobs = []  # (R, idx-batch)
         for bi, R in enumerate(buckets):
@@ -217,16 +214,18 @@ class DeviceStore:
             jobs = [jobs[i] for i in order]
         yield from jobs
 
-    def bucketed_steps_per_epoch(self, batch_size: int, buckets: "list[int]") -> int:
-        buckets = sorted(buckets)
-        bucket_of = np.minimum(
+    def _bucket_of(self, buckets: "list[int]") -> np.ndarray:
+        """Bucket index per entry; oversized images clamp to the last bucket."""
+        return np.minimum(
             np.searchsorted(np.asarray(buckets), self.entry_nbox), len(buckets) - 1
         )
+
+    def bucketed_steps_per_epoch(self, batch_size: int, buckets: "list[int]") -> int:
+        bucket_of = self._bucket_of(sorted(buckets))
         return int(
             sum(
                 -(-int((bucket_of == bi).sum()) // batch_size)
                 for bi in range(len(buckets))
-                if (bucket_of == bi).any()
             )
         )
 

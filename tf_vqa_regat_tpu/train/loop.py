@@ -165,7 +165,7 @@ def run_training(
         train_time = time.time() - start
 
         eval_score, eval_loss, eval_time = _run_eval(
-            eval_call, state["params"], eval_iter(), len(eval_loader),
+            eval_call, state["params"], eval_iter(), data.eval_steps,
             eval_loader.num_examples, cfg, epoch, logger,
         )
         logger.write(
@@ -273,6 +273,7 @@ class _DataPath:
         self.include_adj = cfg.relation_type in ("semantic", "spatial")
         self.eval_batch = eval_loader.batch_size  # dp-rounded by run_training
         self.buckets = None  # set in device mode from cfg.roi_buckets
+        self.eval_steps = len(eval_loader)  # overridden when bucketed
 
         mode = cfg.data_mode
         if mode == "auto":
@@ -287,6 +288,12 @@ class _DataPath:
             )
             mode = "device" if fits else "host"
         self.mode = mode
+        if cfg.parsed_roi_buckets() and mode != "device":
+            raise ValueError(
+                f"--roi_buckets requires the device data mode (resolved mode: "
+                f"{mode!r}); per-size compiled programs need HBM-resident "
+                f"tables. Force --data_mode device or drop --roi_buckets."
+            )
 
         if mode == "sharded":
             from tf_vqa_regat_tpu.data.sharded_store import ShardedDeviceStore
@@ -312,8 +319,18 @@ class _DataPath:
             )
             self.buckets = cfg.parsed_roi_buckets()
             if self.buckets:
+                max_boxes = int(self.train_store.entry_nbox.max())
+                if max_boxes > max(self.buckets):
+                    print(
+                        f"[roi_buckets] images with up to {max_boxes} boxes "
+                        f"truncate to the largest bucket ({max(self.buckets)}) "
+                        f"— same clamp as --num_rois {max(self.buckets)}"
+                    )
                 self.steps_per_epoch = self.train_store.bucketed_steps_per_epoch(
                     cfg.batch_size, self.buckets
+                )
+                self.eval_steps = self.eval_store.bucketed_steps_per_epoch(
+                    self.eval_batch, self.buckets
                 )
             else:
                 self.steps_per_epoch = len(train_loader)
