@@ -28,12 +28,10 @@ from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
 from tf_vqa_regat_tpu.data.glove import tfidf_from_questions
 from tf_vqa_regat_tpu.models.regat import init_regat, resolve_impl
 from tf_vqa_regat_tpu.models.language import word_embedding_load_glove
-from tf_vqa_regat_tpu.parallel.mesh import batch_sharding, make_mesh
+from tf_vqa_regat_tpu.parallel.mesh import make_mesh
 from tf_vqa_regat_tpu.train import checkpoint as ckpt
 from tf_vqa_regat_tpu.train.logging import Logger
-from tf_vqa_regat_tpu.train.loop import evaluate, run_training
-from tf_vqa_regat_tpu.train.step import build_eval_step
-from tf_vqa_regat_tpu.data.loader import BatchLoader
+from tf_vqa_regat_tpu.train.loop import run_evaluation, run_training
 
 
 def build_datasets(cfg: Config):
@@ -197,20 +195,10 @@ def main(argv=None) -> None:
             )
         else:
             params = ckpt.load_params(cfg.checkpoint, abstract)
-        mesh = make_mesh(cfg.dp_size, cfg.tp_size)
-        from tf_vqa_regat_tpu.parallel.mesh import replicated
-
-        params = jax.device_put(params, replicated(mesh))
-        eval_step = build_eval_step(cfg, ntoken, mesh, resolve_impl(cfg))
-        loader = BatchLoader(
-            val_ds, max(cfg.batch_size // 4, 1), cfg.resolved_num_rois(),
-            shuffle=False,
-            include_adj=(cfg.relation_type in ("semantic", "spatial")),
-        )
         logger = Logger(os.path.join(cfg.output, "eval_log.txt"))
-        score, loss, elapsed = evaluate(
-            eval_step, params, loader, batch_sharding(mesh), cfg, 0, logger
-        )
+        # Same data-path selection as training (device store / roi buckets /
+        # host streaming) — see train/loop.py::run_evaluation.
+        score, loss, elapsed = run_evaluation(cfg, val_ds, params, logger)
         logger.write(f"Final eval score: {score:.4f}")
 
     elif cfg.mode == "ensemble_eval":

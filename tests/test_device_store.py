@@ -85,6 +85,10 @@ def test_bf16_feature_tables_close_to_f32():
     b16 = jax.device_get(gather_batch(s16.arrays, idx, R, 5, s16.padding_idx))
     assert b16["features"].dtype == np.float32  # re-widened at gather
     np.testing.assert_allclose(b16["features"], b32["features"], rtol=1e-2, atol=1e-2)
+    # Boxes must be BIT-exact: they feed the discrete spatial-graph
+    # thresholds, where bf16 rounding could flip edge labels.
+    np.testing.assert_array_equal(b16["bb"], b32["bb"])
+    np.testing.assert_array_equal(b16["norm_bb"], b32["norm_bb"])
     np.testing.assert_array_equal(b16["question"], b32["question"])
     np.testing.assert_array_equal(b16["target"], b32["target"])
 

@@ -93,10 +93,10 @@ def estimate_nbytes(
     runs before construction), accounting for feature_dtype."""
     store = dataset.store
     n_entries = len(dataset.entries)
+    # bf16 applies to the features table only (boxes stay f32; see DeviceStore)
     float_scale = 0.5 if feature_dtype == "bfloat16" else 1.0
-    total = int(
-        (store.features.nbytes + store.normalized_bb.nbytes + store.bb.nbytes)
-        * float_scale
+    total = int(store.features.nbytes * float_scale) + int(
+        store.normalized_bb.nbytes + store.bb.nbytes
     )
     n_img = (
         store.pos_boxes.shape[0] if store.adaptive else store.features.shape[0]
@@ -116,17 +116,17 @@ def estimate_nbytes(
     return total
 
 
-def fits_in_memory(arrays: Dict[str, np.ndarray], budget_bytes: int) -> bool:
-    return nbytes(arrays) <= budget_bytes
-
-
 class DeviceStore:
     """Tables placed on device (replicated across the mesh).
 
     feature_dtype="bfloat16" halves the resident footprint and gather traffic
-    of the three float tables (features/norm_bb/bb); the gather casts back to
-    float32, so the model computes exactly as before modulo input rounding
-    (region features carry ~3 significant digits of signal)."""
+    of the `features` table (the dominant one: 2048-d vs 6-d/4-d boxes); the
+    gather casts back to float32. The box tables (bb/norm_bb) stay float32:
+    they feed the *discrete* spatial-graph classifier (strict-inequality
+    containment, IoU>=0.5, angular sector thresholds — ops/spatial_graph.py),
+    where rounding could flip edge labels near thresholds, and they are tiny
+    so there is nothing to save. Region features only feed continuous matmuls
+    (~3 significant digits of signal), so their rounding is benign."""
 
     def __init__(
         self,
@@ -139,8 +139,7 @@ class DeviceStore:
         if feature_dtype == "bfloat16":
             import jax.numpy as _jnp
 
-            for k in ("features", "norm_bb", "bb"):
-                host[k] = host[k].astype(_jnp.bfloat16)
+            host["features"] = host["features"].astype(_jnp.bfloat16)
         self.num_entries = len(dataset.entries)
         self.num_ans = dataset.num_ans
         self.padding_idx = dataset.padding_idx

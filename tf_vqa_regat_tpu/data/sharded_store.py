@@ -132,9 +132,9 @@ class ShardedDeviceStore:
                 entry_img[s, j] = img_local[ent.image_index[e]]
 
         if feature_dtype == "bfloat16":
+            # Features only; boxes stay f32 — they feed the discrete
+            # spatial-graph thresholds (see DeviceStore docstring).
             feats = feats.astype(jnp.bfloat16)
-            norms = norms.astype(jnp.bfloat16)
-            bbs = bbs.astype(jnp.bfloat16)
         host = {
             "features": feats.reshape(self.dp * max_rows, v_dim),
             "norm_bb": norms.reshape(self.dp * max_rows, s_dim),

@@ -16,7 +16,15 @@ joint = sum over T of q_seq.
 
 The bilinear tensor ``h_mat`` carries whole-tensor scalar-g weight norm
 (pytorch ``weight_norm(..., dim=None)``), consistent with ops/weight_norm.py.
-The counting module is not included (ReGAT runs BAN with use_counter=False).
+
+The BAN-paper counting module is deliberately not included: in the upstream
+PyTorch ReGAT (linjieli222/VQA_ReGAT, which this reference reimplements —
+reference README.md:3-5), ``model/fusion.py``'s ``BAN.__init__`` takes
+``use_counter=False`` by default and the builder never passes True, because
+the counter consumes raw box coordinates while ReGAT's fusion stage receives
+relation-encoded features (the ``if use_counter:`` branches that would build
+``counting.Counter`` and consume ``b`` boxes are dead in that repo). This
+module reproduces the fusion ReGAT actually runs.
 """
 
 from __future__ import annotations

@@ -40,13 +40,13 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
 def resolve_impl(cfg: Config) -> str:
-    """Graph-attention implementation: measured on v5e at flagship shapes
-    (b=256, R=100, H=16, n=20), XLA's batched einsums beat the fused Pallas
-    kernel ~2x (1.68 vs 3.10 ms fwd; 2.53 vs 5.54 ms fwd+bwd, chained
-    timing) — the tiny 20-key axis leaves per-head MXU tiles mostly empty in
-    the kernel's sequential grid. The Pallas path stays available
-    (--use_pallas) and oracle-validated; kernel v2 (block-diagonal all-heads
-    matmul formulation) is future work."""
+    """Graph-attention implementation selector.
+
+    Measured on v5e at flagship shapes (b=256, R=100, H=16, n=20): kernel v2
+    (block-diagonal all-heads, ops/pallas/graph_attention.py) matches XLA's
+    batched einsums at 1.67 vs 1.68 ms fwd — both MXU-op-scheduling-bound
+    (PERF_NOTES.md). XLA stays the default since it ties with less machinery;
+    --use_pallas opts into the oracle-validated kernel path."""
     if cfg.use_pallas and jax.default_backend() == "tpu":
         return "pallas"
     return "jnp"

@@ -184,6 +184,12 @@ def _fwd_v2(q, k, vw, bias, interpret):
             pltpu.VMEM((H * dh, H * n), jnp.float32),
             pltpu.VMEM((H * n, H * o), jnp.float32),
         ],
+        # The persistent block-diagonal scratch is zeroed only at program 0,
+        # which is sound only if the grid executes sequentially on one core —
+        # pin that requirement explicitly (megacore must not split the grid).
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * R * H * H * n * (dh + o),  # block-diag padded
@@ -220,7 +226,18 @@ def _fused_bwd(interpret, res, g):
         * scale
         + bias
     )
-    w = jax.nn.softmax(aff, axis=-1)
+    # Reproduce the forward's exact weight semantics so fwd/bwd agree even on
+    # degenerate rows. v2 normalizes with the per-row max across ALL heads and
+    # an eps denominator: a head segment whose affinities all underflow
+    # relative to the global max (e.g. fully masked while another head's row
+    # max dominates) gets all-zero weights, where per-head jax.nn.softmax
+    # would return uniform weights.
+    if _KERNEL_VERSION == 2:
+        m = jnp.max(aff, axis=(-2, -1), keepdims=True)  # global over (H, n)
+        e = jnp.exp(aff - m)
+        w = e / (jnp.sum(e, axis=-1, keepdims=True) + 1e-30)
+    else:
+        w = jax.nn.softmax(aff, axis=-1)
     dvw = jnp.einsum("brhn,brho->bnho", w, g, preferred_element_type=jnp.float32)
     dw = jnp.einsum("brho,bnho->brhn", g, vw, preferred_element_type=jnp.float32)
     daff = w * (dw - jnp.sum(w * dw, axis=-1, keepdims=True))

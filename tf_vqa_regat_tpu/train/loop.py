@@ -202,11 +202,44 @@ def evaluate(
     epoch: int,
     logger: Logger,
 ) -> Tuple[float, float, float]:
-    """Host-streaming eval pass (used by `--mode eval`)."""
+    """Host-streaming eval pass (legacy helper; `--mode eval` now goes through
+    run_evaluation, which picks the data path like training does)."""
     it = prefetch_to_device(eval_loader.epoch(0), bspec, depth=cfg.prefetch)
     return _run_eval(
         lambda p, b: eval_step(p, b), params, it, len(eval_loader),
         eval_loader.num_examples, cfg, epoch, logger,
+    )
+
+
+def run_evaluation(
+    cfg: Config,
+    val_ds: VQADataset,
+    params: Any,
+    logger: Logger,
+) -> Tuple[float, float, float]:
+    """`--mode eval` entrypoint (reference main.py:148-157): one eval pass
+    through the SAME data-path selection as training — device-store gather
+    (incl. --roi_buckets) when the split fits, host streaming otherwise — so
+    the public eval CLI reaches the measured device-store eval throughput."""
+    mesh = make_mesh(cfg.dp_size, cfg.tp_size)
+    impl = resolve_impl(cfg)
+    # Reference eval batch is batch//4 (main.py:118); round up to a data-mesh
+    # multiple so the sharded batch dim stays divisible.
+    dp = mesh.shape["data"]
+    eval_batch = -(-max(cfg.batch_size // 4, 1) // dp) * dp
+    eval_loader = BatchLoader(
+        val_ds, eval_batch, cfg.resolved_num_rois(), shuffle=False,
+        include_adj=(cfg.relation_type in ("semantic", "spatial")),
+    )
+    bspec = batch_sharding(mesh)
+    data = _DataPath(cfg, None, val_ds, None, eval_loader, mesh, bspec)
+    data.build_steps(val_ds.ntoken, None, None, impl)
+    from tf_vqa_regat_tpu.parallel.mesh import replicated
+
+    params = jax.device_put(params, replicated(mesh))
+    return _run_eval(
+        data.eval_call, params, data.eval_iter(), data.eval_steps,
+        eval_loader.num_examples, cfg, 0, logger,
     )
 
 
@@ -260,6 +293,9 @@ class _DataPath:
     large to replicate); 'host' = host-streaming prefetch; 'auto' = device if
     the estimated table footprint (at cfg.feature_dtype) fits the budget,
     else host. One class so the three paths can't drift apart.
+
+    train_ds/train_loader may be None for eval-only use (run_evaluation);
+    then only the eval store/step/iterator are constructed.
     """
 
     def __init__(self, cfg, train_ds, val_ds, train_loader, eval_loader, mesh, bspec):
@@ -271,19 +307,21 @@ class _DataPath:
         self.train_loader = train_loader
         self.eval_loader = eval_loader
         self.include_adj = cfg.relation_type in ("semantic", "spatial")
-        self.eval_batch = eval_loader.batch_size  # dp-rounded by run_training
+        self.eval_batch = eval_loader.batch_size  # dp-rounded by the caller
         self.buckets = None  # set in device mode from cfg.roi_buckets
         self.eval_steps = len(eval_loader)  # overridden when bucketed
+        self.steps_per_epoch = len(train_loader) if train_loader is not None else 0
 
         mode = cfg.data_mode
         if mode == "auto":
             from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
 
             budget = int(cfg.device_store_budget_gb * 1e9)
-            fits = (
-                estimate_nbytes(train_ds, self.include_adj, cfg.feature_dtype)
-                <= budget // 2
-                and estimate_nbytes(val_ds, self.include_adj, cfg.feature_dtype)
+            fits = estimate_nbytes(
+                val_ds, self.include_adj, cfg.feature_dtype
+            ) <= budget // 2 and (
+                train_ds is None
+                or estimate_nbytes(train_ds, self.include_adj, cfg.feature_dtype)
                 <= budget // 2
             )
             mode = "device" if fits else "host"
@@ -301,60 +339,74 @@ class _DataPath:
             # spatial adjacency is built in-jit from boxes; only semantic
             # needs the precomputed table (which the sharded store rejects)
             adj = cfg.relation_type == "semantic"
-            self.train_store = ShardedDeviceStore(
-                train_ds, mesh, adj, cfg.feature_dtype
+            self.train_store = (
+                ShardedDeviceStore(train_ds, mesh, adj, cfg.feature_dtype)
+                if train_ds is not None
+                else None
             )
             self.eval_store = ShardedDeviceStore(val_ds, mesh, adj, cfg.feature_dtype)
-            self.steps_per_epoch = self.train_store.steps_per_epoch(cfg.batch_size)
+            if train_ds is not None:
+                self.steps_per_epoch = self.train_store.steps_per_epoch(
+                    cfg.batch_size
+                )
         elif mode == "device":
             from tf_vqa_regat_tpu.data.device_store import DeviceStore
             from tf_vqa_regat_tpu.parallel.mesh import replicated
 
             rep = replicated(mesh)
-            self.train_store = DeviceStore(
-                train_ds, rep, self.include_adj, cfg.feature_dtype
+            self.train_store = (
+                DeviceStore(train_ds, rep, self.include_adj, cfg.feature_dtype)
+                if train_ds is not None
+                else None
             )
             self.eval_store = DeviceStore(
                 val_ds, rep, self.include_adj, cfg.feature_dtype
             )
             self.buckets = cfg.parsed_roi_buckets()
             if self.buckets:
-                max_boxes = int(self.train_store.entry_nbox.max())
+                sized = self.train_store or self.eval_store
+                max_boxes = int(sized.entry_nbox.max())
                 if max_boxes > max(self.buckets):
                     print(
                         f"[roi_buckets] images with up to {max_boxes} boxes "
                         f"truncate to the largest bucket ({max(self.buckets)}) "
                         f"— same clamp as --num_rois {max(self.buckets)}"
                     )
-                self.steps_per_epoch = self.train_store.bucketed_steps_per_epoch(
-                    cfg.batch_size, self.buckets
-                )
+                if self.train_store is not None:
+                    self.steps_per_epoch = self.train_store.bucketed_steps_per_epoch(
+                        cfg.batch_size, self.buckets
+                    )
                 self.eval_steps = self.eval_store.bucketed_steps_per_epoch(
                     self.eval_batch, self.buckets
                 )
-            else:
-                self.steps_per_epoch = len(train_loader)
         else:
             self.train_store = self.eval_store = None
-            self.steps_per_epoch = len(train_loader)
 
     def build_steps(self, ntoken, optimizer, params, impl):
+        """Construct train_call/eval_call. optimizer/params may be None for
+        eval-only use (no train step is built then)."""
         cfg, mesh = self.cfg, self.mesh
+        has_train = self.train_ds is not None or (
+            self.mode == "host" and self.train_loader is not None
+        )
         if self.mode == "sharded":
             from tf_vqa_regat_tpu.train.step import (
                 build_sharded_store_eval_step,
                 build_sharded_store_train_step,
             )
 
-            t = build_sharded_store_train_step(
-                cfg, ntoken, optimizer, mesh, impl, params,
-                self.train_ds.num_ans, self.train_store.padding_idx,
-            )
+            if has_train:
+                t = build_sharded_store_train_step(
+                    cfg, ntoken, optimizer, mesh, impl, params,
+                    self.train_ds.num_ans, self.train_store.padding_idx,
+                )
+                self.train_call = lambda s, item, rng: t(
+                    s, self.train_store.arrays, item, rng
+                )
             e = build_sharded_store_eval_step(
                 cfg, ntoken, mesh, impl, self.val_ds.num_ans,
                 self.eval_store.padding_idx,
             )
-            self.train_call = lambda s, item, rng: t(s, self.train_store.arrays, item, rng)
             self.eval_call = lambda p, item: e(p, self.eval_store.arrays, item)
         elif self.mode == "device":
             from tf_vqa_regat_tpu.train.step import (
@@ -363,13 +415,6 @@ class _DataPath:
             )
 
             sizes = self.buckets or [cfg.resolved_num_rois()]
-            t_by_R = {
-                R: build_store_train_step(
-                    cfg.replace(num_rois=R), ntoken, optimizer, mesh, impl,
-                    params, self.train_ds.num_ans, self.train_store.padding_idx,
-                )
-                for R in sizes
-            }
             e_by_R = {
                 R: build_store_eval_step(
                     cfg.replace(num_rois=R), ntoken, mesh, impl,
@@ -377,25 +422,37 @@ class _DataPath:
                 )
                 for R in sizes
             }
+            if has_train:
+                t_by_R = {
+                    R: build_store_train_step(
+                        cfg.replace(num_rois=R), ntoken, optimizer, mesh, impl,
+                        params, self.train_ds.num_ans,
+                        self.train_store.padding_idx,
+                    )
+                    for R in sizes
+                }
             if self.buckets:
-                self.train_call = lambda s, item, rng: t_by_R[item[0]](
-                    s, self.train_store.arrays, item[1], rng
-                )
+                if has_train:
+                    self.train_call = lambda s, item, rng: t_by_R[item[0]](
+                        s, self.train_store.arrays, item[1], rng
+                    )
                 self.eval_call = lambda p, item: e_by_R[item[0]](
                     p, self.eval_store.arrays, item[1]
                 )
             else:
-                (t,) = t_by_R.values()
                 (e,) = e_by_R.values()
-                self.train_call = lambda s, item, rng: t(
-                    s, self.train_store.arrays, item, rng
-                )
+                if has_train:
+                    (t,) = t_by_R.values()
+                    self.train_call = lambda s, item, rng: t(
+                        s, self.train_store.arrays, item, rng
+                    )
                 self.eval_call = lambda p, item: e(p, self.eval_store.arrays, item)
         else:
-            t = build_train_step(cfg, ntoken, optimizer, mesh, impl, params)
-            e = build_eval_step(cfg, ntoken, mesh, impl)
-            self.train_call = t
-            self.eval_call = e
+            if has_train:
+                self.train_call = build_train_step(
+                    cfg, ntoken, optimizer, mesh, impl, params
+                )
+            self.eval_call = build_eval_step(cfg, ntoken, mesh, impl)
 
     def train_iter(self, epoch):
         cfg = self.cfg
