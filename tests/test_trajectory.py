@@ -1,0 +1,124 @@
+"""Training-trajectory equivalence vs the reference's own TF training loop.
+
+Round-1 verdict item #1: eval-mode layer parity alone leaves the 63.2%
+accuracy gate resting on composition of unit tests. These tests close the
+gap constructively: same random init (copied from the reference's keras
+model), same batches, matched Adamax / per-tensor clip / LR -> the per-step
+LOSS trajectories must agree. Measured behavior on this fixture: bit-identical
+losses for the first ~14 steps, then fp32 chaotic drift growing to ~2e-3
+relative by step 50 (two float32 implementations with different op orderings
+cannot do better on a curved loss surface; the drift is non-monotonic, which
+is the signature of rounding divergence rather than a semantic mismatch).
+
+Reference contract: train.py:103-119 (the train step), train.ipynb cell 1
+(the committed loss curve is the acceptance record).
+"""
+
+import os
+import sys
+
+os.environ["TF_USE_LEGACY_KERAS"] = "1"
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
+sys.path.insert(0, "/root/reference")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from tf_vqa_regat_tpu.config import Config
+from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+from tf_vqa_regat_tpu.models.regat import apply_regat
+from tf_vqa_regat_tpu.train.h5_import import (
+    build_reference_model,
+    reference_model_to_params,
+)
+from tf_vqa_regat_tpu.train.trajectory import (
+    jax_trajectory,
+    make_trajectory_batches,
+    reference_trajectory_from_model,
+)
+
+V_DIM, NUM_ANS, R = 24, 9, 36
+
+
+def _cfg(**kw):
+    base = dict(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, dropout=0.0, residual_connection=True, op="c",
+        batch_size=16, base_lr=9e-4, grad_clip=0.25, adaptive=False,
+        num_rois=R, fusion="butd", relation_type="implicit",
+        ref_compat_q_att=True, ref_compat_pos=True,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _cfg()
+    ds = synthetic_dataset(
+        num_images=8, num_questions=64, v_dim=V_DIM, num_ans=NUM_ANS,
+        adaptive=False,
+    )
+    batches = make_trajectory_batches(ds, cfg.batch_size, R)
+    model = build_reference_model(cfg, ds.ntoken, V_DIM, NUM_ANS)
+    params0 = reference_model_to_params(model, cfg)
+    return cfg, ds, batches, model, params0
+
+
+def test_full_model_forward_parity_ref_compat(setup):
+    """With both ref-compat quirks enabled and R != nongt_dim (so the P2
+    scramble is active), the full-model forward matches the reference's
+    keras model on copied weights to float epsilon."""
+    cfg, ds, batches, model, params0 = setup
+    from model.position_emb import prepare_graph_variables  # reference host fn
+
+    b = batches[0]
+    pos_emb, _, _ = prepare_graph_variables(
+        "implicit", b["bb"], None, None, R, cfg.nongt_dim,
+        cfg.imp_pos_emb_dim, cfg.spa_label_num, cfg.sem_label_num,
+    )
+    ref = model(
+        tf.constant(b["features"]), tf.constant(b["norm_bb"]),
+        tf.constant(b["question"]),
+        tf.constant(np.asarray(pos_emb, np.float32)), None, None,
+    ).numpy()
+    got = np.asarray(
+        apply_regat(
+            params0, cfg, {k: jnp.asarray(v) for k, v in b.items()},
+            ds.ntoken, train=False,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-4)
+    # and with the quirks OFF the outputs must differ (the fixes are real)
+    fixed = np.asarray(
+        apply_regat(
+            params0, cfg.replace(ref_compat_q_att=False, ref_compat_pos=False),
+            {k: jnp.asarray(v) for k, v in b.items()}, ds.ntoken, train=False,
+        )
+    )
+    assert np.abs(fixed - ref).max() > 1e-3
+
+
+def test_training_trajectory_matches_reference(setup):
+    """50 train steps in both frameworks from identical init: early steps
+    bit-identical, full trajectory within fp32 chaotic-drift tolerance, and
+    the curve actually descends (the comparison is not vacuous)."""
+    cfg, ds, batches, model, params0 = setup
+    STEPS = 50
+    ours = np.asarray(jax_trajectory(cfg, params0, ds.ntoken, batches, STEPS))
+    # NOTE: trains `model` in place — runs after the forward-parity test.
+    refs = np.asarray(
+        reference_trajectory_from_model(model, cfg, NUM_ANS, batches, STEPS)
+    )
+    rel = np.abs(ours - refs) / np.abs(refs)
+    # early steps: exact agreement before rounding divergence accumulates
+    assert rel[:10].max() < 1e-6, rel[:10]
+    # full run: bounded chaotic drift (measured max ~1.8e-3; 10x margin)
+    assert rel.max() < 2e-2, (rel.max(), rel.argmax())
+    # both actually learned
+    assert refs[-1] < 0.7 * refs[0]
+    assert ours[-1] < 0.7 * ours[0]

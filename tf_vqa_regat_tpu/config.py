@@ -134,6 +134,14 @@ class Config:
     synthetic: bool = False
     synthetic_train_size: int = 4096
     synthetic_val_size: int = 1024
+    # Reference-quirk compatibility switches. This framework deliberately
+    # fixes two reference transcription bugs (models/language.py docstring;
+    # ops/position.py docstring). These flags reproduce the reference's exact
+    # behavior instead, enabling (a) bit-matched TF-vs-JAX training-trajectory
+    # equivalence runs and (b) A/B quantification of each fix
+    # (tools/trajectory_equivalence.py, tests/test_trajectory.py).
+    ref_compat_q_att: bool = False  # softmax-over-batch scramble (language_model.py:163-167)
+    ref_compat_pos: bool = False  # row-sliced pos matrix + flat regroup (SURVEY §2.3-P2)
 
     def resolved_num_rois(self) -> int:
         if self.num_rois > 0:

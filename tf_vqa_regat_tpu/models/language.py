@@ -118,13 +118,23 @@ def question_self_attention_apply(
     train: bool,
     rngs: Optional[nn.RngGen],
     compute_dtype=jnp.float32,
+    ref_compat: bool = False,
 ) -> jax.Array:
     # linear1 carries dropout-before-dense (reference language_model.py:140);
     # linear2 has none (language_model.py:143).
     a = wn.fcnet_apply(params["linear1"], q_seq, None, drop_rate, train, rngs, compute_dtype)
     a = jnp.tanh(a)
     logits = wn.fcnet_apply(params["linear2"], a, None, 0.0, train, rngs, compute_dtype)
-    weights = jax.nn.softmax(logits[..., 0], axis=-1)  # [b, T], per-example
+    b, T = logits.shape[0], logits.shape[1]
+    if ref_compat:
+        # Reproduce the reference's transcription bug exactly
+        # (language_model.py:163-167): transpose logits to [T, b], softmax
+        # over the BATCH axis, then flat-reshape back to [b, T] — scrambling
+        # (example, position) identity. Used only for trajectory-equivalence
+        # runs and the fix A/B (cfg.ref_compat_q_att).
+        weights = jax.nn.softmax(logits[..., 0].T, axis=1).reshape(b, T)
+    else:
+        weights = jax.nn.softmax(logits[..., 0], axis=-1)  # [b, T], per-example
     pooled = jnp.einsum(
         "bt,bth->bh",
         weights.astype(compute_dtype),

@@ -156,7 +156,8 @@ def apply_regat(
     )
     q_seq, q_last = language.question_embedding_apply(params["q_emb"], w_emb, compute_dtype)
     q_vec = language.question_self_attention_apply(
-        params["q_att"], q_seq, drop, train, rngs, compute_dtype
+        params["q_att"], q_seq, drop, train, rngs, compute_dtype,
+        ref_compat=cfg.ref_compat_q_att,
     )
 
     rel_kw = dict(
@@ -171,7 +172,14 @@ def apply_regat(
         impl=impl,
     )
     if cfg.relation_type == "implicit":
-        pos_emb = implicit_pos_emb(batch["bb"], cfg.nongt_dim, cfg.imp_pos_emb_dim)
+        if cfg.ref_compat_pos:
+            from tf_vqa_regat_tpu.ops.position import implicit_pos_emb_ref_compat
+
+            pos_emb = implicit_pos_emb_ref_compat(
+                batch["bb"], cfg.nongt_dim, cfg.imp_pos_emb_dim
+            )
+        else:
+            pos_emb = implicit_pos_emb(batch["bb"], cfg.nongt_dim, cfg.imp_pos_emb_dim)
         v_emb = shard_rois(
             relation.implicit_encoder_apply(
                 params["v_relation"], features, pos_emb, q_vec, roi_mask, **rel_kw

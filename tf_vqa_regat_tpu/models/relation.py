@@ -94,9 +94,14 @@ def gatt_net_apply(
             input_adj = adj_d[:, :, :n, :]  # [b, R, n, L]
             adj_mask = jnp.sum(input_adj, axis=-1)  # [b, R, n]
             # Reference applies dropout to the one-hot adjacency before the
-            # bias projection (graph_att_net.py:25 with dropout 0.2).
+            # bias projection (graph_att_net.py:25, HARDCODED 0.2 independent
+            # of --dropout). Kept, except that drop_rate==0 disables it too so
+            # a dropout-free run (--dropout 0; the trajectory-equivalence
+            # harness) is actually dropout-free.
+            label_rate = 0.2 if drop_rate > 0 else 0.0
             label_bias_bd = wn.fcnet_apply(
-                params["bias"], input_adj, None, 0.2, train, rngs, compute_dtype
+                params["bias"], input_adj, None, label_rate, train, rngs,
+                compute_dtype,
             )[..., 0]  # [b, R, n]
         neighbor = graph_attention_apply(
             params["neighbor"][d],
@@ -174,9 +179,13 @@ def implicit_encoder_apply(
     impl: str = "jnp",
 ) -> jax.Array:
     if "v2out" in params:
-        # relu + dropout 0.2 (reference relation_encoder.py:55).
+        # relu + dropout HARDCODED 0.2 (reference relation_encoder.py:55,
+        # independent of --dropout); drop_rate==0 disables it too (see the
+        # label-bias note in gatt_net_apply).
+        v2out_rate = 0.2 if drop_rate > 0 else 0.0
         visual = wn.fcnet_apply(
-            params["v2out"], visual, "relu", 0.2, train, rngs, compute_dtype
+            params["v2out"], visual, "relu", v2out_rate, train, rngs,
+            compute_dtype,
         )
     for _ in range(num_steps):
         v_cat_q = concat_visual_question(question, visual, roi_mask)

@@ -20,17 +20,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def position_matrix(bb: jnp.ndarray, nongt_dim: int) -> jnp.ndarray:
-    """Pairwise geometric features.
+def _pair_geometry(bb: jnp.ndarray, q_sel: slice, k_sel: slice) -> jnp.ndarray:
+    """Pairwise geometric features between two slices of the roi axis.
 
-    Args:
-      bb: [b, R, 4] raw boxes (xmin, ymin, xmax, ymax).
-      nongt_dim: number of key rois (first `nongt_dim` of R).
-
-    Returns:
-      [b, R, nongt_dim, 4] with (log|dx/w_i|, log|dy/h_i|, log(w_i/w_j),
-      log(h_i/h_j)), each clamped at 1e-3 for the first two
-      (reference position_emb.py:117-151).
+    Entry [b, i, j] describes row-roi ``i`` (from ``q_sel``) against
+    column-roi ``j`` (from ``k_sel``): (log|dx/w_i|, log|dy/h_i|,
+    log(w_i/w_j), log(h_i/h_j)), the first two clamped at 1e-3
+    (reference position_emb.py:117-151).
     """
     xmin, ymin, xmax, ymax = (bb[..., k] for k in range(4))  # [b, R]
     w = xmax - xmin + 1.0
@@ -38,18 +34,28 @@ def position_matrix(bb: jnp.ndarray, nongt_dim: int) -> jnp.ndarray:
     cx = 0.5 * (xmin + xmax)
     cy = 0.5 * (ymin + ymax)
 
-    kw = w[:, :nongt_dim]  # [b, n]
-    kh = h[:, :nongt_dim]
-    kcx = cx[:, :nongt_dim]
-    kcy = cy[:, :nongt_dim]
+    qw, qh, qcx, qcy = w[:, q_sel], h[:, q_sel], cx[:, q_sel], cy[:, q_sel]
+    kw, kh, kcx, kcy = w[:, k_sel], h[:, k_sel], cx[:, k_sel], cy[:, k_sel]
 
     eps = 1e-3
-    # [b, R, n]: query i vs key j.
-    dx = jnp.log(jnp.maximum(jnp.abs(cx[:, :, None] - kcx[:, None, :]) / w[:, :, None], eps))
-    dy = jnp.log(jnp.maximum(jnp.abs(cy[:, :, None] - kcy[:, None, :]) / h[:, :, None], eps))
-    dw = jnp.log(w[:, :, None] / kw[:, None, :])
-    dh = jnp.log(h[:, :, None] / kh[:, None, :])
+    dx = jnp.log(jnp.maximum(jnp.abs(qcx[:, :, None] - kcx[:, None, :]) / qw[:, :, None], eps))
+    dy = jnp.log(jnp.maximum(jnp.abs(qcy[:, :, None] - kcy[:, None, :]) / qh[:, :, None], eps))
+    dw = jnp.log(qw[:, :, None] / kw[:, None, :])
+    dh = jnp.log(qh[:, :, None] / kh[:, None, :])
     return jnp.stack([dx, dy, dw, dh], axis=-1)
+
+
+def position_matrix(bb: jnp.ndarray, nongt_dim: int) -> jnp.ndarray:
+    """Pairwise geometric features, correct (query, key) pairing.
+
+    Args:
+      bb: [b, R, 4] raw boxes (xmin, ymin, xmax, ymax).
+      nongt_dim: number of key rois (first `nongt_dim` of R).
+
+    Returns:
+      [b, R, nongt_dim, 4]: query i (all R) vs key j (first nongt_dim).
+    """
+    return _pair_geometry(bb, slice(None), slice(None, nongt_dim))
 
 
 def position_embedding(pos_mat: jnp.ndarray, feat_dim: int, wave_length: float = 1000.0) -> jnp.ndarray:
@@ -84,3 +90,27 @@ def implicit_pos_emb(bb: jnp.ndarray, nongt_dim: int, feat_dim: int) -> jnp.ndar
     reference's per-step host call to prepare_graph_variables
     (position_emb.py:153-160)."""
     return position_embedding(position_matrix(bb, nongt_dim), feat_dim)
+
+
+def implicit_pos_emb_ref_compat(
+    bb: jnp.ndarray, nongt_dim: int, feat_dim: int
+) -> jnp.ndarray:
+    """Reference-quirk-compatible position embedding (cfg.ref_compat_pos).
+
+    The reference slices the first ``nongt_dim`` *rows* of the pairwise
+    matrix (queries) instead of columns (keys), yielding [b, n, R, 4]
+    (position_emb.py:148 `sym[:, :nongt_dim]` after building row=i,col=j
+    deltas), and its attention layer then flat-reshapes that tensor as if it
+    were [b, R, n, emb] (graph_att_layer.py:74-81), scrambling (query, key)
+    pair identity whenever R != nongt_dim. This reproduces the net effect
+    exactly: embed the row-sliced matrix, then re-group it so downstream
+    correct-pairing code (ops/graph_attention.py) sees the same values the
+    reference's layer saw at the same flat positions. Used by the
+    trajectory-equivalence tests and the fix A/B; the default path is the
+    corrected `implicit_pos_emb`.
+    """
+    b, R, _ = bb.shape
+    n = min(nongt_dim, R)
+    pm = _pair_geometry(bb, slice(None, n), slice(None))  # [b, n, R, 4]
+    emb = position_embedding(pm, feat_dim)  # [b, n, R, feat]
+    return emb.reshape(b, R, n, feat_dim)  # flat regroup, as the layer does

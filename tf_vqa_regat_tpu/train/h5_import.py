@@ -69,12 +69,15 @@ def _conv_params(conv, num_heads: int) -> Dict[str, Any]:
     }
 
 
-def import_reference_h5(h5_path: str, cfg, ntoken: int, v_dim: int, num_ans: int):
-    """Load a reference implicit+BUTD .h5 into this framework's param pytree."""
+def build_reference_model(cfg, ntoken: int, v_dim: int, num_ans: int):
+    """Construct the reference's OWN keras model (implicit+BUTD) with
+    variables created, mirroring its builder (rel_graph_net.py:68-106).
+    Shared by the .h5 importer and the trajectory-equivalence harness."""
     if cfg.relation_type != "implicit" or cfg.fusion != "butd":
         raise ValueError(
-            "reference .h5 import supports implicit+butd (the only combination "
-            f"the reference trains); got {cfg.relation_type}+{cfg.fusion}"
+            "reference model construction supports implicit+butd (the only "
+            f"combination the reference trains); got "
+            f"{cfg.relation_type}+{cfg.fusion}"
         )
     tf = _require_reference_tf()
     from model.classifier import SimpleClassifier
@@ -87,7 +90,6 @@ def import_reference_h5(h5_path: str, cfg, ntoken: int, v_dim: int, num_ans: int
     from model.rel_graph_net import RelationGraphAttentionNetwork
     from model.relation_encoder import ImplicitRelationEncoder
 
-    # Mirror the reference builder (rel_graph_net.py:68-106).
     w_emb = WordEmbedding(ntoken, 300, cfg.dropout, cfg.op)
     q_emb = QuestionEmbedding(cfg.word_dim, cfg.num_hid, 1, False, cfg.dropout)
     q_att = QuestionSelfAttention(cfg.num_hid, cfg.dropout)
@@ -111,10 +113,18 @@ def import_reference_h5(h5_path: str, cfg, ntoken: int, v_dim: int, num_ans: int
         tf.zeros((b, R, cfg.nongt_dim, cfg.imp_pos_emb_dim))[:, : cfg.nongt_dim],
         None, None,
     )
-    model.load_weights(h5_path)
+    return model
 
-    # --- map into our pytree (correspondences proven in
-    # tests/test_reference_parity.py) ---
+
+def reference_model_to_params(model, cfg) -> Dict[str, Any]:
+    """Map a built reference keras model's variables into this framework's
+    param pytree (correspondences proven in tests/test_reference_parity.py)."""
+    from model.weight_norm import WeightNorm
+
+    w_emb, q_emb, q_att = model.w_emb, model.q_emb, model.q_att
+    v_relation, joint, classifier = (
+        model.v_relation, model.joint_emb, model.classifier,
+    )
     params: Dict[str, Any] = {}
     we = {"emb": {"table": jnp.asarray(w_emb.emb.embeddings.numpy())}}
     if "c" in cfg.op:
@@ -156,8 +166,13 @@ def import_reference_h5(h5_path: str, cfg, ntoken: int, v_dim: int, num_ans: int
         "visual_embed": _fc_params(joint.visual_embed),
         "question_embed": _fc_params(joint.question_embed),
     }
-    from model.weight_norm import WeightNorm
-
     wns = [l for l in classifier.layers if isinstance(l, WeightNorm)]
     params["classifier"] = {"fc1": _wn_params(wns[0]), "fc2": _wn_params(wns[1])}
     return params
+
+
+def import_reference_h5(h5_path: str, cfg, ntoken: int, v_dim: int, num_ans: int):
+    """Load a reference implicit+BUTD .h5 into this framework's param pytree."""
+    model = build_reference_model(cfg, ntoken, v_dim, num_ans)
+    model.load_weights(h5_path)
+    return reference_model_to_params(model, cfg)

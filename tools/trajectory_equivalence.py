@@ -1,0 +1,198 @@
+"""Produce TRAJECTORY.md: the training-trajectory-equivalence artifact.
+
+Two experiments (see tf_vqa_regat_tpu/train/trajectory.py for the matched-
+semantics contract, and tests/test_trajectory.py for the CI-enforced
+version):
+
+1. **Equivalence**: N train steps in the reference's own TF training loop vs
+   this framework, from identical (copied) random init, on the same batches.
+   Reports the per-step loss pairs and relative drift.
+
+2. **Fix A/B**: this framework deliberately fixes two reference
+   transcription bugs (question-attention softmax axis, position-pairing
+   orientation). Trains the same model under all four flag combinations on
+   the same data and reports loss/train-score milestones, quantifying each
+   fix instead of asserting it.
+
+Run from the repo root (CPU is fine):
+
+    JAX_PLATFORMS=cpu python tools/trajectory_equivalence.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_ROOT = os.path.dirname(_HERE)
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.environ.get("REGAT_REFERENCE_PATH", "/root/reference"))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np
+
+from tf_vqa_regat_tpu.config import Config
+from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+from tf_vqa_regat_tpu.train.h5_import import (
+    build_reference_model,
+    reference_model_to_params,
+)
+from tf_vqa_regat_tpu.train.trajectory import (
+    jax_trajectory,
+    jax_trajectory_with_scores,
+    make_trajectory_batches,
+    reference_trajectory_from_model,
+)
+
+V_DIM, NUM_ANS, R = 24, 9, 36
+STEPS_EQ = 100
+STEPS_AB = 300
+
+
+def base_cfg(**kw) -> Config:
+    base = dict(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, dropout=0.0, residual_connection=True, op="c",
+        batch_size=16, base_lr=9e-4, grad_clip=0.25, adaptive=False,
+        num_rois=R, fusion="butd", relation_type="implicit",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def run_equivalence(out):
+    cfg = base_cfg(ref_compat_q_att=True, ref_compat_pos=True)
+    ds = synthetic_dataset(
+        num_images=8, num_questions=64, v_dim=V_DIM, num_ans=NUM_ANS,
+        adaptive=False,
+    )
+    batches = make_trajectory_batches(ds, cfg.batch_size, R)
+    model = build_reference_model(cfg, ds.ntoken, V_DIM, NUM_ANS)
+    params0 = reference_model_to_params(model, cfg)
+
+    ours = np.asarray(jax_trajectory(cfg, params0, ds.ntoken, batches, STEPS_EQ))
+    refs = np.asarray(
+        reference_trajectory_from_model(model, cfg, NUM_ANS, batches, STEPS_EQ)
+    )
+    rel = np.abs(ours - refs) / np.abs(refs)
+    exact = int(np.argmax(rel > 0)) if (rel > 0).any() else STEPS_EQ
+
+    out.append(f"## 1. Trajectory equivalence ({STEPS_EQ} steps)\n")
+    out.append(
+        "Reference TF train loop (train.py:103-119 semantics: experimental "
+        "Adamax, per-tensor `tf.clip_by_norm(0.25)`, loss = mean x "
+        "num_answers, constant base_lr 9e-4) vs this framework's production "
+        "`build_train_step`, from IDENTICAL copied random init on identical "
+        "batches (fixed-36 fixture, dropout 0, ref-compat quirks on).\n"
+    )
+    out.append("| step | TF loss | JAX loss | rel diff |")
+    out.append("|---|---|---|---|")
+    for i in list(range(0, STEPS_EQ, 10)) + [STEPS_EQ - 1]:
+        out.append(f"| {i} | {refs[i]:.6f} | {ours[i]:.6f} | {rel[i]:.2e} |")
+    out.append("")
+    out.append(
+        f"- losses are **bit-identical for the first {exact} steps**, then "
+        "fp32 rounding divergence accumulates chaotically (non-monotonic — "
+        "the signature of float drift, not a semantic mismatch);"
+    )
+    out.append(
+        f"- max relative drift over {STEPS_EQ} steps: **{rel.max():.2e}** "
+        f"(at step {int(rel.argmax())}); final-step drift {rel[-1]:.2e};"
+    )
+    out.append(
+        f"- both curves descend (TF {refs[0]:.3f} -> {refs[-1]:.3f}, "
+        f"JAX {ours[0]:.3f} -> {ours[-1]:.3f}) — the comparison is not "
+        "vacuous.\n"
+    )
+    out.append(
+        "Conclusion: forward, backward, clipping, Adamax and LR reproduce "
+        "the reference's training dynamics exactly; accumulated deviation is "
+        "bounded by float32 chaos, which on the full 20-epoch run is the "
+        "same class of deviation as re-running the reference with a "
+        "different cuDNN version. Enforced in CI by "
+        "tests/test_trajectory.py.\n"
+    )
+
+
+def run_fix_ab(out):
+    ds = synthetic_dataset(
+        num_images=16, num_questions=256, v_dim=V_DIM, num_ans=NUM_ANS,
+        adaptive=False, seed=3,
+    )
+    batches = make_trajectory_batches(ds, 16, R)
+    combos = [
+        ("reference-exact (both quirks)", dict(ref_compat_q_att=True, ref_compat_pos=True)),
+        ("q_att fixed only", dict(ref_compat_q_att=False, ref_compat_pos=True)),
+        ("pos fixed only", dict(ref_compat_q_att=True, ref_compat_pos=False)),
+        ("both fixed (framework default)", dict(ref_compat_q_att=False, ref_compat_pos=False)),
+    ]
+    cfg0 = base_cfg()
+    from tf_vqa_regat_tpu.models.regat import init_regat
+
+    params0 = init_regat(jax.random.PRNGKey(7), cfg0, ds.ntoken, V_DIM, NUM_ANS)
+
+    out.append("## 2. Fix A/B: quantifying the two deliberate deviations\n")
+    out.append(
+        "Same init, same data (256-question fixed-36 fixture), same "
+        f"optimizer, {STEPS_AB} steps; the metric is memorization speed "
+        "(train loss / train VQA-score fraction) — the only accuracy-bearing "
+        "signal available without the 90GB real dataset. Real-data "
+        "validation of the fixes' absolute accuracy effect remains open "
+        "until the dataset is present (SURVEY §2.3-P2 prediction: correct "
+        "pairing should only help).\n"
+    )
+    out.append(
+        f"| variant | loss@100 | loss@{STEPS_AB} | score@{STEPS_AB} |"
+    )
+    out.append("|---|---|---|---|")
+    results = {}
+    for name, flags in combos:
+        cfg = base_cfg(**flags)
+        r = jax_trajectory_with_scores(cfg, params0, ds.ntoken, batches, STEPS_AB)
+        results[name] = r
+        out.append(
+            f"| {name} | {r['loss'][99]:.4f} | {r['loss'][-1]:.4f} | "
+            f"{r['score'][-1]:.4f} |"
+        )
+    out.append("")
+    ref_l = results["reference-exact (both quirks)"]["loss"][-1]
+    fix_l = results["both fixed (framework default)"]["loss"][-1]
+    out.append(
+        f"Fixed-vs-reference final-loss ratio: {fix_l / ref_l:.3f} "
+        "(<1 means the corrected semantics fit the data faster).\n"
+    )
+
+
+def main():
+    out = [
+        "# TRAJECTORY — training-trajectory equivalence vs the reference",
+        "",
+        "Generated by tools/trajectory_equivalence.py (CPU, float32, "
+        "matmul precision 'highest'). Matched-semantics contract: "
+        "tf_vqa_regat_tpu/train/trajectory.py docstring. Notable reference "
+        "behavior pinned along the way: its train loop calls `model(...)` "
+        "without `training=True` (reference train.py:103-105), so keras "
+        "dropout was INACTIVE in the committed 63.24% run; and it imports "
+        "`tensorflow.keras.optimizers.experimental.Adamax` (train.py:15), "
+        "whose sparse embedding-gradient path is dense-equivalent — both "
+        "facts this framework's optimizer/test setup matches.",
+        "",
+    ]
+    run_equivalence(out)
+    run_fix_ab(out)
+    path = os.path.join(_ROOT, "TRAJECTORY.md")
+    with open(path, "w") as fh:
+        fh.write("\n".join(out) + "\n")
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
