@@ -163,6 +163,18 @@ def test_forward_no_residual():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.parametrize("relation_type", ["implicit", "spatial"])
+def test_forward_pallas_matches_jnp(relation_type):
+    """Full model with impl='pallas' (kernel v3 fused implicit path /
+    kernel v2 explicit path; interpret mode on CPU) equals the jnp oracle."""
+    cfg = tiny_cfg(relation_type=relation_type)
+    params = init_regat(jax.random.PRNGKey(9), cfg, NTOKEN, V_DIM, NUM_ANS)
+    batch = make_batch(seed=9)
+    want = np.asarray(apply_regat(params, cfg, batch, NTOKEN, impl="jnp"))
+    got = np.asarray(apply_regat(params, cfg, batch, NTOKEN, impl="pallas"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_forward_label_bias_enabled():
     cfg = tiny_cfg(relation_type="semantic", label_bias=True)
     params = init_regat(jax.random.PRNGKey(8), cfg, NTOKEN, V_DIM, NUM_ANS)

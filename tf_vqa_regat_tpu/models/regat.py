@@ -33,7 +33,7 @@ from tf_vqa_regat_tpu import nn
 from tf_vqa_regat_tpu.config import Config
 from tf_vqa_regat_tpu.models import classifier as clf
 from tf_vqa_regat_tpu.models import fusion, language, relation
-from tf_vqa_regat_tpu.ops.position import implicit_pos_emb
+from tf_vqa_regat_tpu.ops.position import position_matrix
 from tf_vqa_regat_tpu.ops.spatial_graph import broadcast_adj_labels, build_spatial_graph
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
@@ -42,11 +42,14 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 def resolve_impl(cfg: Config) -> str:
     """Graph-attention implementation selector.
 
-    Measured on v5e at flagship shapes (b=256, R=100, H=16, n=20): kernel v2
-    (block-diagonal all-heads, ops/pallas/graph_attention.py) matches XLA's
-    batched einsums at 1.67 vs 1.68 ms fwd — both MXU-op-scheduling-bound
-    (PERF_NOTES.md). XLA stays the default since it ties with less machinery;
-    --use_pallas opts into the oracle-validated kernel path."""
+    Measured on v5e at flagship shapes (b=256, R=100, H=16, n=20), chained
+    fwd per direction: XLA bias-chain + attention 1.03 ms; kernel v2
+    (block-diagonal all-heads, explicit path) ties XLA; kernel v3 (fully
+    fused implicit path, ops/pallas/implicit_attention.py) 2.2 ms. The
+    kernel study in PERF_NOTES.md shows XLA's batched small-matmul engine is
+    at the measured ceiling for these shapes, so XLA stays the default;
+    --use_pallas opts into the oracle-validated kernel path (correctness
+    alternate, not a perf win)."""
     if cfg.use_pallas and jax.default_backend() == "tpu":
         return "pallas"
     return "jnp"
@@ -172,17 +175,18 @@ def apply_regat(
         impl=impl,
     )
     if cfg.relation_type == "implicit":
+        # Raw pairwise geometry only — 16x smaller than the embedding; the
+        # sinusoid+FC bias is generated downstream (in-VMEM by the fused
+        # Pallas kernel; by the jnp oracle in ops/graph_attention.py).
         if cfg.ref_compat_pos:
-            from tf_vqa_regat_tpu.ops.position import implicit_pos_emb_ref_compat
+            from tf_vqa_regat_tpu.ops.position import position_matrix_ref_compat
 
-            pos_emb = implicit_pos_emb_ref_compat(
-                batch["bb"], cfg.nongt_dim, cfg.imp_pos_emb_dim
-            )
+            pos_mat = position_matrix_ref_compat(batch["bb"], cfg.nongt_dim)
         else:
-            pos_emb = implicit_pos_emb(batch["bb"], cfg.nongt_dim, cfg.imp_pos_emb_dim)
+            pos_mat = position_matrix(batch["bb"], cfg.nongt_dim)
         v_emb = shard_rois(
             relation.implicit_encoder_apply(
-                params["v_relation"], features, pos_emb, q_vec, roi_mask, **rel_kw
+                params["v_relation"], features, pos_mat, q_vec, roi_mask, **rel_kw
             )
         )
     else:

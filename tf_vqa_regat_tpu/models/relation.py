@@ -70,6 +70,7 @@ def gatt_net_apply(
     roi_mask: jax.Array,  # [b, R] bool
     adj_labels_onehot: Optional[jax.Array] = None,  # [b, R, R, L] (explicit)
     pos_emb: Optional[jax.Array] = None,  # [b, R, n, pos_dim] (implicit)
+    pos_mat: Optional[jax.Array] = None,  # [b, R, n, 4] raw geometry (implicit)
     drop_rate: float = 0.2,
     train: bool = False,
     rngs: Optional[nn.RngGen] = None,
@@ -109,6 +110,7 @@ def gatt_net_apply(
             nongt_dim=n,
             num_heads=num_heads,
             pos_emb=pos_emb,
+            pos_mat=pos_mat,
             adj_mask=adj_mask,
             label_bias=label_bias_bd,
             key_mask=key_mask,
@@ -165,7 +167,7 @@ def implicit_encoder_init(
 def implicit_encoder_apply(
     params: Dict[str, Any],
     visual: jax.Array,  # [b, R, v_dim]
-    pos_emb: jax.Array,  # [b, R, n, pos_dim]
+    pos_mat: jax.Array,  # [b, R, n, 4] raw position matrix (embedded downstream)
     question: jax.Array,  # [b, q_dim]
     roi_mask: jax.Array,  # [b, R]
     nongt_dim: int,
@@ -196,7 +198,7 @@ def implicit_encoder_apply(
             num_heads,
             roi_mask,
             adj_labels_onehot=None,  # implicit graph is fully connected
-            pos_emb=pos_emb,
+            pos_mat=pos_mat,
             drop_rate=drop_rate,
             train=train,
             rngs=rngs,

@@ -81,7 +81,7 @@ def graph_attention_apply(
     roi: jax.Array,  # [b, R, D]
     nongt_dim: int,
     num_heads: int,
-    pos_emb: Optional[jax.Array] = None,  # [b, R, n, pos_dim]
+    pos_emb: Optional[jax.Array] = None,  # [b, R, n, pos_dim] (pre-embedded)
     adj_mask: Optional[jax.Array] = None,  # [b, R, n] (>0 = edge)
     label_bias: Optional[jax.Array] = None,  # [b, R, n]
     key_mask: Optional[jax.Array] = None,  # [b, n] bool
@@ -90,7 +90,13 @@ def graph_attention_apply(
     rngs: Optional[nn.RngGen] = None,
     compute_dtype=jnp.float32,
     impl: str = "jnp",
+    pos_mat: Optional[jax.Array] = None,  # [b, R, n, 4] raw position matrix
 ) -> jax.Array:
+    """pos geometry can arrive either pre-embedded (`pos_emb`) or as the raw
+    position matrix (`pos_mat`, 16x smaller). The production implicit path
+    passes `pos_mat`: the jnp oracle embeds it here, and the Pallas v3 path
+    feeds it straight to the fully-fused kernel which generates the bias in
+    VMEM (ops/pallas/implicit_attention.py)."""
     b, R, D = roi.shape
     n = min(nongt_dim, R)
     head_dim = D // num_heads
@@ -101,6 +107,48 @@ def graph_attention_apply(
 
     q = q.reshape(b, R, num_heads, head_dim)
     k = k.reshape(b, n, num_heads, head_dim)
+
+    kernel = _grouped_kernel(params["out"], compute_dtype)  # [H, D, o]
+    vw = jnp.einsum(
+        "bnd,hdo->bnho",
+        trunc.astype(compute_dtype),
+        kernel,
+        preferred_element_type=jnp.float32,
+    )  # [b, n, H, o] — see the associativity note below
+
+    # Off-TPU (CPU test suite), impl="pallas" runs the same kernels in
+    # interpret mode so the full model path is testable without hardware.
+    interpret = jax.default_backend() != "tpu"
+
+    if impl == "pallas" and pos_mat is not None and adj_mask is None:
+        # Fully-fused implicit path (kernel v3): sinusoid + dropout + pos-FC
+        # + log-bias + key-mask + softmax + AV in one kernel; the position
+        # embedding never touches HBM on the forward pass.
+        from tf_vqa_regat_tpu.ops.pallas.implicit_attention import (
+            fused_implicit_graph_attention,
+        )
+
+        layer = params["pair_pos_fc"]["layers"][0]
+        P = layer["v"].shape[0]
+        dropmask = None
+        if train and drop_rate > 0.0:
+            assert rngs is not None
+            dropmask = jax.random.bernoulli(
+                rngs.next(), 1.0 - drop_rate, (b, R, n, P)
+            ).astype(jnp.uint8)
+        out = fused_implicit_graph_attention(
+            q, k, vw, pos_mat, wn.wn_kernel(layer, jnp.float32),
+            layer.get("b"), key_mask, drop_rate, dropmask,
+            interpret=interpret,
+        )
+        return out.reshape(b, R, D) + params["out"]["b"]
+
+    if pos_emb is None and pos_mat is not None:
+        from tf_vqa_regat_tpu.ops.position import position_embedding
+
+        pos_emb = position_embedding(
+            pos_mat, params["pair_pos_fc"]["layers"][0]["v"].shape[0]
+        )
 
     # Bias terms, all shaped [b, R, H, n] (or broadcastable).
     bias = jnp.zeros((b, R, 1, n), jnp.float32)
@@ -131,24 +179,16 @@ def graph_attention_apply(
         bias = jnp.where((adj_mask > 0)[:, :, None, :], bias, neg)
     bias = bias + mask_add
 
-    # Key restructuring vs the reference: by matmul associativity,
+    # (vw above) Key restructuring vs the reference: by matmul associativity,
     # (softmax @ V) @ W_grouped == softmax @ (V @ W_grouped). The reference
     # materializes the per-head attended values [b, R, H, D] (~6.7 GB at
     # batch 256, R=100) and then runs the grouped conv
     # (graph_att_layer.py:110-117); projecting V first gives a tiny
     # [b, n, H, o] tensor and ~65x fewer FLOPs in the AV+projection chain.
-    kernel = _grouped_kernel(params["out"], compute_dtype)  # [H, D, o]
-    vw = jnp.einsum(
-        "bnd,hdo->bnho",
-        trunc.astype(compute_dtype),
-        kernel,
-        preferred_element_type=jnp.float32,
-    )  # [b, n, H, o]
-
     if impl == "pallas":
         from tf_vqa_regat_tpu.ops.pallas.graph_attention import fused_graph_attention
 
-        out = fused_graph_attention(q, k, vw, bias)
+        out = fused_graph_attention(q, k, vw, bias, interpret=interpret)
     else:
         aff = jnp.einsum(
             "brhd,bnhd->brhn",

@@ -92,10 +92,8 @@ def implicit_pos_emb(bb: jnp.ndarray, nongt_dim: int, feat_dim: int) -> jnp.ndar
     return position_embedding(position_matrix(bb, nongt_dim), feat_dim)
 
 
-def implicit_pos_emb_ref_compat(
-    bb: jnp.ndarray, nongt_dim: int, feat_dim: int
-) -> jnp.ndarray:
-    """Reference-quirk-compatible position embedding (cfg.ref_compat_pos).
+def position_matrix_ref_compat(bb: jnp.ndarray, nongt_dim: int) -> jnp.ndarray:
+    """Reference-quirk-compatible position matrix (cfg.ref_compat_pos).
 
     The reference slices the first ``nongt_dim`` *rows* of the pairwise
     matrix (queries) instead of columns (keys), yielding [b, n, R, 4]
@@ -103,14 +101,22 @@ def implicit_pos_emb_ref_compat(
     deltas), and its attention layer then flat-reshapes that tensor as if it
     were [b, R, n, emb] (graph_att_layer.py:74-81), scrambling (query, key)
     pair identity whenever R != nongt_dim. This reproduces the net effect
-    exactly: embed the row-sliced matrix, then re-group it so downstream
+    exactly: build the row-sliced matrix, then re-group it so downstream
     correct-pairing code (ops/graph_attention.py) sees the same values the
-    reference's layer saw at the same flat positions. Used by the
+    reference's layer saw at the same flat positions. (The regroup commutes
+    with the per-pair sinusoid embedding, so reshaping the 4-feature matrix
+    is equivalent to reshaping the embedded tensor.) Used by the
     trajectory-equivalence tests and the fix A/B; the default path is the
-    corrected `implicit_pos_emb`.
+    corrected `position_matrix`.
     """
     b, R, _ = bb.shape
     n = min(nongt_dim, R)
     pm = _pair_geometry(bb, slice(None, n), slice(None))  # [b, n, R, 4]
-    emb = position_embedding(pm, feat_dim)  # [b, n, R, feat]
-    return emb.reshape(b, R, n, feat_dim)  # flat regroup, as the layer does
+    return pm.reshape(b, R, n, 4)  # flat regroup, as the layer does
+
+
+def implicit_pos_emb_ref_compat(
+    bb: jnp.ndarray, nongt_dim: int, feat_dim: int
+) -> jnp.ndarray:
+    """Embedded form of `position_matrix_ref_compat` (see its docstring)."""
+    return position_embedding(position_matrix_ref_compat(bb, nongt_dim), feat_dim)
