@@ -64,6 +64,22 @@ NTOKEN = 19901
 NUM_ANS = 3129
 V_DIM = 2048
 
+# v5e TensorCore peak: 197 TFLOP/s bf16 (f32 inputs at default matmul
+# precision run the MXU at near the same rate — PERF_NOTES.md device ground
+# truth). MFU below = XLA-counted program FLOPs / time / this peak.
+PEAK_FLOPS = 197e12
+
+
+def _step_flops(jit_fn, *args) -> float:
+    """XLA-counted FLOPs of one compiled step (0.0 if unavailable)."""
+    try:
+        cost = jit_fn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
 
 def flagship_cfg() -> Config:
     return Config(
@@ -151,25 +167,39 @@ def main() -> None:
 
     # --- train phase: one full epoch (unbiased bucket mix) ---
     idxs = _epoch_batches(store, BATCH, bspec, shuffle=True)
+    train_flops = {}
     for R, idx, _ in _warmup_batches(idxs):
+        if R not in train_flops:
+            train_flops[R] = _step_flops(
+                train_steps[R], state, store.arrays, idx, base_rng
+            )
         state, m = train_steps[R](state, store.arrays, idx, base_rng)
     jax.block_until_ready(m)
     t0 = time.perf_counter()
     for R, idx, _ in idxs:
         state, m = train_steps[R](state, store.arrays, idx, base_rng)
     jax.block_until_ready(m)
-    train_qps = sum(v for _, _, v in idxs) / (time.perf_counter() - t0)
+    train_time = time.perf_counter() - t0
+    train_qps = sum(v for _, _, v in idxs) / train_time
+    train_mfu = sum(train_flops[R] for R, _, _ in idxs) / train_time / PEAK_FLOPS
 
     # --- eval phase (batch/4, reference main.py:118): one full epoch ---
     eidxs = _epoch_batches(store, BATCH // 4, bspec, shuffle=False)
+    eval_flops = {}
     for R, idx, _ in _warmup_batches(eidxs):
+        if R not in eval_flops:
+            eval_flops[R] = _step_flops(
+                eval_steps[R], state["params"], store.arrays, idx
+            )
         m = eval_steps[R](state["params"], store.arrays, idx)
     jax.block_until_ready(m)
     t0 = time.perf_counter()
     for R, idx, _ in eidxs:
         m = eval_steps[R](state["params"], store.arrays, idx)
     jax.block_until_ready(m)
-    eval_qps = sum(v for _, _, v in eidxs) / (time.perf_counter() - t0)
+    eval_time = time.perf_counter() - t0
+    eval_qps = sum(v for _, _, v in eidxs) / eval_time
+    eval_mfu = sum(eval_flops[R] for R, _, _ in eidxs) / eval_time / PEAK_FLOPS
 
     agg = (REF_TRAIN_Q + REF_VAL_Q) / (
         REF_TRAIN_Q / train_qps + REF_VAL_Q / eval_qps
@@ -186,6 +216,11 @@ def main() -> None:
                 "detail": {
                     "train_qps": round(train_qps, 2),
                     "eval_qps": round(eval_qps, 2),
+                    "train_mfu": round(train_mfu, 4),
+                    "eval_mfu": round(eval_mfu, 4),
+                    "flops_per_train_step": {
+                        str(R): f for R, f in sorted(train_flops.items())
+                    },
                     "impl": impl,
                     "n_chips": n_chips,
                     "baseline_agg_qps": round(BASELINE_AGG_QPS, 2),

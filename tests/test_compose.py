@@ -87,6 +87,50 @@ def test_visual_genome_entries(dataroot):
     assert len(list(loader.epoch(0))) == 1
 
 
+def test_main_use_both_use_vg_glue(dataroot):
+    """main.py's --use_both + --use_vg composition: the val-offset arithmetic
+    (main.py builds img_id2idx for the merged store by offsetting the val map
+    past the train tables) must resolve VG QAs over COCO *val* images to the
+    val split's features. Would fail if the offset were wrong or val ids
+    collided into train rows."""
+    import main as entry
+    from tf_vqa_regat_tpu.config import Config
+
+    cfg = Config(
+        mode="train", data_folder=dataroot, adaptive=True,
+        use_both=True, use_vg=True, relation_type="implicit",
+    )
+    train, val, _, _ = entry.build_datasets(cfg)
+    assert train.name == "trainval+vg"
+    d = _dict(dataroot)
+    plain_train = load_vqa_dataset("train", d, "implicit", dataroot, adaptive=True)
+    plain_val = load_vqa_dataset("val", d, "implicit", dataroot, adaptive=True)
+    # trainval (12 + 8) + VG: 4 train-mapped + 2 val-mapped in-vocab QAs
+    assert len(train) == len(plain_train) + len(plain_val) + 6
+
+    ent = train.entries
+    n_vg = 6
+    vg_slice = slice(len(train) - n_vg, len(train))
+    vg_img_idx = ent.image_index[vg_slice]
+    vg_qids = ent.question_ids[vg_slice]
+    # val-mapped VG questions (qa_id 98xx) must point past the train images
+    # and their features must equal the val split's own slices
+    val_map = load_imgid2idx(dataroot, "val", adaptive=True)
+    n_train_imgs = 6
+    for qid, idx in zip(vg_qids, vg_img_idx):
+        if 9800 <= qid < 9900:
+            assert idx >= n_train_imgs, (qid, idx)
+            got, _, _ = train.store.image_slice(int(idx))
+            want, _, _ = plain_val.store.image_slice(int(idx) - n_train_imgs)
+            np.testing.assert_array_equal(got, want)
+        else:
+            assert idx < n_train_imgs, (qid, idx)
+            got, _, _ = train.store.image_slice(int(idx))
+            want, _, _ = plain_train.store.image_slice(int(idx))
+            np.testing.assert_array_equal(got, want)
+    assert sum(1 for q in vg_qids if 9800 <= q < 9900) == 2
+
+
 def test_merge_stores_fixed(tmp_path):
     root = str(tmp_path / "d")
     write_fixture(root, name="train", adaptive=False, num_images=3, num_questions=6)

@@ -148,12 +148,10 @@ class DeviceStore:
         self.entry_nbox = np.asarray(host["img_len"])[
             np.asarray(host["entry_img"])
         ].astype(np.int32)
-        if sharding is None:
-            self.arrays = jax.device_put(host)
-        else:
-            self.arrays = jax.device_put(
-                host, jax.tree.map(lambda _: sharding, host)
-            )
+        from tf_vqa_regat_tpu.parallel.distributed import put_global_tree
+
+        # Multi-process aware placement (each process feeds its local devices).
+        self.arrays = put_global_tree(host, sharding)
 
     def epoch_indices(self, epoch: int, batch_size: int, shuffle: bool, seed: int) -> Iterator[np.ndarray]:
         """Host-side index batches, padded to batch_size with -1 (invalid)."""

@@ -247,6 +247,24 @@ def write_cp_vg_fixture(dataroot: str, num_cp_questions: int = 10) -> None:
                 ],
             }
         )
+    # Two VG images mapping to COCO *val* images: only reachable with the
+    # --use_both composed image map (main.py val-offset glue); dropped by
+    # load_visual_genome_entries under a train-only map.
+    for i, coco in enumerate(val_ids[:2]):
+        vg_id = 6000 + i
+        image_data.append({"image_id": vg_id, "coco_id": coco})
+        qas.append(
+            {
+                "id": vg_id,
+                "qas": [
+                    {
+                        "qa_id": 9800 + i,
+                        "question": "what color is the cat?",
+                        "answer": label2ans[(i + 1) % num_ans],
+                    }
+                ],
+            }
+        )
     image_data.append({"image_id": 5999, "coco_id": None})  # non-COCO VG image
     with open(os.path.join(dataroot, "visualGenome", "image_data.json"), "w") as fh:
         json.dump(image_data, fh)

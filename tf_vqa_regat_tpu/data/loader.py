@@ -160,6 +160,8 @@ def prefetch_to_device(
 
 
 def _put(batch: Dict[str, np.ndarray], sharding) -> Dict[str, jax.Array]:
-    if sharding is None:
-        return jax.device_put(batch)
-    return jax.device_put(batch, jax.tree.map(lambda _: sharding, batch))
+    # Multi-process aware: each process transfers only the slices its local
+    # devices hold (parallel/distributed.py::put_global).
+    from tf_vqa_regat_tpu.parallel.distributed import put_global_tree
+
+    return put_global_tree(batch, sharding)

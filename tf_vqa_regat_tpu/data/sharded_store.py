@@ -147,7 +147,10 @@ class ShardedDeviceStore:
             "scores": scores.reshape(self.dp * max_entries, MAX_LABELS),
         }
         sh = NamedSharding(mesh, P(DATA_AXIS))
-        self.arrays = {k: jax.device_put(v, sh) for k, v in host.items()}
+        from tf_vqa_regat_tpu.parallel.distributed import put_global
+
+        # Multi-process aware: each process places only its local shards.
+        self.arrays = {k: put_global(v, sh) for k, v in host.items()}
         self.max_entries = max_entries
 
     def steps_per_epoch(self, batch_size: int) -> int:

@@ -76,7 +76,9 @@ def run_ensemble_eval(
         abstract = init_regat(
             jax.random.PRNGKey(cfg.seed), mcfg, ntoken, val_ds.v_dim, val_ds.num_ans
         )
-        params = jax.device_put(ckpt.load_params(path, abstract), replicated(mesh))
+        from tf_vqa_regat_tpu.parallel.distributed import put_global_tree
+
+        params = put_global_tree(ckpt.load_params(path, abstract), replicated(mesh))
         steps.append((rt, build_member_step(mcfg, ntoken, mesh, impl), params))
         logger.write(f"[ensemble] loaded {rt} member from {path}")
 

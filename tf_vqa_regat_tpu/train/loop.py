@@ -28,6 +28,7 @@ from tf_vqa_regat_tpu.config import Config
 from tf_vqa_regat_tpu.data.features import VQADataset
 from tf_vqa_regat_tpu.data.loader import BatchLoader, prefetch_to_device
 from tf_vqa_regat_tpu.models.regat import init_regat, resolve_impl, trainable_mask
+from tf_vqa_regat_tpu.parallel.distributed import put_global, put_global_tree
 from tf_vqa_regat_tpu.parallel.mesh import batch_sharding, make_mesh
 from tf_vqa_regat_tpu.train import checkpoint as ckpt
 from tf_vqa_regat_tpu.train.logging import AverageMeter, Logger, MetricsWriter, time_since
@@ -236,7 +237,7 @@ def run_evaluation(
     data.build_steps(val_ds.ntoken, None, None, impl)
     from tf_vqa_regat_tpu.parallel.mesh import replicated
 
-    params = jax.device_put(params, replicated(mesh))
+    params = put_global_tree(params, replicated(mesh))
     return _run_eval(
         data.eval_call, params, data.eval_iter(), data.eval_steps,
         eval_loader.num_examples, cfg, 0, logger,
@@ -460,12 +461,12 @@ class _DataPath:
             for R, idx in self.train_store.epoch_indices_bucketed(
                 epoch, cfg.batch_size, self.buckets, True, cfg.seed
             ):
-                yield (R, jax.device_put(idx, self.bspec))
+                yield (R, put_global(idx, self.bspec))
         elif self.mode in ("sharded", "device"):
             for idx in self.train_store.epoch_indices(
                 epoch, cfg.batch_size, True, cfg.seed
             ):
-                yield jax.device_put(idx, self.bspec)
+                yield put_global(idx, self.bspec)
         else:
             yield from prefetch_to_device(
                 self.train_loader.epoch(epoch), self.bspec, depth=cfg.prefetch
@@ -477,12 +478,12 @@ class _DataPath:
             for R, idx in self.eval_store.epoch_indices_bucketed(
                 0, self.eval_batch, self.buckets, False, cfg.seed
             ):
-                yield (R, jax.device_put(idx, self.bspec))
+                yield (R, put_global(idx, self.bspec))
         elif self.mode in ("sharded", "device"):
             for idx in self.eval_store.epoch_indices(
                 0, self.eval_batch, False, cfg.seed
             ):
-                yield jax.device_put(idx, self.bspec)
+                yield put_global(idx, self.bspec)
         else:
             yield from prefetch_to_device(
                 self.eval_loader.epoch(0), self.bspec, depth=cfg.prefetch

@@ -32,10 +32,12 @@ def init_train_state(
 ) -> TrainState:
     """Build the train state placed against its explicit shardings (params per
     the TP rules, optimizer moments following them, scalars replicated)."""
+    from tf_vqa_regat_tpu.parallel.distributed import put_global, put_global_tree
+
     shardings = train_state_shardings(params, optimizer, mesh)
-    params = jax.device_put(params, shardings["params"])
+    params = put_global_tree(params, shardings["params"])
     opt_state = jax.jit(optimizer.init, out_shardings=shardings["opt_state"])(params)
-    step = jax.device_put(jnp.zeros((), jnp.int32), shardings["step"])
+    step = put_global(jnp.zeros((), jnp.int32), shardings["step"])
     return {"params": params, "opt_state": opt_state, "step": step}
 
 
