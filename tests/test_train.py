@@ -147,10 +147,9 @@ def test_two_step_training_decreases_loss_single_compile():
     assert int(jax.device_get(state["step"])) == len(losses)
 
 
-def test_overfit_small_dataset():
-    """Learning sanity: the full train step memorizes 16 examples — train
-    VQA score approaches the soft-target ceiling (reference's acceptance
-    signal is the training log's rising score curve, train.ipynb)."""
+def _overfit_run(compute_dtype: str):
+    """Shared harness: memorize 16 examples with the full train step; returns
+    (first metrics, last metrics, soft-target ceiling)."""
     from tf_vqa_regat_tpu.config import Config
     from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
     from tf_vqa_regat_tpu.data.loader import BatchLoader
@@ -163,6 +162,7 @@ def test_overfit_small_dataset():
         num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
         imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
         residual_connection=True, base_lr=1e-2, dropout=0.0,
+        compute_dtype=compute_dtype,
     )
     ds = synthetic_dataset(num_images=4, num_questions=16, v_dim=24, num_ans=9)
     ntoken = ds.dictionary.ntoken
@@ -188,9 +188,32 @@ def test_overfit_small_dataset():
     ceil = np.mean(
         [ent.scores[ent.label_offsets[i]:ent.label_offsets[i+1]].max() for i in range(16)]
     )
+    return first, last, ceil
+
+
+def test_overfit_small_dataset():
+    """Learning sanity: the full train step memorizes 16 examples — train
+    VQA score approaches the soft-target ceiling (reference's acceptance
+    signal is the training log's rising score curve, train.ipynb)."""
+    first, last, ceil = _overfit_run("float32")
     final_score = last["score"] / last["n"]
     assert last["loss"] < first["loss"] * 0.5, (first["loss"], last["loss"])
     assert final_score > 0.95 * ceil, (final_score, ceil)
+
+
+def test_overfit_bfloat16_compute():
+    """bf16 activations (compute_dtype=bfloat16, params/optimizer f32) must
+    still memorize the batch — the training dynamics tolerate bf16 matmul
+    rounding (SURVEY §7 / round-1 verdict's bf16 experiment; throughput side
+    in PERF_NOTES.md). TPU-only: the XLA:CPU thunk runtime has no
+    BF16xBF16=F32 dot, so the CPU suite skips this (the same experiment runs
+    on hardware via tools/bf16_experiment.py, results in PERF_NOTES.md)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("XLA:CPU lacks BF16 dot support (DotThunk UNIMPLEMENTED)")
+    first, last, ceil = _overfit_run("bfloat16")
+    final_score = last["score"] / last["n"]
+    assert last["loss"] < first["loss"] * 0.5, (first["loss"], last["loss"])
+    assert final_score > 0.90 * ceil, (final_score, ceil)
 
 
 @pytest.mark.parametrize("fusion", ["butd", "ban", "mutan"])
