@@ -201,6 +201,25 @@ def main(argv=None) -> None:
         score, loss, elapsed = run_evaluation(cfg, val_ds, params, logger)
         logger.write(f"Final eval score: {score:.4f}")
 
+    elif cfg.mode == "export_h5":
+        # Two-way migration: write an orbax-trained model as a
+        # reference-loadable keras .h5 (train/h5_export.py).
+        if not cfg.checkpoint:
+            raise ValueError("--mode export_h5 needs --checkpoint (an orbax dir)")
+        ntoken = val_ds.ntoken
+        abstract = init_regat(
+            jax.random.PRNGKey(cfg.seed), cfg, ntoken, val_ds.v_dim, val_ds.num_ans
+        )
+        params = ckpt.load_params(cfg.checkpoint, abstract)
+        from tf_vqa_regat_tpu.train.h5_export import export_reference_h5
+
+        os.makedirs(cfg.output, exist_ok=True)
+        path = os.path.join(
+            cfg.output, f"{cfg.relation_type}-{cfg.fusion}-pretrained_model.h5"
+        )
+        export_reference_h5(params, path, cfg, ntoken, val_ds.v_dim, val_ds.num_ans)
+        print(f"exported reference-loadable weights to {path}")
+
     elif cfg.mode == "ensemble_eval":
         from tf_vqa_regat_tpu.train.ensemble import run_ensemble_eval
 

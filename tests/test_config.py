@@ -58,3 +58,14 @@ def test_unknown_json_key_rejected(tmp_path):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_resolved_eval_batch():
+    from tf_vqa_regat_tpu.config import Config
+
+    # default: reference batch//4 contract, rounded to a dp multiple
+    assert Config(batch_size=256).resolved_eval_batch(1) == 64
+    assert Config(batch_size=8).resolved_eval_batch(8) == 8  # 2 -> rounded up
+    # explicit override wins and still rounds up
+    assert Config(batch_size=256, eval_batch=256).resolved_eval_batch(8) == 256
+    assert Config(batch_size=256, eval_batch=100).resolved_eval_batch(8) == 104

@@ -110,6 +110,32 @@ def _same_shape(a, b):
     assert np.shape(a) == np.shape(b), (np.shape(a), np.shape(b))
 
 
+def test_h5_export_roundtrip(tmp_path):
+    """Two-way migration: our params -> reference .h5 -> back, bit-exact.
+    The exported file must load in the reference's own model (that IS the
+    export path), and re-importing must reproduce every leaf exactly."""
+    from tf_vqa_regat_tpu.train.h5_export import export_reference_h5
+
+    params = init_regat(jax.random.PRNGKey(3), CFG, NTOKEN, V_DIM, NUM_ANS)
+    h5 = str(tmp_path / "exported.h5")
+    export_reference_h5(params, h5, CFG, NTOKEN, V_DIM, NUM_ANS)
+
+    back = import_reference_h5(h5, CFG, NTOKEN, V_DIM, NUM_ANS)
+    assert jax.tree.structure(back) == jax.tree.structure(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        back, params,
+    )
+
+    # and the reference's own load_weights accepts it (fresh model, by name)
+    model = _reference_model()
+    model.load_weights(h5)
+    np.testing.assert_array_equal(
+        model.w_emb.emb.embeddings.numpy(),
+        np.asarray(params["w_emb"]["emb"]["table"]),
+    )
+
+
 def test_h5_import_rejects_unsupported_combo(tmp_path):
     with pytest.raises(ValueError):
         import_reference_h5(

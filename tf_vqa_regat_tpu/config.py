@@ -64,7 +64,7 @@ class Config:
 
     # --- run control (main.py:94-95) ---
     print_freq: int = 500
-    mode: str = "train"  # train | eval | ensemble_eval
+    mode: str = "train"  # train | eval | ensemble_eval | export_h5
     # Three-branch ensemble eval (ReGAT paper headline setting; BASELINE
     # config #5): "implicit:PATH,spatial:PATH,semantic:PATH".
     ensemble_checkpoints: str = ""
@@ -78,10 +78,15 @@ class Config:
     # Static roi padding (reference padded to the per-batch max, dataset.py:329;
     # TPU needs static shapes). 0 = auto: 36 fixed / 100 adaptive.
     num_rois: int = 0
-    # bfloat16 matmuls (params stay float32). Off by default for fidelity —
-    # and measured slower on v5e: f32 inputs already take single bf16 MXU
-    # passes at default precision, so the explicit casts only add work.
+    # bfloat16 activations (params/optimizer stay float32). Off by default
+    # for exact reference parity; on v5e it is +9.5% train q/s (+15.4% with
+    # feature_dtype=bfloat16) with training dynamics indistinguishable from
+    # f32 — PERF_NOTES.md bf16 experiment. TPU-only (XLA:CPU lacks bf16 dots).
     compute_dtype: str = "float32"
+    # Eval batch size; 0 = the reference's batch_size//4 (main.py:118 — an
+    # artifact of its dynamic padding). With static masked shapes eval is
+    # fastest at the full train batch (+19% measured at 256 vs 64 on v5e).
+    eval_batch: int = 0
     # PRNG implementation for dropout masks: "threefry" (default, stable
     # cross-platform streams) or "rbg" (hardware RNG; ~15% faster train step
     # at these shapes — dropout masks are ~100M bits/step).
@@ -147,6 +152,12 @@ class Config:
         if self.num_rois > 0:
             return self.num_rois
         return 100 if self.adaptive else 36
+
+    def resolved_eval_batch(self, dp: int) -> int:
+        """Eval batch rounded up to a data-mesh multiple (the batch dim is
+        sharded over `dp` devices)."""
+        base = self.eval_batch if self.eval_batch > 0 else max(self.batch_size // 4, 1)
+        return -(-base // dp) * dp
 
     def parsed_roi_buckets(self):
         buckets = sorted(int(x) for x in self.roi_buckets.split(",") if x.strip())

@@ -92,7 +92,7 @@ def run_ensemble_eval(
     # batch//4 (reference main.py:118), rounded up to a data-mesh multiple so
     # the sharded batch dim stays divisible
     dp = mesh.shape["data"]
-    eval_batch = -(-max(cfg.batch_size // 4, 1) // dp) * dp
+    eval_batch = cfg.resolved_eval_batch(dp)
     R = cfg.resolved_num_rois()
     member_iters = []
     for rt, _ in members:

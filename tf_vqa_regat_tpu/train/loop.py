@@ -61,9 +61,7 @@ def run_training(
             f"batch_size {cfg.batch_size} must be divisible by the data-mesh "
             f"size {dp} (the batch dim is sharded over it)"
         )
-    # Reference eval batch is batch//4 (main.py:118); round up to a data-mesh
-    # multiple so the sharded batch dim stays divisible.
-    eval_batch = -(-max(cfg.batch_size // 4, 1) // dp) * dp
+    eval_batch = cfg.resolved_eval_batch(dp)
 
     train_loader = BatchLoader(
         train_ds, cfg.batch_size, R, shuffle=True, seed=cfg.seed,
@@ -224,10 +222,8 @@ def run_evaluation(
     the public eval CLI reaches the measured device-store eval throughput."""
     mesh = make_mesh(cfg.dp_size, cfg.tp_size)
     impl = resolve_impl(cfg)
-    # Reference eval batch is batch//4 (main.py:118); round up to a data-mesh
-    # multiple so the sharded batch dim stays divisible.
     dp = mesh.shape["data"]
-    eval_batch = -(-max(cfg.batch_size // 4, 1) // dp) * dp
+    eval_batch = cfg.resolved_eval_batch(dp)
     eval_loader = BatchLoader(
         val_ds, eval_batch, cfg.resolved_num_rois(), shuffle=False,
         include_adj=(cfg.relation_type in ("semantic", "spatial")),
