@@ -44,8 +44,9 @@ from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
 from tf_vqa_regat_tpu.models.regat import init_regat, resolve_impl, trainable_mask
 from tf_vqa_regat_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from tf_vqa_regat_tpu.train.optim import make_optimizer
+from tf_vqa_regat_tpu.train.loop import _block_batches
 from tf_vqa_regat_tpu.train.step import (
-    build_store_eval_step,
+    build_store_eval_block,
     build_store_train_step,
     init_train_state,
 )
@@ -112,6 +113,10 @@ def flagship_cfg() -> Config:
 # the padding waste of always-padding to 100 (+34% measured end-to-end;
 # PERF_NOTES.md). Compiles are one-time via the persistent cache.
 BUCKETS = [36, 64, 100]
+# Eval batches per dispatched program (lax.scan): eval is dispatch-latency
+# bound over the tunnel (device-busy ~7 ms vs ~23 ms wall per batch) — the
+# same blocking production eval uses (train/step.py build_store_eval_block).
+EVAL_BLOCK = 8
 
 
 def _epoch_batches(store, batch_size, bspec, shuffle, seed=0, epoch=0):
@@ -155,9 +160,9 @@ def main() -> None:
         for R in BUCKETS
     }
     eval_steps = {
-        R: build_store_eval_step(
+        R: build_store_eval_block(
             cfg.replace(num_rois=R), NTOKEN, mesh, impl, NUM_ANS,
-            store.padding_idx,
+            store.padding_idx, EVAL_BLOCK,
         )
         for R in BUCKETS
     }
@@ -202,19 +207,33 @@ def main() -> None:
     # Eval steps are independent programs, so the accumulator chain + final
     # fetch is what forces (and times) real execution — exactly what the
     # production _run_eval does.
-    eidxs = _epoch_batches(store, BATCH, bspec, shuffle=False)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    blkspec = NamedSharding(mesh, P(None, "data"))  # [K, B]: batch axis sharded
+    raw = store.epoch_indices_bucketed(0, BATCH, BUCKETS, False, 0)
+    eidxs = [
+        (R, jax.device_put(blk, blkspec), int((blk >= 0).sum()))
+        for R, blk in _block_batches(raw, EVAL_BLOCK, BATCH)
+    ]
     eval_flops = {}
-    for R, idx, _ in _warmup_batches(eidxs):
+    for R, blk, _ in _warmup_batches(eidxs):
         if R not in eval_flops:
-            eval_flops[R] = _step_flops(
-                eval_steps[R], state["params"], store.arrays, idx
+            # XLA's cost analysis counts a while-loop body ONCE regardless of
+            # trip count; the blocked program scans EVAL_BLOCK batches, so
+            # scale to get executed FLOPs per block (padded tail batches also
+            # execute — they are real device work).
+            eval_flops[R] = EVAL_BLOCK * _step_flops(
+                eval_steps[R], state["params"], store.arrays, blk
             )
-        m = eval_steps[R](state["params"], store.arrays, idx)
-    jax.device_get(m["loss"])
+        m = eval_steps[R](state["params"], store.arrays, blk)
+    # Warm the tiny accumulator-add program too: its one-time compile through
+    # the remote helper (~245 ms) otherwise lands inside the timed region
+    # (seen as a 245 ms device-idle gap in the trace; tools/profile_step.py).
+    jax.device_get(m["loss"] + m["loss"])
     t0 = time.perf_counter()
     acc = None
-    for R, idx, _ in eidxs:
-        m = eval_steps[R](state["params"], store.arrays, idx)
+    for R, blk, _ in eidxs:
+        m = eval_steps[R](state["params"], store.arrays, blk)
         acc = m["loss"] if acc is None else acc + m["loss"]
     jax.device_get(acc)
     eval_time = time.perf_counter() - t0

@@ -199,7 +199,7 @@ def main(argv=None) -> None:
         # Same data-path selection as training (device store / roi buckets /
         # host streaming) — see train/loop.py::run_evaluation.
         score, loss, elapsed = run_evaluation(cfg, val_ds, params, logger)
-        logger.write(f"Final eval score: {score:.4f}")
+        logger.write(f"Final eval score: {score:.4f} (eval loss {loss:.5f})")
 
     elif cfg.mode == "export_h5":
         # Two-way migration: write an orbax-trained model as a

@@ -24,3 +24,15 @@ jax.config.update("jax_enable_x64", False)
 # against float64/float32 numpy oracles, so pin full precision here. Production
 # runs keep the fast default (bf16 MXU passes on TPU).
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Pin the repo's main.py as the canonical `main` module. The cross-framework
+# parity tests (test_h5_import / test_reference_parity / test_trajectory, plus
+# train/h5_import.py at call time) put /root/reference — which ships its OWN
+# main.py — at sys.path[0], and pytest imports every collected test module
+# before running the first test. Without this pre-import, an `import main`
+# executed at test time (tests/test_compose.py) resolves to the reference's
+# main.py whenever those modules were collected in the same run.
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import main  # noqa: E402,F401

@@ -131,3 +131,54 @@ def test_bucketed_training_runs(tmp_path):
     val = synthetic_dataset(num_images=8, num_questions=32, v_dim=24, num_ans=7, seed=1)
     params, best = run_training(cfg, train, val)
     assert np.isfinite(best)
+
+
+def test_blocked_eval_matches_per_batch():
+    """build_store_eval_block (one lax.scan program over K index batches,
+    tail padded with -1 batches) must produce exactly the metrics of the
+    per-batch eval step stream — including a non-multiple-of-K tail."""
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.models.regat import init_regat
+    from tf_vqa_regat_tpu.parallel.mesh import make_mesh
+    from tf_vqa_regat_tpu.train.loop import _block_batches
+    from tf_vqa_regat_tpu.train.step import (
+        build_store_eval_block,
+        build_store_eval_step,
+    )
+
+    cfg = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+        batch_size=8, adaptive=True, num_rois=40,
+    )
+    ds = synthetic_dataset(num_images=8, num_questions=43, v_dim=24, num_ans=7)
+    store = DeviceStore(ds)
+    mesh = make_mesh()
+    params = init_regat(jax.random.PRNGKey(0), cfg, ds.ntoken, 24, 7)
+
+    batches = list(store.epoch_indices(0, 8, shuffle=False, seed=0))
+    assert len(batches) % 4 != 0  # force a padded tail at K=4
+
+    per_batch = build_store_eval_step(cfg, ds.ntoken, mesh, "jnp", 7, store.padding_idx)
+    want = {"loss_sum": 0.0, "score": 0.0, "n": 0.0}
+    for idx in batches:
+        m = jax.device_get(per_batch(params, store.arrays, jnp.asarray(idx)))
+        want["loss_sum"] += float(m["loss"]) * float(m["n"])
+        want["score"] += float(m["score"])
+        want["n"] += float(m["n"])
+
+    K = 4
+    blocked = build_store_eval_block(cfg, ds.ntoken, mesh, "jnp", 7, store.padding_idx, K)
+    got = {"loss_sum": 0.0, "score": 0.0, "n": 0.0}
+    items = list(_block_batches(((40, b) for b in batches), K, 8))
+    assert len(items) == -(-len(batches) // K)
+    for R, blk in items:
+        assert blk.shape == (K, 8)
+        m = jax.device_get(blocked(params, store.arrays, jnp.asarray(blk)))
+        got["loss_sum"] += float(m["loss"]) * float(m["n"])
+        got["score"] += float(m["score"])
+        got["n"] += float(m["n"])
+
+    assert got["n"] == want["n"] == 43
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-6)
+    np.testing.assert_allclose(got["loss_sum"], want["loss_sum"], rtol=1e-5)

@@ -78,15 +78,24 @@ class Config:
     # Static roi padding (reference padded to the per-batch max, dataset.py:329;
     # TPU needs static shapes). 0 = auto: 36 fixed / 100 adaptive.
     num_rois: int = 0
-    # bfloat16 activations (params/optimizer stay float32). Off by default
-    # for exact reference parity; on v5e it is +9.5% train q/s (+15.4% with
-    # feature_dtype=bfloat16) with training dynamics indistinguishable from
-    # f32 — PERF_NOTES.md bf16 experiment. TPU-only (XLA:CPU lacks bf16 dots).
+    # bfloat16 matmuls AND bf16 activation storage (params, optimizer,
+    # softmax statistics, and the answer logits stay float32). Off by default
+    # for exact reference parity; on v5e the full-bf16-activation mode is
+    # +12.5% train q/s over f32 on top of bf16 feature tables, with training
+    # dynamics indistinguishable from f32 — PERF_NOTES.md bf16 experiment.
+    # TPU-only (XLA:CPU lacks bf16 dots).
     compute_dtype: str = "float32"
     # Eval batch size; 0 = the reference's batch_size//4 (main.py:118 — an
     # artifact of its dynamic padding). With static masked shapes eval is
     # fastest at the full train batch (+19% measured at 256 vs 64 on v5e).
     eval_batch: int = 0
+    # Eval batches evaluated per dispatched program (device data mode): one
+    # jitted lax.scan over K index batches. Eval is dispatch-latency-bound
+    # over a tunneled TPU (device-busy ~7 ms vs ~23 ms wall per batch,
+    # tools/profile_step.py) — blocking amortizes the round trip K-fold.
+    # The tail block pads with -1 (invalid) batches; metrics are exact.
+    # 1 disables (one program per batch).
+    eval_block: int = 8
     # PRNG implementation for dropout masks: "threefry" (default, stable
     # cross-platform streams) or "rbg" (hardware RNG; ~15% faster train step
     # at these shapes — dropout masks are ~100M bits/step).

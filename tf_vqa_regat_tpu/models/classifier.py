@@ -33,4 +33,5 @@ def classifier_apply(
 ) -> jax.Array:
     x = jax.nn.relu(wn.wn_dense_apply(params["fc1"], x, compute_dtype))
     x = nn.dropout(x, drop_rate, train, rngs)
-    return wn.wn_dense_apply(params["fc2"], x, compute_dtype)
+    # Final answer logits stay f32: they feed sigmoid-BCE and the VQA score.
+    return wn.wn_dense_apply(params["fc2"], x, compute_dtype, out_dtype=jnp.float32)

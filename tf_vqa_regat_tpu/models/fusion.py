@@ -55,9 +55,9 @@ def butd_apply(
     v_att = lin(params["v2attention"], visual)  # [b, R, h]
     q_att = lin(params["q2attention"], question)[:, None, :]  # [b, 1, h]
     joint = nn.dropout(v_att * q_att, drop_rate, train, rngs)
-    logits = lin(params["linear"], joint)  # [b, R, 1]
+    logits = lin(params["linear"], joint).astype(jnp.float32)  # [b, R, 1]
     logits = jnp.where(roi_mask[..., None], logits, jnp.float32(-1e9))
-    weights = jax.nn.softmax(logits, axis=1)
+    weights = jax.nn.softmax(logits, axis=1)  # f32 softmax statistics
     weighted_visual = jnp.sum(weights * visual, axis=1)  # [b, v_dim]
     joint_emb = lin(params["visual_embed"], weighted_visual) * lin(
         params["question_embed"], question

@@ -124,7 +124,9 @@ def question_self_attention_apply(
     # linear2 has none (language_model.py:143).
     a = wn.fcnet_apply(params["linear1"], q_seq, None, drop_rate, train, rngs, compute_dtype)
     a = jnp.tanh(a)
-    logits = wn.fcnet_apply(params["linear2"], a, None, 0.0, train, rngs, compute_dtype)
+    logits = wn.fcnet_apply(
+        params["linear2"], a, None, 0.0, train, rngs, compute_dtype,
+    ).astype(jnp.float32)  # f32 softmax statistics
     b, T = logits.shape[0], logits.shape[1]
     if ref_compat:
         # Reproduce the reference's transcription bug exactly

@@ -136,7 +136,10 @@ def concat_visual_question(
     (reference relation_encoder.py:13-37; its mask of rows whose feature-sum
     is zero becomes the explicit validity mask here)."""
     b, R, _ = visual.shape
-    q = jnp.broadcast_to(question[:, None, :], (b, R, question.shape[-1]))
+    # Match the visual dtype: under bf16 activations a f32 question vector
+    # would silently promote the whole concat back to f32.
+    q = question.astype(visual.dtype)
+    q = jnp.broadcast_to(q[:, None, :], (b, R, q.shape[-1]))
     q = jnp.where(roi_mask[..., None], q, jnp.zeros_like(q))
     return jnp.concatenate([visual, q], axis=-1)
 

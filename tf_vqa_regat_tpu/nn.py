@@ -59,6 +59,15 @@ def dropout(
     if not train or rate <= 0.0:
         return x
     assert rngs is not None, "dropout in train mode needs an RngGen"
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rngs.next(), keep, x.shape)
-    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+    # 8 random bits per element instead of jax.random.bernoulli's 32:
+    # rng-bit generation was ~6% of the flagship train step (HBM-bound;
+    # tools/profile_step.py, PERF_NOTES.md). The drop probability quantizes
+    # to t/256 (0.2 -> 51/256 = 0.19922, 0.5 -> exactly 0.5); the
+    # inverted-dropout scale uses the quantized probability, so
+    # E[dropout(x)] == x still holds exactly.
+    t = int(round(rate * 256.0))
+    if t <= 0:
+        return x
+    bits = jax.random.bits(rngs.next(), x.shape, dtype=jnp.uint8)
+    scale = jnp.asarray(256.0 / (256 - t), x.dtype)
+    return jnp.where(bits >= t, x * scale, jnp.zeros_like(x))

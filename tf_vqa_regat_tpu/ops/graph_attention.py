@@ -113,7 +113,7 @@ def graph_attention_apply(
         "bnd,hdo->bnho",
         trunc.astype(compute_dtype),
         kernel,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compute_dtype,
     )  # [b, n, H, o] — see the associativity note below
 
     # Off-TPU (CPU test suite), impl="pallas" runs the same kernels in
@@ -141,21 +141,49 @@ def graph_attention_apply(
             layer.get("b"), key_mask, drop_rate, dropmask,
             interpret=interpret,
         )
-        return out.reshape(b, R, D) + params["out"]["b"]
-
-    if pos_emb is None and pos_mat is not None:
-        from tf_vqa_regat_tpu.ops.position import position_embedding
-
-        pos_emb = position_embedding(
-            pos_mat, params["pair_pos_fc"]["layers"][0]["v"].shape[0]
-        )
+        out = out.reshape(b, R, D)
+        return out + params["out"]["b"].astype(out.dtype)
 
     # Bias terms, all shaped [b, R, H, n] (or broadcastable).
     bias = jnp.zeros((b, R, 1, n), jnp.float32)
-    if pos_emb is not None:
-        # The pos FC is computed directly into [b, R, H, n] layout via einsum
-        # (equivalent to FCNet + transpose(0,1,3,2); a separate transpose of
-        # this tiny-trailing-dim tensor costs a full relayout on TPU).
+    if pos_emb is None and pos_mat is not None:
+        # Production implicit path: sinusoid + dropout + pos-FC + log chain.
+        # The [b, R, n, P] sinusoid (131 MB f32 at flagship shapes) was the
+        # hottest non-matmul tensor in the step — read by the fwd bias fusion
+        # AND the backward dW fusion of each direction
+        # (tools/profile_step.py). Computing it in compute_dtype halves that
+        # traffic under bf16 (+11% train q/s measured). NOTE: wrapping this
+        # chain in jax.checkpoint to drop the residual was tried and MEASURED
+        # SLOWER (-12%): the backward recompute costs more than the residual
+        # reads it saves. The dropout key is drawn explicitly (one rngs.next,
+        # same stream position as an inline nn.dropout).
+        layer = params["pair_pos_fc"]["layers"][0]
+        P = layer["v"].shape[0]
+        key = rngs.next() if (train and drop_rate > 0.0) else None
+
+        def pos_bias_chain(pos_mat, layer, key):
+            from tf_vqa_regat_tpu.ops.position import position_embedding
+
+            pe = position_embedding(pos_mat, P).astype(compute_dtype)
+            if key is not None:
+                pe = nn.dropout(pe, drop_rate, True, nn.RngGen(key))
+            pw = jnp.einsum(
+                "brnp,ph->brhn",
+                pe,
+                wn.wn_kernel(layer, compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            if "b" in layer:
+                pw = pw + layer["b"][None, None, :, None]
+            return jnp.log(jnp.maximum(jax.nn.relu(pw), 1e-6))
+
+        bias = bias + pos_bias_chain(pos_mat, layer, key)
+    elif pos_emb is not None:
+        # Pre-embedded pos_emb (explicit callers/tests): same math, the
+        # embedding arrives materialized. The pos FC is computed directly
+        # into [b, R, H, n] layout via einsum (equivalent to FCNet +
+        # transpose(0,1,3,2); a separate transpose of this tiny-trailing-dim
+        # tensor costs a full relayout on TPU).
         layer = params["pair_pos_fc"]["layers"][0]
         pe = nn.dropout(pos_emb, drop_rate, train, rngs)
         pw = jnp.einsum(
@@ -201,7 +229,8 @@ def graph_attention_apply(
             "brhn,bnho->brho",
             weights.astype(compute_dtype),
             vw.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=compute_dtype,
         )  # [b, R, H, o]
 
-    return out.reshape(b, R, D) + params["out"]["b"]
+    out = out.reshape(b, R, D)
+    return out + params["out"]["b"].astype(out.dtype)

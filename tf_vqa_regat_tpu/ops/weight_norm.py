@@ -49,11 +49,25 @@ def wn_dense_apply(
     params: Dict[str, Any],
     x: jax.Array,
     compute_dtype=jnp.float32,
+    out_dtype=None,
 ) -> jax.Array:
+    """Matmul in compute_dtype, output *stored* in compute_dtype too (TPU MXU
+    accumulates in f32 internally regardless of the requested output type).
+
+    Under compute_dtype=bfloat16 this keeps the whole activation chain in
+    bf16: profiling the flagship train step (tools/profile_step.py) showed
+    ~40% of device time in HBM-bound elementwise fusions and layout copies
+    over f32 activations — storing them bf16 halves that traffic. Callers
+    that need f32 outputs (softmax logits, the answer logits that feed the
+    loss) pass ``out_dtype=jnp.float32``."""
     kernel = wn_kernel(params, compute_dtype)
-    y = jnp.dot(x.astype(compute_dtype), kernel, preferred_element_type=jnp.float32)
+    y = jnp.dot(
+        x.astype(compute_dtype),
+        kernel,
+        preferred_element_type=out_dtype or compute_dtype,
+    )
     if "b" in params:
-        y = y + params["b"]
+        y = y + params["b"].astype(y.dtype)
     return y
 
 

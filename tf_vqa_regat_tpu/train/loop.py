@@ -282,6 +282,21 @@ def _run_eval(
     return score, mean_loss, elapsed
 
 
+def _block_batches(batches, K: int, batch_size: int):
+    """Group a stream of (R, idx[B]) eval batches into (R, idx_block[K, B])
+    blocks for build_store_eval_block, preserving stream order per bucket.
+    Tail blocks pad with all -1 (invalid) batches, which contribute zero to
+    the metrics (gather_batch marks idx<0 rows invalid)."""
+    pending: dict = {}
+    for R, idx in batches:
+        pending.setdefault(R, []).append(idx)
+        if len(pending[R]) == K:
+            yield R, np.stack(pending.pop(R))
+    for R, lst in pending.items():
+        pad = [np.full(batch_size, -1, np.int32)] * (K - len(lst))
+        yield R, np.stack(lst + pad)
+
+
 class _DataPath:
     """Unified data-path selection + step/iterator construction.
 
@@ -376,8 +391,23 @@ class _DataPath:
                 self.eval_steps = self.eval_store.bucketed_steps_per_epoch(
                     self.eval_batch, self.buckets
                 )
+            if max(cfg.eval_block, 1) > 1:
+                self.eval_steps = self._eval_block_count()
         else:
             self.train_store = self.eval_store = None
+
+    def _eval_block_count(self) -> int:
+        """Number of (R, [K, B]) blocks eval_iter will yield (for logging)."""
+        K = max(self.cfg.eval_block, 1)
+        if self.buckets:
+            bucket_of = self.eval_store._bucket_of(self.buckets)
+            per_bucket = [
+                int((bucket_of == i).sum()) for i in range(len(self.buckets))
+            ]
+            nbatches = [-(-c // self.eval_batch) for c in per_bucket if c > 0]
+            return sum(-(-b // K) for b in nbatches)
+        b = -(-self.eval_store.num_entries // self.eval_batch)
+        return -(-b // K)
 
     def build_steps(self, ntoken, optimizer, params, impl):
         """Construct train_call/eval_call. optimizer/params may be None for
@@ -407,18 +437,31 @@ class _DataPath:
             self.eval_call = lambda p, item: e(p, self.eval_store.arrays, item)
         elif self.mode == "device":
             from tf_vqa_regat_tpu.train.step import (
+                build_store_eval_block,
                 build_store_eval_step,
                 build_store_train_step,
             )
 
             sizes = self.buckets or [cfg.resolved_num_rois()]
-            e_by_R = {
-                R: build_store_eval_step(
-                    cfg.replace(num_rois=R), ntoken, mesh, impl,
-                    self.val_ds.num_ans, self.eval_store.padding_idx,
-                )
-                for R in sizes
-            }
+            K = max(cfg.eval_block, 1)
+            if K > 1:
+                # Blocked eval: one program evaluates K batches (dispatch
+                # latency amortization — build_store_eval_block docstring).
+                e_by_R = {
+                    R: build_store_eval_block(
+                        cfg.replace(num_rois=R), ntoken, mesh, impl,
+                        self.val_ds.num_ans, self.eval_store.padding_idx, K,
+                    )
+                    for R in sizes
+                }
+            else:
+                e_by_R = {
+                    R: build_store_eval_step(
+                        cfg.replace(num_rois=R), ntoken, mesh, impl,
+                        self.val_ds.num_ans, self.eval_store.padding_idx,
+                    )
+                    for R in sizes
+                }
             if has_train:
                 t_by_R = {
                     R: build_store_train_step(
@@ -470,12 +513,30 @@ class _DataPath:
 
     def eval_iter(self):
         cfg = self.cfg
-        if self.mode == "device" and self.buckets:
-            for R, idx in self.eval_store.epoch_indices_bucketed(
-                0, self.eval_batch, self.buckets, False, cfg.seed
-            ):
-                yield (R, put_global(idx, self.bspec))
-        elif self.mode in ("sharded", "device"):
+        if self.mode == "device":
+            if self.buckets:
+                batches = self.eval_store.epoch_indices_bucketed(
+                    0, self.eval_batch, self.buckets, False, cfg.seed
+                )
+            else:
+                R0 = cfg.resolved_num_rois()
+                batches = (
+                    (R0, idx)
+                    for idx in self.eval_store.epoch_indices(
+                        0, self.eval_batch, False, cfg.seed
+                    )
+                )
+            K = max(cfg.eval_block, 1)
+            if K > 1:
+                items = _block_batches(batches, K, self.eval_batch)
+            else:
+                items = batches
+            for R, idx in items:
+                if self.buckets:
+                    yield (R, put_global(idx, self._eval_spec(idx)))
+                else:
+                    yield put_global(idx, self._eval_spec(idx))
+        elif self.mode == "sharded":
             for idx in self.eval_store.epoch_indices(
                 0, self.eval_batch, False, cfg.seed
             ):
@@ -484,3 +545,14 @@ class _DataPath:
             yield from prefetch_to_device(
                 self.eval_loader.epoch(0), self.bspec, depth=cfg.prefetch
             )
+
+    def _eval_spec(self, idx):
+        """Sharding for an eval item: [B] batches shard over data; [K, B]
+        blocks shard the batch axis (axis 1) over data."""
+        if idx.ndim == 1:
+            return self.bspec
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+
+        return NamedSharding(self.mesh, P(None, DATA_AXIS))

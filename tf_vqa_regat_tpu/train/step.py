@@ -167,6 +167,67 @@ def build_store_eval_step(
     )
 
 
+def build_store_eval_block(
+    cfg: Config, ntoken: int, mesh, impl: str, num_ans: int, padding_idx: int,
+    block: int,
+):
+    """Evaluate `block` index batches in ONE dispatched program via lax.scan.
+
+    Eval steps are independent programs, so unlike the donated-state train
+    chain they cannot hide the host->device dispatch round trip; over the
+    tunneled v5e that latency dominated (device-busy ~7 ms vs ~23 ms wall per
+    batch — tools/profile_step.py). Scanning K batches per program amortizes
+    the round trip K-fold and lets XLA pipeline the gathers.
+
+    Signature: (params, arrays, idx_block [K, B]) -> {"loss", "score", "n"}
+    with "score"/"n" summed over the block and "loss" the block's
+    valid-weighted mean — the same contract per item as the per-batch step,
+    so _run_eval's accumulation (loss * n) stays exact. Tail blocks pad with
+    all -1 (invalid) index batches, which contribute n=0.
+    """
+    from tf_vqa_regat_tpu.data.device_store import gather_batch
+
+    R = cfg.resolved_num_rois()
+    sp_mesh = mesh if cfg.sp_rois else None
+
+    def eval_block(params, arrays, idx_block):
+        def body(acc, idx):
+            batch = gather_batch(arrays, idx, R, num_ans, padding_idx)
+            m = _eval_core(params, batch, cfg, ntoken, impl, sp_mesh)
+            return (
+                {
+                    "loss_sum": acc["loss_sum"] + m["loss"] * m["n"],
+                    "score": acc["score"] + m["score"],
+                    "n": acc["n"] + m["n"],
+                },
+                None,
+            )
+
+        zeros = {
+            "loss_sum": jnp.zeros(()),
+            "score": jnp.zeros(()),
+            "n": jnp.zeros(()),
+        }
+        acc, _ = jax.lax.scan(body, zeros, idx_block)
+        return {
+            "loss": acc["loss_sum"] / jnp.maximum(acc["n"], 1.0),
+            "score": acc["score"],
+            "n": acc["n"],
+        }
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+
+    rep = replicated(mesh)
+    block_sh = NamedSharding(mesh, P(None, DATA_AXIS))  # [K, B]: B data-sharded
+    return jax.jit(
+        eval_block,
+        in_shardings=(None, rep, block_sh),
+        out_shardings=rep,
+    )
+
+
 def build_eval_step(
     cfg: Config, ntoken: int, mesh, impl: str
 ) -> Callable[[Any, Dict[str, jax.Array]], Dict[str, jax.Array]]:
