@@ -177,3 +177,82 @@ def test_ntoken_snapshot_survives_dictionary_extension():
     loader = BatchLoader(ds, 4, 12, shuffle=False)
     last = list(loader.epoch(0))[-1]  # padded final batch uses the snapshot
     assert (last["question"][last["valid"] == False] == orig_ntoken).all()  # noqa: E712
+
+
+def _pack_oracle(ds, idx, B, R, include_adj=False):
+    """Per-entry reference collation (the pre-vectorization BatchLoader loop,
+    itself mirroring reference dataset.py:288-355) — the oracle the one-gather
+    vectorized _pack must match exactly."""
+    ent, store = ds.entries, ds.store
+    features = np.zeros((B, R, store.v_dim), np.float32)
+    norm_bb = np.zeros((B, R, store.s_dim), np.float32)
+    bb = np.zeros((B, R, 4), np.float32)
+    num_boxes = np.zeros((B,), np.int32)
+    target = np.zeros((B, ds.num_ans), np.float32)
+    valid = np.zeros((B,), bool)
+    adj_source = store.semantic_adj if include_adj else None
+    adj = np.zeros((B, R, R), np.int32) if adj_source is not None else None
+    for row, entry_i in enumerate(idx):
+        img = ent.image_index[entry_i]
+        f, nb, rb = store.image_slice(img)
+        nbox = min(len(f), R)
+        features[row, :nbox] = f[:nbox]
+        norm_bb[row, :nbox] = nb[:nbox]
+        bb[row, :nbox] = rb[:nbox]
+        num_boxes[row] = nbox
+        s, e = ent.label_offsets[entry_i], ent.label_offsets[entry_i + 1]
+        target[row, ent.labels[s:e]] = ent.scores[s:e]
+        valid[row] = True
+        if adj is not None:
+            a = adj_source[img]
+            k = min(a.shape[0], R)
+            adj[row, :k, :k] = a[:k, :k]
+    question = np.full((B, ent.q_tokens.shape[1]), ds.padding_idx, np.int32)
+    question[: len(idx)] = ent.q_tokens[idx]
+    out = dict(features=features, norm_bb=norm_bb, question=question, bb=bb,
+               target=target, num_boxes=num_boxes, valid=valid)
+    if adj is not None:
+        out["adj_label"] = adj
+    return out
+
+
+@pytest.mark.parametrize("adaptive", [True, False])
+def test_vectorized_pack_matches_per_entry_oracle(adaptive):
+    """BatchLoader's one-gather pack (table precomputed in
+    _ensure_gather_table) must reproduce the per-entry loop bit-exactly,
+    including the padded final batch, zeroed pad rois, and ragged soft-target
+    scatter."""
+    ds = synthetic_dataset(
+        num_images=6, num_questions=23, v_dim=12, num_ans=9,
+        adaptive=adaptive, semantic=True,
+    )
+    R = 40 if adaptive else 36
+    loader = BatchLoader(ds, 8, R, shuffle=False, include_adj=True)
+    order = np.arange(len(ds))
+    for start in range(0, len(ds), 8):
+        idx = order[start : start + 8]
+        got = loader._pack(idx)
+        want = _pack_oracle(ds, idx, 8, R, include_adj=True)
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_pack_bf16_wire_format():
+    """feature_dtype='bfloat16' rounds ONLY the features (boxes stay f32 —
+    spatial-graph labels are discrete in them) and is pure input rounding."""
+    import ml_dtypes
+
+    ds = synthetic_dataset(num_images=4, num_questions=8, v_dim=8, num_ans=5)
+    f32 = next(iter(BatchLoader(ds, 8, 36, shuffle=False).epoch(0)))
+    b16 = next(
+        iter(BatchLoader(ds, 8, 36, shuffle=False, feature_dtype="bfloat16").epoch(0))
+    )
+    assert b16["features"].dtype == ml_dtypes.bfloat16
+    assert b16["bb"].dtype == np.float32 and b16["norm_bb"].dtype == np.float32
+    np.testing.assert_array_equal(
+        b16["features"].astype(np.float32),
+        f32["features"].astype(ml_dtypes.bfloat16).astype(np.float32),
+    )
+    for k in ("norm_bb", "bb", "target", "question", "num_boxes", "valid"):
+        np.testing.assert_array_equal(b16[k], f32[k])

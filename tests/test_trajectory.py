@@ -58,6 +58,11 @@ def _cfg(**kw):
 
 @pytest.fixture(scope="module")
 def setup():
+    # The reference model's random init draws from TF's GLOBAL RNG; pin it so
+    # the init (and hence the magnitude of the quirk-on/quirk-off output
+    # difference asserted below) does not depend on which other TF-using test
+    # modules ran earlier in the session.
+    tf.keras.utils.set_random_seed(1234)
     cfg = _cfg()
     ds = synthetic_dataset(
         num_images=8, num_questions=64, v_dim=V_DIM, num_ans=NUM_ANS,

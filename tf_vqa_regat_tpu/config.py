@@ -130,8 +130,12 @@ class Config:
     # (data/sharded_store.py).
     data_mode: str = "auto"
     device_store_budget_gb: float = 8.0
-    # Device-store table dtype: "bfloat16" halves resident footprint +
-    # gather traffic (re-widened to f32 at gather; input-rounding only).
+    # Feature dtype on the device path AND the host-streaming wire:
+    # "bfloat16" halves the device-store resident footprint + gather traffic
+    # (re-widened to f32 at gather) and halves host->device bytes/batch when
+    # streaming (~214 -> ~109 MB at flagship shapes — the tunnel transfer is
+    # the host path's bottleneck, PERF_NOTES.md). Input-rounding only; box
+    # tables stay float32 (spatial-graph labels are discrete in them).
     feature_dtype: str = "float32"
     # Roi bucketing (device data mode): comma-separated static roi sizes,
     # e.g. "36,64,100" — homogeneous-size batches route to per-size compiled

@@ -22,6 +22,7 @@ from typing import Dict, Iterator, Optional
 
 import jax
 import numpy as np
+from ml_dtypes import bfloat16 as jnp_bfloat16  # numpy-compatible bf16 scalar
 
 from tf_vqa_regat_tpu.data.features import VQADataset
 
@@ -35,6 +36,7 @@ class BatchLoader:
         shuffle: bool,
         seed: int = 42,
         include_adj: bool = False,
+        feature_dtype: str = "float32",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -42,8 +44,15 @@ class BatchLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.include_adj = include_adj
+        # Wire format of the (dominant) feature tensor: "bfloat16" halves
+        # host->device bytes (~200 MB/batch at flagship shapes -> ~100 MB);
+        # box tables stay float32 (they feed the discrete spatial-graph
+        # classifier — see device_store.DeviceStore docstring).
+        self.feature_dtype = feature_dtype
         n = len(dataset)
         self.steps_per_epoch = (n + batch_size - 1) // batch_size
+        self._rows: Optional[np.ndarray] = None  # [num_img, R] gather table
+        self._nbox: Optional[np.ndarray] = None  # [num_img] boxes per image
 
     def __len__(self) -> int:
         return self.steps_per_epoch
@@ -63,50 +72,86 @@ class BatchLoader:
             idx = order[start : start + self.batch_size]
             yield self._pack(idx)
 
+    def _ensure_gather_table(self) -> None:
+        """Precompute the per-image [num_img, R] flat-row gather table once.
+
+        Replaces the per-entry python slice loop (the reference's collation
+        pattern, dataset.py:288-355): packing a flagship batch entry-by-entry
+        measured 1.98 s/batch (130 q/s) — slower than the train step it feeds.
+        One fancy-index gather over this table packs the same batch in tens of
+        milliseconds (PERF_NOTES.md, host-path study)."""
+        if self._nbox is not None:
+            return
+        store, R = self.dataset.store, self.num_rois
+        r = np.arange(R, dtype=np.int64)[None, :]
+        if store.adaptive:
+            pos = store.pos_boxes
+            counts = (pos[:, 1] - pos[:, 0]).astype(np.int32)
+            self._nbox = np.minimum(counts, R)
+            rows = pos[:, :1].astype(np.int64) + r  # [num_img, R]
+            # pad slots point at row 0 (any valid row); they are zeroed after
+            # the gather, matching device_store.gather_batch semantics
+            self._rows = np.where(r < self._nbox[:, None], rows, 0)
+        else:
+            k = min(store.features.shape[1], R)
+            self._nbox = np.full(store.features.shape[0], k, np.int32)
+            self._rows = None  # fixed layout: direct [img, :k] slicing
+
     def _pack(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         ds = self.dataset
         ent = ds.entries
         store = ds.store
         B, R = self.batch_size, self.num_rois
         n_real = len(idx)
+        self._ensure_gather_table()
+
+        imgs = ent.image_index[idx]  # [n_real]
+        nbox = self._nbox[imgs]
+        roi_pad = np.arange(R, dtype=np.int32)[None, :] >= nbox[:, None]
 
         features = np.zeros((B, R, store.v_dim), np.float32)
         norm_bb = np.zeros((B, R, store.s_dim), np.float32)
         bb = np.zeros((B, R, 4), np.float32)
-        num_boxes = np.zeros((B,), np.int32)
-        target = np.zeros((B, ds.num_ans), np.float32)
-        valid = np.zeros((B,), bool)
-        # Precomputed edge labels: semantic from the HDF5 semantic_adj_matrix,
-        # spatial from image_adj_matrix when present (reference
-        # dataset.py:210-224); spatial otherwise falls back to the in-jit
-        # builder (models/regat.py).
-        adj_source = None
-        if self.include_adj:
-            if ds.relation_type == "semantic":
-                adj_source = store.semantic_adj
-            elif ds.relation_type == "spatial":
-                adj_source = store.spatial_adj
-        adj = np.zeros((B, R, R), np.int32) if adj_source is not None else None
+        if store.adaptive:
+            rows = self._rows[imgs].reshape(-1)  # [n_real * R]
 
-        for row, entry_i in enumerate(idx):
-            img = ent.image_index[entry_i]
-            f, nb, rb = store.image_slice(img)
-            nbox = min(len(f), R)
-            features[row, :nbox] = f[:nbox]
-            norm_bb[row, :nbox] = nb[:nbox]
-            bb[row, :nbox] = rb[:nbox]
-            num_boxes[row] = nbox
-            s, e = ent.label_offsets[entry_i], ent.label_offsets[entry_i + 1]
-            target[row, ent.labels[s:e]] = ent.scores[s:e]
-            valid[row] = True
-            if adj is not None:
-                a = adj_source[img]
-                k = min(a.shape[0], R)
-                adj[row, :k, :k] = a[:k, :k]
+            def take(tab, out):
+                g = tab[rows].reshape(n_real, R, tab.shape[-1])
+                g[roi_pad] = 0.0  # zero padded rois (gather_batch parity)
+                out[:n_real] = g
+
+            take(store.features, features)
+            take(store.normalized_bb, norm_bb)
+            take(store.bb, bb)
+        else:
+            k = min(store.features.shape[1], R)
+            features[:n_real, :k] = store.features[imgs, :k]
+            norm_bb[:n_real, :k] = store.normalized_bb[imgs, :k]
+            bb[:n_real, :k] = store.bb[imgs, :k]
+
+        num_boxes = np.zeros((B,), np.int32)
+        num_boxes[:n_real] = nbox
+        valid = np.zeros((B,), bool)
+        valid[:n_real] = True
+
+        # Soft targets: ragged (entry -> labels/scores) scatter, vectorized
+        # with the repeat/cumsum trick over the offset table.
+        target = np.zeros((B, ds.num_ans), np.float32)
+        starts = ent.label_offsets[idx]
+        lens = (ent.label_offsets[idx + 1] - starts).astype(np.int64)
+        total = int(lens.sum())
+        if total:
+            row_ids = np.repeat(np.arange(n_real), lens)
+            flat = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+            flat = flat + np.repeat(starts, lens)
+            target[row_ids, ent.labels[flat]] = ent.scores[flat]
 
         question = np.zeros((B, ent.q_tokens.shape[1]), np.int32)
         question[:n_real] = ent.q_tokens[idx]
         question[n_real:] = ds.padding_idx
+
+        if self.feature_dtype == "bfloat16":
+            features = features.astype(jnp_bfloat16)
 
         batch = {
             "features": features,
@@ -117,7 +162,21 @@ class BatchLoader:
             "num_boxes": num_boxes,
             "valid": valid,
         }
-        if adj is not None:
+
+        # Precomputed edge labels: semantic from the HDF5 semantic_adj_matrix,
+        # spatial from image_adj_matrix when present (reference
+        # dataset.py:210-224); spatial otherwise falls back to the in-jit
+        # builder (models/regat.py).
+        adj_source = None
+        if self.include_adj:
+            if ds.relation_type == "semantic":
+                adj_source = store.semantic_adj
+            elif ds.relation_type == "spatial":
+                adj_source = store.spatial_adj
+        if adj_source is not None:
+            adj = np.zeros((B, R, R), np.int32)
+            k = min(adj_source.shape[1], R)
+            adj[:n_real, :k, :k] = adj_source[imgs][:, :k, :k]
             batch["adj_label"] = adj
         return batch
 

@@ -100,6 +100,7 @@ def run_ensemble_eval(
         loader = BatchLoader(
             member_ds, eval_batch, R, shuffle=False,
             include_adj=(rt in ("semantic", "spatial")),
+            feature_dtype=cfg.feature_dtype,
         )
         member_iters.append(
             prefetch_to_device(loader.epoch(0), bspec, depth=cfg.prefetch)

@@ -65,11 +65,11 @@ def run_training(
 
     train_loader = BatchLoader(
         train_ds, cfg.batch_size, R, shuffle=True, seed=cfg.seed,
-        include_adj=include_adj,
+        include_adj=include_adj, feature_dtype=cfg.feature_dtype,
     )
     eval_loader = BatchLoader(
         val_ds, eval_batch, R, shuffle=False,
-        include_adj=include_adj,
+        include_adj=include_adj, feature_dtype=cfg.feature_dtype,
     )
     steps_per_epoch = len(train_loader)
     ntoken = train_ds.ntoken
@@ -227,6 +227,7 @@ def run_evaluation(
     eval_loader = BatchLoader(
         val_ds, eval_batch, cfg.resolved_num_rois(), shuffle=False,
         include_adj=(cfg.relation_type in ("semantic", "spatial")),
+        feature_dtype=cfg.feature_dtype,
     )
     bspec = batch_sharding(mesh)
     data = _DataPath(cfg, None, val_ds, None, eval_loader, mesh, bspec)
