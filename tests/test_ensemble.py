@@ -28,3 +28,48 @@ def test_probability_averaging_changes_argmax():
     l3 = jnp.asarray([[0.0, 2.0]])
     probs = sum(jax.nn.sigmoid(l) for l in (l1, l2, l3)) / 3
     assert int(jnp.argmax(probs)) == 1
+
+
+def test_device_ensemble_matches_host_ensemble(tmp_path):
+    """The fused device-store ensemble program (one jitted scan gathering
+    every member from shared feature tables) must reproduce the host-streaming
+    ensemble score exactly — including adjacency handling (semantic member
+    gets the HDF5 label table, implicit gets none) and the padded tail."""
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+    from tf_vqa_regat_tpu.models.regat import init_regat
+    from tf_vqa_regat_tpu.parallel.mesh import make_mesh
+    from tf_vqa_regat_tpu.train import checkpoint as ckpt
+    from tf_vqa_regat_tpu.train.ensemble import run_ensemble_eval
+    from tf_vqa_regat_tpu.train.logging import Logger
+
+    ds = synthetic_dataset(
+        num_images=8, num_questions=43, v_dim=16, num_ans=7, adaptive=True,
+        semantic=True, name="val",
+    )
+    mesh = make_mesh()
+    paths = {}
+    base = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", batch_size=16, adaptive=True,
+        num_rois=40, eval_block=4,
+    )
+    for rt in ("implicit", "semantic"):
+        params = init_regat(
+            jax.random.PRNGKey(hash(rt) % 2**31), base.replace(relation_type=rt),
+            ds.ntoken, 16, 7,
+        )
+        paths[rt] = ckpt.save_params_only(str(tmp_path / rt), rt, "butd", params)
+
+    spec = ",".join(f"{rt}:{p}" for rt, p in paths.items())
+    logger = Logger(str(tmp_path / "log.txt"))
+    scores = {}
+    for mode in ("device", "host"):
+        cfg = base.replace(
+            ensemble_checkpoints=spec, data_mode=mode, mode="ensemble_eval",
+        )
+        scores[mode] = run_ensemble_eval(cfg, ds, mesh, "jnp", logger)
+    assert scores["device"] == pytest.approx(scores["host"], rel=1e-6)
+    # device path was actually taken (log carries the data= tag)
+    log = open(tmp_path / "log.txt").read()
+    assert "data=device" in log and "data=host" in log

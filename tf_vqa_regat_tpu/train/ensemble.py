@@ -47,7 +47,8 @@ def parse_members(spec: str) -> List[Tuple[str, str]]:
 
 
 def build_member_step(cfg: Config, ntoken: int, mesh, impl: str):
-    """Jitted per-member probability step: batch -> sigmoid answer probs."""
+    """Jitted per-member probability step: batch -> sigmoid answer probs
+    (host-streaming path)."""
 
     def step(params, batch):
         logits = apply_regat(params, cfg, batch, ntoken, train=False, impl=impl)
@@ -60,6 +61,103 @@ def build_member_step(cfg: Config, ntoken: int, mesh, impl: str):
     )
 
 
+def build_ensemble_block(
+    member_cfgs: List[Config],
+    ntoken: int,
+    mesh,
+    impl: str,
+    num_ans: int,
+    padding_idx: int,
+    block: int,
+):
+    """ONE jitted program evaluating every ensemble member on `block` index
+    batches (device data mode): per batch, gather each member's inputs from
+    its (feature-shared) device tables, average the members' sigmoid answer
+    probabilities, and accumulate the VQA score on device. Fusing the members
+    into a single program removes the per-member dispatch round trips of the
+    host path (3 members x ~27 ms tunnel latency per batch) and lets XLA
+    schedule the members back-to-back.
+
+    Signature: (params_tuple, arrays_tuple, idx_block [K, B])
+               -> {"score": sum, "n": valid count}
+    Tail blocks pad with -1 index batches (n == 0), as build_store_eval_block.
+    """
+    from tf_vqa_regat_tpu.data.device_store import gather_batch
+
+    R = member_cfgs[0].resolved_num_rois()
+
+    def one_batch(params_tuple, arrays_tuple, idx):
+        probs = None
+        ref = None
+        for mcfg, params, arrays in zip(member_cfgs, params_tuple, arrays_tuple):
+            batch = gather_batch(arrays, idx, R, num_ans, padding_idx)
+            ref = batch  # entries identical across members; keep any
+            logits = apply_regat(params, mcfg, batch, ntoken, train=False, impl=impl)
+            p = jax.nn.sigmoid(logits)
+            probs = p if probs is None else probs + p
+        probs = probs / len(member_cfgs)
+        return (
+            vqa_score_sum(probs, ref["target"], ref["valid"]),
+            jnp.sum(ref["valid"].astype(jnp.float32)),
+        )
+
+    def ensemble_block(params_tuple, arrays_tuple, idx_block):
+        def body(acc, idx):
+            s, n = one_batch(params_tuple, arrays_tuple, idx)
+            return {"score": acc["score"] + s, "n": acc["n"] + n}, None
+
+        zeros = {"score": jnp.zeros(()), "n": jnp.zeros(())}
+        acc, _ = jax.lax.scan(body, zeros, idx_block)
+        return acc
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+
+    rep = replicated(mesh)
+    block_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(
+        ensemble_block,
+        in_shardings=(None, rep, block_sh),
+        out_shardings=rep,
+    )
+
+
+def _member_device_arrays(val_ds: VQADataset, members, mesh, feature_dtype: str):
+    """Per-member device array dicts SHARING the feature/box/question tables
+    (uploaded once); only the adjacency table differs per relation type
+    (semantic: HDF5 label table; spatial: precomputed table when present,
+    else the in-jit builder runs from bb; implicit: none)."""
+    import dataclasses as _dc
+
+    from tf_vqa_regat_tpu.data.device_store import DeviceStore
+
+    rep = replicated(mesh)
+    base = DeviceStore(
+        _dc.replace(val_ds, relation_type="implicit"),
+        sharding=rep,
+        include_adj=False,
+        feature_dtype=feature_dtype,
+    )
+    adj_cache = {}
+    arrays_tuple = []
+    for rt, _ in members:
+        arrays = dict(base.arrays)
+        src = None
+        if rt == "semantic":
+            src = val_ds.store.semantic_adj
+        elif rt == "spatial":
+            src = val_ds.store.spatial_adj
+        if src is not None:
+            if rt not in adj_cache:
+                import numpy as np
+
+                adj_cache[rt] = jax.device_put(src.astype(np.int8), rep)
+            arrays["adj"] = adj_cache[rt]
+        arrays_tuple.append(arrays)
+    return base, tuple(arrays_tuple)
+
+
 def run_ensemble_eval(
     cfg: Config,
     val_ds: VQADataset,
@@ -67,10 +165,13 @@ def run_ensemble_eval(
     impl: str,
     logger: Logger,
 ) -> float:
-    """Returns the ensemble VQA score (%)."""
+    """Returns the ensemble VQA score (%). Data path mirrors run_evaluation:
+    device-store gather (feature tables uploaded once, shared across members;
+    supports --roi_buckets and --eval_block) when the tables fit the budget,
+    host streaming otherwise."""
     ntoken = val_ds.ntoken
     members = parse_members(cfg.ensemble_checkpoints)
-    steps = []
+    member_params = []
     for rt, path in members:
         mcfg = cfg.replace(relation_type=rt)
         abstract = init_regat(
@@ -79,8 +180,78 @@ def run_ensemble_eval(
         from tf_vqa_regat_tpu.parallel.distributed import put_global_tree
 
         params = put_global_tree(ckpt.load_params(path, abstract), replicated(mesh))
-        steps.append((rt, build_member_step(mcfg, ntoken, mesh, impl), params))
+        member_params.append(params)
         logger.write(f"[ensemble] loaded {rt} member from {path}")
+
+    from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
+
+    need_adj = any(rt != "implicit" for rt, _ in members)
+    fits = estimate_nbytes(
+        val_ds, include_adj=need_adj, feature_dtype=cfg.feature_dtype
+    ) <= cfg.device_store_budget_gb * 1e9
+    if cfg.data_mode == "device" or (cfg.data_mode == "auto" and fits):
+        return _run_ensemble_device(
+            cfg, val_ds, mesh, impl, logger, members, member_params
+        )
+    return _run_ensemble_host(cfg, val_ds, mesh, impl, logger, members, member_params)
+
+
+def _run_ensemble_device(cfg, val_ds, mesh, impl, logger, members, member_params):
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+    from tf_vqa_regat_tpu.train.loop import _block_batches
+
+    ntoken = val_ds.ntoken
+    base, arrays_tuple = _member_device_arrays(
+        val_ds, members, mesh, cfg.feature_dtype
+    )
+    params_tuple = tuple(member_params)
+    dp = mesh.shape["data"]
+    eval_batch = cfg.resolved_eval_batch(dp)
+    K = max(cfg.eval_block, 1)
+    buckets = cfg.parsed_roi_buckets()
+    sizes = buckets or [cfg.resolved_num_rois()]
+    steps_by_R = {
+        R: build_ensemble_block(
+            [cfg.replace(relation_type=rt, num_rois=R) for rt, _ in members],
+            ntoken, mesh, impl, val_ds.num_ans, base.padding_idx, K,
+        )
+        for R in sizes
+    }
+    if buckets:
+        batches = base.epoch_indices_bucketed(
+            0, eval_batch, buckets, False, cfg.seed
+        )
+    else:
+        R0 = sizes[0]
+        batches = (
+            (R0, idx)
+            for idx in base.epoch_indices(0, eval_batch, False, cfg.seed)
+        )
+    blkspec = NamedSharding(mesh, P(None, DATA_AXIS))
+    start = time.time()
+    score = None
+    n = None
+    for R, blk in _block_batches(batches, K, eval_batch):
+        m = steps_by_R[R](params_tuple, arrays_tuple, jax.device_put(blk, blkspec))
+        score = m["score"] if score is None else score + m["score"]
+        n = m["n"] if n is None else n + m["n"]
+    score_pct = 100.0 * float(jax.device_get(score)) / max(float(jax.device_get(n)), 1.0)
+    logger.write(
+        f"[ensemble] members={[rt for rt, _ in members]} data=device "
+        f"score={score_pct:.4f} ({time.time()-start:.1f}s)"
+    )
+    return score_pct
+
+
+def _run_ensemble_host(cfg, val_ds, mesh, impl, logger, members, member_params):
+    ntoken = val_ds.ntoken
+    steps = []
+    for (rt, _), params in zip(members, member_params):
+        mcfg = cfg.replace(relation_type=rt)
+        steps.append((rt, build_member_step(mcfg, ntoken, mesh, impl), params))
 
     # Per-member loaders: each relation type needs its own adjacency in the
     # batch (semantic: the label table; spatial: precomputed if the HDF5 has
@@ -120,7 +291,7 @@ def run_ensemble_eval(
         n = n + jnp.sum(ref_batch["valid"].astype(jnp.float32))
     score_pct = 100.0 * float(jax.device_get(score)) / max(float(jax.device_get(n)), 1.0)
     logger.write(
-        f"[ensemble] members={[rt for rt, _ in members]} "
+        f"[ensemble] members={[rt for rt, _ in members]} data=host "
         f"score={score_pct:.4f} ({time.time()-start:.1f}s)"
     )
     return score_pct
