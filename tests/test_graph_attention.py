@@ -240,3 +240,82 @@ def test_broadcast_adj_labels():
     assert oh[0, 1, 0] == 1  # label 1 -> slice 0
     assert oh[1, 0].sum() == 0  # self loop 12 dropped at label_num=11
     assert oh[1, 1, 10] == 1  # label 11 -> slice 10
+
+
+def _gatt_params(key, dims=48, heads=4, pos_dim=16, label_num=5, label_bias=True):
+    from tf_vqa_regat_tpu.models.relation import gatt_net_init
+
+    return gatt_net_init(
+        key, dir_num=2, label_num=label_num, in_feat_dim=dims, out_feat_dim=dims,
+        num_heads=heads, pos_emb_dim=pos_dim, label_bias=label_bias,
+        use_label_bias_net=(pos_dim <= 0),
+    )
+
+
+def test_folded_dual_attention_matches_unfolded_implicit():
+    """graph_attention_apply_dual (one 2H-head program) must equal the two
+    per-direction calls summed — implicit path (pos_mat bias chain), eval
+    mode (no dropout, so the fold's shared-mask deviation is inert)."""
+    from tf_vqa_regat_tpu.models.relation import gatt_net_apply
+
+    b, R, D, H, n = 3, 17, 48, 4, 6
+    key = jax.random.PRNGKey(0)
+    params = _gatt_params(key, dims=D, heads=H, pos_dim=16)
+    v = jax.random.normal(jax.random.PRNGKey(1), (b, R, D))
+    pos_mat = jax.random.normal(jax.random.PRNGKey(2), (b, R, n, 4)) * 0.3
+    roi_mask = jnp.arange(R)[None, :] < jnp.asarray([17, 9, 4])[:, None]
+
+    kw = dict(nongt_dim=n, num_heads=H, roi_mask=roi_mask, pos_mat=pos_mat,
+              drop_rate=0.2, train=False, rngs=None)
+    folded = gatt_net_apply(params, v, fold=True, **kw)
+    dual = gatt_net_apply(params, v, fold=False, **kw)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(dual), atol=2e-5)
+
+
+def test_folded_dual_attention_matches_unfolded_explicit():
+    """Same, explicit path: per-direction adjacency masks (adj and adjT) and
+    per-edge-label biases must land on the right head blocks of the folded
+    2H computation."""
+    from tf_vqa_regat_tpu.models.relation import gatt_net_apply
+
+    b, R, D, H, n, L = 3, 13, 48, 4, 6, 5
+    params = _gatt_params(jax.random.PRNGKey(3), dims=D, heads=H, pos_dim=-1,
+                          label_num=L, label_bias=True)
+    v = jax.random.normal(jax.random.PRNGKey(4), (b, R, D))
+    labels = jax.random.randint(jax.random.PRNGKey(5), (b, R, R), 0, L + 1)
+    # deliberately asymmetric adjacency so dir0 != dir1
+    onehot = jax.nn.one_hot(labels - 1, L) * (labels > 0)[..., None]
+    roi_mask = jnp.arange(R)[None, :] < jnp.asarray([13, 8, 5])[:, None]
+
+    kw = dict(nongt_dim=n, num_heads=H, roi_mask=roi_mask,
+              adj_labels_onehot=onehot, drop_rate=0.2, train=False, rngs=None)
+    folded = gatt_net_apply(params, v, fold=True, **kw)
+    dual = gatt_net_apply(params, v, fold=False, **kw)
+    assert not np.allclose(
+        np.asarray(onehot), np.asarray(jnp.swapaxes(onehot, 1, 2))
+    ), "fixture must be asymmetric for the direction test to bite"
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(dual), atol=2e-5)
+
+
+def test_fold_is_eval_only():
+    """The fold gates on eval: a train-mode call with fold=True must take the
+    per-direction path and be BIT-identical to fold=False (same RNG stream
+    consumption, same per-direction dropout masks — no train-time deviation
+    exists)."""
+    from tf_vqa_regat_tpu import nn as _nn
+    from tf_vqa_regat_tpu.models.relation import gatt_net_apply
+
+    b, R, D, H, n = 2, 11, 48, 4, 5
+    params = _gatt_params(jax.random.PRNGKey(6), dims=D, heads=H, pos_dim=16)
+    v = jax.random.normal(jax.random.PRNGKey(7), (b, R, D))
+    pos_mat = jax.random.normal(jax.random.PRNGKey(8), (b, R, n, 4)) * 0.3
+    roi_mask = jnp.ones((b, R), bool)
+    kw = dict(nongt_dim=n, num_heads=H, roi_mask=roi_mask, pos_mat=pos_mat,
+              drop_rate=0.3, train=True)
+
+    a = gatt_net_apply(params, v, fold=True,
+                       rngs=_nn.RngGen(jax.random.PRNGKey(9)), **kw)
+    assert np.isfinite(np.asarray(a)).all()
+    b_ = gatt_net_apply(params, v, fold=False,
+                        rngs=_nn.RngGen(jax.random.PRNGKey(9)), **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))

@@ -96,6 +96,13 @@ class Config:
     # The tail block pads with -1 (invalid) batches; metrics are exact.
     # 1 disables (one program per batch).
     eval_block: int = 8
+    # EVAL: fold the two graph-attention directions into one 2H-head
+    # computation (jnp impl, dir_num=2) — attention matmuls at double width,
+    # the [b,R,n,P] sinusoid computed once. +16% eval q/s on v5e; exact
+    # modulo matmul batching order (eval has no dropout). Train keeps
+    # per-direction programs: the folded backward measured ~8% slower
+    # (PERF_NOTES.md).
+    fold_dual_attention: bool = True
     # PRNG implementation for dropout masks: "threefry" (default, stable
     # cross-platform streams) or "rbg" (hardware RNG; ~15% faster train step
     # at these shapes — dropout masks are ~100M bits/step).

@@ -173,6 +173,7 @@ def apply_regat(
         rngs=rngs,
         compute_dtype=compute_dtype,
         impl=impl,
+        fold=cfg.fold_dual_attention,
     )
     if cfg.relation_type == "implicit":
         # Raw pairwise geometry only — 16x smaller than the embedding; the

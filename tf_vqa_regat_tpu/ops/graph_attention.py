@@ -234,3 +234,124 @@ def graph_attention_apply(
 
     out = out.reshape(b, R, D)
     return out + params["out"]["b"].astype(out.dtype)
+
+
+def graph_attention_apply_dual(
+    params_list,  # [dir0 params, dir1 params] (graph_attention_init pytrees)
+    roi: jax.Array,  # [b, R, D]
+    nongt_dim: int,
+    num_heads: int,
+    pos_emb: Optional[jax.Array] = None,  # [b, R, n, P] (pre-embedded)
+    pos_mat: Optional[jax.Array] = None,  # [b, R, n, 4] raw geometry
+    adj_masks=None,  # per-direction [b, R, n] (explicit)
+    label_biases=None,  # per-direction [b, R, n] (explicit)
+    key_mask: Optional[jax.Array] = None,  # [b, n] bool
+    drop_rate: float = 0.2,
+    train: bool = False,
+    rngs: Optional[nn.RngGen] = None,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Both attention directions folded into ONE 2H-head computation.
+
+    GAttNet runs GraphSelfAttentionLayer twice (adj and adjT, reference
+    graph_att_net.py:56-78) and SUMS the outputs. The directions share every
+    input (roi, pos_mat/pos_emb, key_mask) and differ only in weights and
+    masks, so stacking their heads gives identical math with all matmuls at
+    double width and the [b, R, n, P] sinusoid computed/read ONCE instead of
+    per direction.
+
+    Used for EVAL only (gatt_net_apply gates on `not train`): measured on
+    v5e at flagship shapes it is +16% eval q/s (9.42 -> 8.12 ms/step bf16),
+    and — counterintuitively — ~8% SLOWER for the train step (21.6 vs 19.9
+    ms): the folded backward schedules worse under XLA even though the
+    standalone fwd+bwd chain microbenchmark showed 3.2x (PERF_NOTES.md;
+    microbenchmarks of fused chains do not transfer to full-step schedules).
+    Eval-only also means no dropout runs here, so the fold is EXACT vs the
+    per-direction path modulo matmul batching order (tested). The dropout
+    arguments are kept so the function stays a drop-in oracle for tests.
+    """
+    b, R, D = roi.shape
+    n = min(nongt_dim, R)
+    H = num_heads
+    head_dim = D // H
+    trunc = roi[:, :n, :]
+
+    def cat_fc_kernel(name, axis=1):
+        return jnp.concatenate(
+            [wn.wn_kernel(p[name]["layers"][0], compute_dtype) for p in params_list],
+            axis=axis,
+        )
+
+    def cat_fc_bias(name):
+        layers = [p[name]["layers"][0] for p in params_list]
+        if "b" not in layers[0]:
+            return None
+        return jnp.concatenate([l["b"] for l in layers], axis=0)
+
+    def dense(x, kernel, bias):
+        y = jnp.dot(x.astype(compute_dtype), kernel, preferred_element_type=compute_dtype)
+        return y if bias is None else y + bias.astype(y.dtype)
+
+    # Q/K projections: one dropout on the shared input, one double-width matmul.
+    q_in = nn.dropout(roi, drop_rate, train, rngs)
+    k_in = nn.dropout(trunc, drop_rate, train, rngs)
+    q = dense(q_in, cat_fc_kernel("query"), cat_fc_bias("query")).reshape(b, R, 2 * H, head_dim)
+    k = dense(k_in, cat_fc_kernel("key"), cat_fc_bias("key")).reshape(b, n, 2 * H, head_dim)
+
+    # V projection: grouped kernels stacked along the head axis -> [2H, D, o].
+    kernel2 = jnp.concatenate(
+        [_grouped_kernel(p["out"], compute_dtype) for p in params_list], axis=0
+    )
+    vw = jnp.einsum(
+        "bnd,hdo->bnho", trunc.astype(compute_dtype), kernel2,
+        preferred_element_type=compute_dtype,
+    )  # [b, n, 2H, o]
+
+    bias = jnp.zeros((b, R, 1, n), jnp.float32)
+    if pos_mat is not None or pos_emb is not None:
+        from tf_vqa_regat_tpu.ops.position import position_embedding
+
+        layers = [p["pair_pos_fc"]["layers"][0] for p in params_list]
+        P = layers[0]["v"].shape[0]
+        pe = (
+            position_embedding(pos_mat, P).astype(compute_dtype)
+            if pos_emb is None
+            else pos_emb.astype(compute_dtype)
+        )
+        pe = nn.dropout(pe, drop_rate, train, rngs)
+        wp = jnp.concatenate([wn.wn_kernel(l, compute_dtype) for l in layers], axis=1)
+        pw = jnp.einsum(
+            "brnp,ph->brhn", pe, wp, preferred_element_type=jnp.float32
+        )  # [b, R, 2H, n]
+        if "b" in layers[0]:
+            bp = jnp.concatenate([l["b"] for l in layers], axis=0)
+            pw = pw + bp[None, None, :, None]
+        bias = bias + jnp.log(jnp.maximum(jax.nn.relu(pw), 1e-6))
+    if label_biases is not None:
+        lb = jnp.stack(label_biases, axis=2)  # [b, R, 2, n]
+        bias = bias + jnp.repeat(lb, H, axis=2).reshape(b, R, 2 * H, n)
+
+    neg = jnp.float32(NEG_INF)
+    if adj_masks is not None:
+        am = jnp.stack([m > 0 for m in adj_masks], axis=2)  # [b, R, 2, n] bool
+        am = jnp.repeat(am, H, axis=2).reshape(b, R, 2 * H, n)
+        bias = jnp.where(am, bias, neg)
+    if key_mask is not None:
+        bias = bias + jnp.where(key_mask[:, None, None, :], 0.0, neg)
+
+    aff = jnp.einsum(
+        "brhd,bnhd->brhn",
+        q.astype(compute_dtype),
+        k.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / jnp.sqrt(jnp.float32(head_dim)))
+    weights = jax.nn.softmax(aff + bias, axis=-1)  # [b, R, 2H, n]
+    out = jnp.einsum(
+        "brhn,bnho->brho",
+        weights.astype(compute_dtype),
+        vw,
+        preferred_element_type=compute_dtype,
+    )  # [b, R, 2H, o]
+    out = out.reshape(b, R, 2, D).sum(axis=2)  # directions summed (GAttNet)
+    b_out = params_list[0]["out"]["b"] + params_list[1]["out"]["b"]
+    return out + b_out.astype(out.dtype)
