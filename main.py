@@ -79,8 +79,11 @@ def build_datasets(cfg: Config):
                 "train", dictionary, cfg.relation_type, cfg.data_folder, cfg.adaptive
             )
     else:
+        # --mode predict targets the (possibly answerless) predict_split;
+        # every other mode evaluates on val (reference main.py:115).
+        val_split = cfg.predict_split if cfg.mode == "predict" else "val"
         val = load_vqa_dataset(
-            "val", dictionary, cfg.relation_type, cfg.data_folder, cfg.adaptive
+            val_split, dictionary, cfg.relation_type, cfg.data_folder, cfg.adaptive
         )
         train = None
         if cfg.mode == "train":
@@ -200,6 +203,29 @@ def main(argv=None) -> None:
         # host streaming) — see train/loop.py::run_evaluation.
         score, loss, elapsed = run_evaluation(cfg, val_ds, params, logger)
         logger.write(f"Final eval score: {score:.4f} (eval loss {loss:.5f})")
+
+    elif cfg.mode == "predict":
+        # VQA submission file (question_id -> answer string) for answerless
+        # test splits — see train/loop.py::run_prediction.
+        if not cfg.checkpoint:
+            raise ValueError("--mode predict needs --checkpoint")
+        ntoken = val_ds.ntoken
+        abstract = init_regat(
+            jax.random.PRNGKey(cfg.seed), cfg, ntoken, val_ds.v_dim, val_ds.num_ans
+        )
+        if cfg.checkpoint.endswith(".h5"):
+            from tf_vqa_regat_tpu.train.h5_import import import_reference_h5
+
+            params = import_reference_h5(
+                cfg.checkpoint, cfg, ntoken, val_ds.v_dim, val_ds.num_ans
+            )
+        else:
+            params = ckpt.load_params(cfg.checkpoint, abstract)
+        from tf_vqa_regat_tpu.train.loop import run_prediction
+
+        logger = Logger(os.path.join(cfg.output, "predict_log.txt"))
+        path = run_prediction(cfg, val_ds, params, logger)
+        print(f"predictions: {path}")
 
     elif cfg.mode == "export_h5":
         # Two-way migration: write an orbax-trained model as a

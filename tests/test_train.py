@@ -305,3 +305,48 @@ def test_run_evaluation_device_store_and_buckets_match_host(tmp_path):
             Config(**base, data_mode="host", roi_buckets="16,32"),
             ds, params, logger,
         )
+
+
+def test_run_prediction_device_and_host_match_direct_argmax(tmp_path):
+    """--mode predict machinery: the submission JSON must contain every
+    question exactly once with the argmax answer string, identically on the
+    device-store and host-streaming paths (including answerless entries)."""
+    import json
+
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+    from tf_vqa_regat_tpu.data.loader import BatchLoader
+    from tf_vqa_regat_tpu.models.regat import apply_regat, init_regat
+    from tf_vqa_regat_tpu.train.logging import Logger
+    from tf_vqa_regat_tpu.train.loop import run_prediction
+
+    cfg = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+        batch_size=16, adaptive=True, num_rois=40, eval_block=3,
+        output=str(tmp_path),
+    )
+    ds = synthetic_dataset(num_images=8, num_questions=37, v_dim=16, num_ans=7)
+    # answerless split: predict must not touch targets
+    ds.entries.has_answers = False
+    params = init_regat(jax.random.PRNGKey(0), cfg, ds.ntoken, 16, 7)
+
+    # direct argmax oracle over the host loader (entry order)
+    want = {}
+    pos = 0
+    for batch in BatchLoader(ds, 16, 40, shuffle=False).epoch(0):
+        logits = apply_regat(
+            params, cfg, {k: jnp.asarray(v) for k, v in batch.items()},
+            ds.ntoken, train=False,
+        )
+        lab = np.asarray(jnp.argmax(logits, axis=-1))
+        for i in range(min(16, 37 - pos)):
+            want[int(ds.entries.question_ids[pos + i])] = ds.label2ans[lab[i]]
+        pos += 16
+
+    for mode in ("device", "host"):
+        path = run_prediction(
+            cfg.replace(data_mode=mode), ds, params, Logger(str(tmp_path / "l.txt"))
+        )
+        got = {d["question_id"]: d["answer"] for d in json.load(open(path))}
+        assert got == want, mode

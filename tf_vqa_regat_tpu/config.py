@@ -64,7 +64,12 @@ class Config:
 
     # --- run control (main.py:94-95) ---
     print_freq: int = 500
-    mode: str = "train"  # train | eval | ensemble_eval | export_h5
+    mode: str = "train"  # train | eval | ensemble_eval | export_h5 | predict
+    # Split for --mode predict (VQA submission JSON): test2015 | test-dev2015
+    # | val. Capability the reference lacks — its eval needs soft targets
+    # (reference train.py:151-170), so its downloaded test features are
+    # unusable from it.
+    predict_split: str = "test2015"
     # Three-branch ensemble eval (ReGAT paper headline setting; BASELINE
     # config #5): "implicit:PATH,spatial:PATH,semantic:PATH".
     ensemble_checkpoints: str = ""

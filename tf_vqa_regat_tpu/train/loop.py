@@ -241,6 +241,124 @@ def run_evaluation(
     )
 
 
+def run_prediction(
+    cfg: Config,
+    ds: VQADataset,
+    params: Any,
+    logger: Logger,
+) -> str:
+    """`--mode predict`: one forward pass over the split, argmax answers
+    written as the official VQA submission JSON
+    (``[{"question_id": int, "answer": str}, ...]``) to
+    ``{output}/{relation_type}-{fusion}-{split}-predictions.json``.
+
+    Capability the reference lacks: its eval path requires soft targets
+    (train.py:151-170), so the answerless test-dev2015/test2015 splits it
+    downloads (download.sh) cannot be scored OR submitted from it. Uses the
+    device-store gather when the tables fit (incl. --roi_buckets and
+    --eval_block), host streaming otherwise."""
+    import json
+
+    from tf_vqa_regat_tpu.data.device_store import DeviceStore, estimate_nbytes
+    from tf_vqa_regat_tpu.parallel.mesh import replicated
+
+    mesh = make_mesh(cfg.dp_size, cfg.tp_size)
+    impl = resolve_impl(cfg)
+    dp = mesh.shape["data"]
+    eval_batch = cfg.resolved_eval_batch(dp)
+    params = put_global_tree(params, replicated(mesh))
+    qids = ds.entries.question_ids
+    answers = np.empty(len(ds.entries), dtype=np.int64)
+    seen = np.zeros(len(ds.entries), bool)
+
+    fits = estimate_nbytes(ds, False, cfg.feature_dtype) <= (
+        cfg.device_store_budget_gb * 1e9
+    )
+    if cfg.data_mode == "device" or (cfg.data_mode == "auto" and fits):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+        from tf_vqa_regat_tpu.train.step import build_store_predict_block
+
+        include_adj = cfg.relation_type in ("semantic", "spatial")
+        store = DeviceStore(
+            ds, replicated(mesh), include_adj, cfg.feature_dtype
+        )
+        K = max(cfg.eval_block, 1)
+        buckets = cfg.parsed_roi_buckets()
+        sizes = buckets or [cfg.resolved_num_rois()]
+        steps = {
+            R: build_store_predict_block(
+                cfg.replace(num_rois=R), ds.ntoken, mesh, impl, ds.num_ans,
+                store.padding_idx, K,
+            )
+            for R in sizes
+        }
+        if buckets:
+            batches = store.epoch_indices_bucketed(
+                0, eval_batch, buckets, False, cfg.seed
+            )
+        else:
+            R0 = sizes[0]
+            batches = (
+                (R0, idx)
+                for idx in store.epoch_indices(0, eval_batch, False, cfg.seed)
+            )
+        blkspec = NamedSharding(mesh, P(None, DATA_AXIS))
+        pending = []  # (host idx block, device labels) — fetch once at the end
+        for R, blk in _block_batches(batches, K, eval_batch):
+            labels = steps[R](params, store.arrays, jax.device_put(blk, blkspec))
+            pending.append((blk, labels))
+        for blk, labels in pending:
+            lab = np.asarray(jax.device_get(labels))
+            ok = blk >= 0
+            answers[blk[ok]] = lab[ok]
+            seen[blk[ok]] = True
+    else:
+        from tf_vqa_regat_tpu.data.loader import BatchLoader, prefetch_to_device
+        from tf_vqa_regat_tpu.models.regat import apply_regat
+
+        loader = BatchLoader(
+            ds, eval_batch, cfg.resolved_num_rois(), shuffle=False,
+            include_adj=(cfg.relation_type in ("semantic", "spatial")),
+            feature_dtype=cfg.feature_dtype,
+        )
+
+        def predict(params, batch):
+            logits = apply_regat(
+                params, cfg, batch, ds.ntoken, train=False, impl=impl
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        step = jax.jit(
+            predict,
+            in_shardings=(None, batch_sharding(mesh)),
+            out_shardings=batch_sharding(mesh),
+        )
+        pos = 0
+        for batch in prefetch_to_device(loader.epoch(0), batch_sharding(mesh), depth=cfg.prefetch):
+            lab = np.asarray(jax.device_get(step(params, batch)))
+            n_real = min(eval_batch, len(ds.entries) - pos)
+            answers[pos : pos + n_real] = lab[:n_real]
+            seen[pos : pos + n_real] = True
+            pos += n_real
+
+    assert seen.all(), "prediction pass missed entries"
+    out_path = os.path.join(
+        cfg.output, f"{cfg.relation_type}-{cfg.fusion}-{ds.name}-predictions.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(
+            [
+                {"question_id": int(q), "answer": ds.label2ans[int(a)]}
+                for q, a in zip(qids, answers)
+            ],
+            fh,
+        )
+    logger.write(f"wrote {len(qids)} predictions to {out_path}")
+    return out_path
+
+
 def _run_eval(
     eval_call,
     params,

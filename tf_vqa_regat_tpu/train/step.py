@@ -308,3 +308,44 @@ def build_sharded_store_eval_step(
         in_shardings=(None, dsh, batch_sharding(mesh)),
         out_shardings=rep,
     )
+
+
+def build_store_predict_block(
+    cfg: Config, ntoken: int, mesh, impl: str, num_ans: int, padding_idx: int,
+    block: int,
+):
+    """Argmax answer labels for `block` index batches in ONE dispatched
+    program (device data mode): (params, arrays, idx_block [K, B]) ->
+    labels [K, B] int32. Padded entries (idx < 0) return whatever the zero
+    batch produces — the caller drops them by the idx mask. Powers
+    `--mode predict` (VQA submission files for answerless test splits —
+    capability the reference lacks: its eval path needs targets,
+    train.py:151-170)."""
+    from tf_vqa_regat_tpu.data.device_store import gather_batch
+
+    R = cfg.resolved_num_rois()
+    sp_mesh = mesh if cfg.sp_rois else None
+
+    def predict_block(params, arrays, idx_block):
+        def body(carry, idx):
+            batch = gather_batch(arrays, idx, R, num_ans, padding_idx)
+            logits = apply_regat(
+                params, cfg, batch, ntoken, train=False, impl=impl,
+                sp_mesh=sp_mesh,
+            )
+            return carry, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        _, labels = jax.lax.scan(body, None, idx_block)
+        return labels  # [K, B]
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+
+    rep = replicated(mesh)
+    block_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(
+        predict_block,
+        in_shardings=(None, rep, block_sh),
+        out_shardings=block_sh,
+    )
