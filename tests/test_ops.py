@@ -185,6 +185,22 @@ def test_dropout_scales_and_masks():
     assert 300 < (y == 0).sum() < 700
 
 
+def test_dropout_extreme_rates():
+    """The 8-bit mask quantization must not crash or silently disable
+    dropout at the rate extremes: rate >= 1 drops everything, tiny rates
+    clamp to 1/256 (still stochastic), huge rates clamp to 255/256 (some
+    elements still kept, no uint8 wraparound / division by zero)."""
+    x = jnp.ones((4096,))
+    rngs = nn.RngGen(jax.random.PRNGKey(1))
+    assert (nn.dropout(x, 1.0, train=True, rngs=rngs) == 0).all()
+    y_tiny = np.asarray(nn.dropout(x, 1e-4, train=True, rngs=rngs))
+    assert 0 < (y_tiny == 0).sum() < 200  # ~1/256 of 4096 = 16
+    y_huge = np.asarray(nn.dropout(x, 0.999, train=True, rngs=rngs))
+    kept = (y_huge != 0).sum()
+    assert 0 < kept < 200  # ~1/256 kept, scaled by 256
+    np.testing.assert_allclose(y_huge[y_huge != 0], 256.0)
+
+
 def test_rnggen_deterministic():
     a = nn.RngGen(jax.random.PRNGKey(3))
     b = nn.RngGen(jax.random.PRNGKey(3))

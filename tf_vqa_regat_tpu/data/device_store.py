@@ -9,10 +9,10 @@ bandwidth inside the jitted step.
 
 Capacity: the gather is only available when the split's tables fit in device
 memory — synthetic benches and the fixed-36 val split do on one v5e chip
-(fp32; bf16 halves it); the full adaptive train split (~40 GB fp32) needs a
-sharded-table mode (future work — tables would shard over the data axis with
-a collective gather). `fits_in_memory` decides, and the train loop falls back
-to host streaming otherwise.
+(fp32; bf16 halves it). `estimate_nbytes` vs cfg.device_store_budget_gb
+decides (train/loop.py::_DataPath auto mode), falling back to host streaming;
+splits too large to replicate (the ~40 GB fp32 adaptive train set) use the
+data-axis-sharded tables in data/sharded_store.py instead.
 
 Soft targets are stored ragged-padded ([N, K<=MAX_LABELS] labels/scores,
 label -1 = empty) and scattered to the dense [batch, num_ans] matrix

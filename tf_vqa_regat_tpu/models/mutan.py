@@ -107,7 +107,9 @@ def mutan_apply(
     )  # [b, R, ATT_DIM]
     alpha = wn.fcnet_apply(params["att_linear0"], alpha, None, 0.0, train, rngs, compute_dtype)
     alpha = wn.fcnet_apply(params["att_linear1"], alpha, None, 0.0, train, rngs, compute_dtype)
-    alpha = jnp.where(roi_mask[..., None], alpha, jnp.float32(-1e9))
+    # f32 softmax statistics under bf16 activations (explicit — the f32 mask
+    # scalar would promote anyway, but don't rely on promotion rules)
+    alpha = jnp.where(roi_mask[..., None], alpha.astype(jnp.float32), jnp.float32(-1e9))
     alpha = jax.nn.softmax(alpha, axis=1)  # [b, R, glimpse]
 
     # Glimpse-weighted visual sums, concatenated: [b, glimpse * v_dim].

@@ -65,9 +65,13 @@ def dropout(
     # to t/256 (0.2 -> 51/256 = 0.19922, 0.5 -> exactly 0.5); the
     # inverted-dropout scale uses the quantized probability, so
     # E[dropout(x)] == x still holds exactly.
-    t = int(round(rate * 256.0))
-    if t <= 0:
-        return x
+    if rate >= 1.0:
+        rngs.next()  # keep the stream position consistent with 0 < rate < 1
+        return jnp.zeros_like(x)
+    # Clamp to [1, 255]: rate in (0, 1) must neither silently disable dropout
+    # (t=0 for rate < 1/512) nor divide by zero / wrap `bits >= 256` to
+    # all-keep under uint8 promotion (t=256 for rate > 511/512).
+    t = min(255, max(1, int(round(rate * 256.0))))
     bits = jax.random.bits(rngs.next(), x.shape, dtype=jnp.uint8)
     scale = jnp.asarray(256.0 / (256 - t), x.dtype)
     return jnp.where(bits >= t, x * scale, jnp.zeros_like(x))

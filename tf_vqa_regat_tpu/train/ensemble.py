@@ -152,7 +152,11 @@ def _member_device_arrays(val_ds: VQADataset, members, mesh, feature_dtype: str)
             if rt not in adj_cache:
                 import numpy as np
 
-                adj_cache[rt] = jax.device_put(src.astype(np.int8), rep)
+                from tf_vqa_regat_tpu.parallel.distributed import put_global
+
+                # multi-process aware (put_global, not raw device_put —
+                # replicated shardings span non-addressable devices there)
+                adj_cache[rt] = put_global(src.astype(np.int8), rep)
             arrays["adj"] = adj_cache[rt]
         arrays_tuple.append(arrays)
     return base, tuple(arrays_tuple)
@@ -230,12 +234,14 @@ def _run_ensemble_device(cfg, val_ds, mesh, impl, logger, members, member_params
             (R0, idx)
             for idx in base.epoch_indices(0, eval_batch, False, cfg.seed)
         )
+    from tf_vqa_regat_tpu.parallel.distributed import put_global
+
     blkspec = NamedSharding(mesh, P(None, DATA_AXIS))
     start = time.time()
     score = None
     n = None
     for R, blk in _block_batches(batches, K, eval_batch):
-        m = steps_by_R[R](params_tuple, arrays_tuple, jax.device_put(blk, blkspec))
+        m = steps_by_R[R](params_tuple, arrays_tuple, put_global(blk, blkspec))
         score = m["score"] if score is None else score + m["score"]
         n = m["n"] if n is None else n + m["n"]
     score_pct = 100.0 * float(jax.device_get(score)) / max(float(jax.device_get(n)), 1.0)

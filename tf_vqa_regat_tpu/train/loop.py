@@ -271,7 +271,8 @@ def run_prediction(
     answers = np.empty(len(ds.entries), dtype=np.int64)
     seen = np.zeros(len(ds.entries), bool)
 
-    fits = estimate_nbytes(ds, False, cfg.feature_dtype) <= (
+    include_adj = cfg.relation_type in ("semantic", "spatial")
+    fits = estimate_nbytes(ds, include_adj, cfg.feature_dtype) <= (
         cfg.device_store_budget_gb * 1e9
     )
     if cfg.data_mode == "device" or (cfg.data_mode == "auto" and fits):
@@ -280,7 +281,6 @@ def run_prediction(
         from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
         from tf_vqa_regat_tpu.train.step import build_store_predict_block
 
-        include_adj = cfg.relation_type in ("semantic", "spatial")
         store = DeviceStore(
             ds, replicated(mesh), include_adj, cfg.feature_dtype
         )
@@ -307,7 +307,7 @@ def run_prediction(
         blkspec = NamedSharding(mesh, P(None, DATA_AXIS))
         pending = []  # (host idx block, device labels) — fetch once at the end
         for R, blk in _block_batches(batches, K, eval_batch):
-            labels = steps[R](params, store.arrays, jax.device_put(blk, blkspec))
+            labels = steps[R](params, store.arrays, put_global(blk, blkspec))
             pending.append((blk, labels))
         for blk, labels in pending:
             lab = np.asarray(jax.device_get(labels))
@@ -448,12 +448,15 @@ class _DataPath:
             from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
 
             budget = int(cfg.device_store_budget_gb * 1e9)
+            # Eval-only use (train_ds None) gets the FULL budget — the half
+            # split only exists to reserve room for the train store.
+            per_store = budget // 2 if train_ds is not None else budget
             fits = estimate_nbytes(
                 val_ds, self.include_adj, cfg.feature_dtype
-            ) <= budget // 2 and (
+            ) <= per_store and (
                 train_ds is None
                 or estimate_nbytes(train_ds, self.include_adj, cfg.feature_dtype)
-                <= budget // 2
+                <= per_store
             )
             mode = "device" if fits else "host"
         self.mode = mode
