@@ -227,6 +227,27 @@ def main(argv=None) -> None:
         path = run_prediction(cfg, val_ds, params, logger)
         print(f"predictions: {path}")
 
+    elif cfg.mode == "serve":
+        # HTTP answer service over a checkpoint (tf_vqa_regat_tpu/serve.py):
+        # pre-compiled micro-batched inference, features resident in HBM.
+        if not cfg.checkpoint:
+            raise ValueError("--mode serve needs --checkpoint")
+        ntoken = val_ds.ntoken
+        abstract = init_regat(
+            jax.random.PRNGKey(cfg.seed), cfg, ntoken, val_ds.v_dim, val_ds.num_ans
+        )
+        if cfg.checkpoint.endswith(".h5"):
+            from tf_vqa_regat_tpu.train.h5_import import import_reference_h5
+
+            params = import_reference_h5(
+                cfg.checkpoint, cfg, ntoken, val_ds.v_dim, val_ds.num_ans
+            )
+        else:
+            params = ckpt.load_params(cfg.checkpoint, abstract)
+        from tf_vqa_regat_tpu.serve import run_server
+
+        run_server(cfg, val_ds, params, Logger(os.path.join(cfg.output, "serve_log.txt")))
+
     elif cfg.mode == "export_h5":
         # Two-way migration: write an orbax-trained model as a
         # reference-loadable keras .h5 (train/h5_export.py).

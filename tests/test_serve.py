@@ -1,0 +1,132 @@
+"""Serving subsystem: engine correctness, micro-batching, HTTP contract."""
+
+import json
+import threading
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf_vqa_regat_tpu.config import Config
+from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+from tf_vqa_regat_tpu.models.regat import apply_regat, init_regat
+from tf_vqa_regat_tpu.serve import InferenceEngine, make_server
+
+
+CFG = Config(
+    num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6, imp_pos_emb_dim=16,
+    fusion="butd", relation_type="implicit", batch_size=8, adaptive=True,
+    num_rois=40, serve_batch_sizes="1,4", serve_max_delay_ms=20.0,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = synthetic_dataset(num_images=6, num_questions=18, v_dim=16, num_ans=7)
+    params = init_regat(jax.random.PRNGKey(0), CFG, ds.ntoken, 16, 7)
+    return ds, params
+
+
+def _direct_answer(ds, params, question_text, image_index):
+    """Oracle: pack one example by hand and argmax apply_regat."""
+    from tf_vqa_regat_tpu.data.dictionary import encode_question
+
+    R = CFG.resolved_num_rois()
+    f, nb, rb = ds.store.image_slice(image_index)
+    n = min(len(f), R)
+    batch = {
+        "features": jnp.zeros((1, R, 16)).at[0, :n].set(f[:n]),
+        "norm_bb": jnp.zeros((1, R, 6)).at[0, :n].set(nb[:n]),
+        "bb": jnp.zeros((1, R, 4)).at[0, :n].set(rb[:n]),
+        "question": jnp.asarray(
+            [encode_question(ds.dictionary, question_text, 14)], jnp.int32
+        ),
+        "num_boxes": jnp.asarray([n], jnp.int32),
+        "valid": jnp.ones((1,), bool),
+    }
+    logits = apply_regat(params, CFG, batch, ds.ntoken, train=False)
+    return ds.label2ans[int(jnp.argmax(logits[0]))]
+
+
+def test_engine_matches_direct_forward(setup):
+    ds, params = setup
+    eng = InferenceEngine(CFG, ds, params, batch_sizes=(1, 4))
+    qs = ["what color is the cat ?", "how many dogs are there ?", "is it raining ?"]
+    iids = [int(ds.entries.image_ids[i]) for i in (0, 3, 5)]
+    idxs = [int(ds.entries.image_index[i]) for i in (0, 3, 5)]
+    got = eng.infer(qs, iids)
+    for g, q, ix in zip(got, qs, idxs):
+        assert g["answer"] == _direct_answer(ds, params, q, ix)
+        assert 0.0 <= g["confidence"] <= 1.0
+
+
+def test_engine_unknown_image(setup):
+    ds, params = setup
+    eng = InferenceEngine(CFG, ds, params, batch_sizes=(1,))
+    (res,) = eng.infer(["what ?"], [999999])
+    assert "error" in res
+
+
+def test_http_server_contract(setup):
+    """End-to-end HTTP: healthz, single + client-batch predict, bad input,
+    and concurrent requests through the micro-batcher."""
+    ds, params = setup
+    server, batcher = make_server(CFG, ds, params, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(payload):
+        req = urllib.request.Request(
+            base + "/predict", json.dumps(payload).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())
+
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok" and h["batch_sizes"] == [1, 4]
+
+        iid = int(ds.entries.image_ids[0])
+        one = post({"question": "what color is the sky ?", "image_id": iid})
+        assert set(one) == {"answer", "confidence"}
+        idx0 = int(ds.entries.image_index[0])
+        assert one["answer"] == _direct_answer(
+            ds, params, "what color is the sky ?", idx0
+        )
+
+        many = post(
+            [{"question": "how many ?", "image_id": iid} for _ in range(3)]
+        )
+        assert len(many) == 3 and len({m["answer"] for m in many}) == 1
+
+        # malformed
+        req = urllib.request.Request(
+            base + "/predict", b"{\"nope\": 1}",
+            {"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # concurrency through the micro-batcher: all answers must be
+        # correct AND identical for identical requests
+        with ThreadPoolExecutor(6) as ex:
+            futs = [
+                ex.submit(post, {"question": "is it a dog ?", "image_id": iid})
+                for _ in range(6)
+            ]
+            res = [f.result() for f in futs]
+        assert len({r["answer"] for r in res}) == 1
+        assert res[0]["answer"] == _direct_answer(ds, params, "is it a dog ?", idx0)
+    finally:
+        server.shutdown()
+        batcher.close()

@@ -64,7 +64,14 @@ class Config:
 
     # --- run control (main.py:94-95) ---
     print_freq: int = 500
-    mode: str = "train"  # train | eval | ensemble_eval | export_h5 | predict
+    mode: str = "train"  # train | eval | ensemble_eval | export_h5 | predict | serve
+    # --- serving (--mode serve: HTTP answer service, serve.py) ---
+    serve_port: int = 8000
+    # Pre-compiled serve batch sizes; requests micro-batch to the smallest
+    # size that fits (no recompiles at serve time).
+    serve_batch_sizes: str = "1,8,32"
+    # Max milliseconds a micro-batch waits for stragglers before running.
+    serve_max_delay_ms: float = 5.0
     # Split for --mode predict (VQA submission JSON): test2015 | test-dev2015
     # | val. Capability the reference lacks — its eval needs soft targets
     # (reference train.py:151-170), so its downloaded test features are

@@ -21,7 +21,7 @@ on-device.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator
+from typing import Dict, Iterator, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -240,26 +240,11 @@ def gather_batch(
     safe_idx = jnp.where(valid, idx, 0)
 
     img = arrays["entry_img"][safe_idx]  # [B]
-    start = arrays["img_start"][img]  # [B]
     # invalid (padded) examples get zero boxes so all their rois mask to zero
     n_box = jnp.where(
         valid, jnp.minimum(arrays["img_len"][img], num_rois), 0
     )  # [B]
-
-    r = jnp.arange(num_rois, dtype=jnp.int32)
-    rows = start[:, None] + r[None, :]  # [B, R]
-    roi_ok = r[None, :] < n_box[:, None]
-    T = arrays["features"].shape[0]
-    rows = jnp.clip(rows, 0, T - 1)
-
-    def take(tab):
-        out = jnp.take(tab, rows.reshape(-1), axis=0).reshape(B, num_rois, -1)
-        out = out.astype(jnp.float32)  # bf16 tables re-widen here
-        return jnp.where(roi_ok[..., None], out, jnp.zeros_like(out))
-
-    features = take(arrays["features"])
-    norm_bb = take(arrays["norm_bb"])
-    bb = take(arrays["bb"])
+    features, norm_bb, bb = gather_image_features(arrays, img, n_box, num_rois)
 
     question = jnp.where(
         valid[:, None],
@@ -290,3 +275,29 @@ def gather_batch(
         adj = adj.at[:, :k, :k].set(arrays["adj"][img][:, :k, :k].astype(jnp.int32))
         batch["adj_label"] = adj
     return batch
+
+
+def gather_image_features(
+    arrays: Dict[str, jax.Array],
+    img: jax.Array,  # [B] image indices
+    n_box: jax.Array,  # [B] valid box count per example (0 = fully padded)
+    num_rois: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(features, norm_bb, bb) [B, R, ...] for a batch of image indices —
+    the device-side gather shared by gather_batch and the serving engine
+    (serve.py: a request ships only token ids + an image index; the region
+    features never leave HBM)."""
+    start = arrays["img_start"][img]  # [B]
+    r = jnp.arange(num_rois, dtype=jnp.int32)
+    rows = start[:, None] + r[None, :]  # [B, R]
+    roi_ok = r[None, :] < n_box[:, None]
+    T = arrays["features"].shape[0]
+    rows = jnp.clip(rows, 0, T - 1)
+    B = img.shape[0]
+
+    def take(tab):
+        out = jnp.take(tab, rows.reshape(-1), axis=0).reshape(B, num_rois, -1)
+        out = out.astype(jnp.float32)  # bf16 tables re-widen here
+        return jnp.where(roi_ok[..., None], out, jnp.zeros_like(out))
+
+    return take(arrays["features"]), take(arrays["norm_bb"]), take(arrays["bb"])

@@ -1,0 +1,319 @@
+"""Production serving: `--mode serve` — HTTP answer service over a checkpoint.
+
+Net-new capability (the reference has no serving path; its only entrypoints
+are train/eval, reference main.py:99-157). TPU-first design:
+
+- **No recompiles at serve time**: requests are micro-batched to a small set
+  of pre-compiled batch sizes (`--serve_batch_sizes`, default 1,8,32); every
+  program is compiled AND warmed at startup, so request latency is pure
+  dispatch + device time.
+- **Features stay in HBM**: the split's region-feature tables are uploaded
+  once (DeviceStore); a request ships only its [14] token ids and an image
+  index — the ~800 KB of region features per example never cross the
+  host->device boundary at serve time (gather_image_features).
+- **Micro-batching**: concurrent requests are coalesced for up to
+  `--serve_max_delay_ms` into one forward pass at the smallest compiled
+  batch size that fits (classic serving latency/throughput trade).
+
+API (JSON over HTTP, stdlib ThreadingHTTPServer — no extra dependencies):
+  GET  /healthz   -> {"status": "ok", "batch_sizes": [...], ...}
+  POST /predict   {"question": str, "image_id": int}
+                  -> {"answer": str, "confidence": float}  (sigmoid prob)
+  POST /predict   [{...}, {...}]  -> [{...}, {...}]         (client batch)
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tf_vqa_regat_tpu.config import Config
+from tf_vqa_regat_tpu.data.device_store import DeviceStore, gather_image_features
+from tf_vqa_regat_tpu.data.dictionary import encode_question
+from tf_vqa_regat_tpu.data.features import VQADataset
+from tf_vqa_regat_tpu.models.regat import apply_regat, resolve_impl
+from tf_vqa_regat_tpu.parallel.distributed import put_global_tree
+from tf_vqa_regat_tpu.parallel.mesh import make_mesh, replicated
+
+
+class InferenceEngine:
+    """Pre-compiled fixed-batch-size inference over device-resident features.
+
+    The serve step takes (params, arrays, question [B,14], img [B], valid [B])
+    and returns (argmax label [B], sigmoid confidence [B]) — the same model
+    path as eval (apply_regat train=False), minus targets.
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        ds: VQADataset,
+        params: Any,
+        batch_sizes: Tuple[int, ...] = (1, 8, 32),
+    ):
+        self.cfg = cfg
+        self.ds = ds
+        self.mesh = make_mesh(cfg.dp_size, cfg.tp_size)
+        impl = resolve_impl(cfg)
+        rep = replicated(self.mesh)
+        include_adj = cfg.relation_type in ("semantic", "spatial")
+        self.store = DeviceStore(ds, rep, include_adj, cfg.feature_dtype)
+        self.params = put_global_tree(params, rep)
+        # image_id -> image index over the loaded split
+        self.img_index = {
+            int(i): int(x)
+            for i, x in zip(ds.entries.image_ids, ds.entries.image_index)
+        }
+        self.max_q_len = ds.entries.q_tokens.shape[1]
+        R = cfg.resolved_num_rois()
+        num_rois = R
+
+        def serve_step(params, arrays, question, img, valid):
+            n_box = jnp.where(
+                valid, jnp.minimum(arrays["img_len"][img], num_rois), 0
+            )
+            features, norm_bb, bb = gather_image_features(
+                arrays, img, n_box, num_rois
+            )
+            batch = {
+                "features": features,
+                "norm_bb": norm_bb,
+                "bb": bb,
+                "question": question,
+                "num_boxes": n_box,
+                "valid": valid,
+            }
+            if "adj" in arrays:
+                k = min(arrays["adj"].shape[1], num_rois)
+                adj = jnp.zeros(
+                    (img.shape[0], num_rois, num_rois), jnp.int32
+                )
+                adj = adj.at[:, :k, :k].set(
+                    arrays["adj"][img][:, :k, :k].astype(jnp.int32)
+                )
+                batch["adj_label"] = adj
+            logits = apply_regat(
+                params, cfg, batch, ds.ntoken, train=False, impl=impl
+            )
+            best = jnp.argmax(logits, axis=-1)
+            conf = jax.nn.sigmoid(
+                jnp.take_along_axis(logits, best[:, None], axis=-1)[:, 0]
+            )
+            return best.astype(jnp.int32), conf.astype(jnp.float32)
+
+        # Serving runs replicated (latency path): every array on every local
+        # device; batch dim NOT sharded so batch-1 works on any mesh.
+        self.batch_sizes = tuple(sorted(set(batch_sizes)))
+        self._step = jax.jit(
+            serve_step, in_shardings=(None, rep, rep, rep, rep), out_shardings=rep
+        )
+        # Compile + warm every batch size now — first request pays nothing.
+        for B in self.batch_sizes:
+            q = jnp.zeros((B, self.max_q_len), jnp.int32)
+            i = jnp.zeros((B,), jnp.int32)
+            v = jnp.zeros((B,), bool)
+            jax.block_until_ready(self._step(self.params, self.store.arrays, q, i, v))
+
+    def _encode(self, text: str) -> List[int]:
+        """Tokenize against the MODEL's vocab snapshot: the TF-IDF init may
+        have extended the shared dictionary after the model was built
+        (SURVEY §3.5), so remap any post-snapshot token id to the OOV row
+        (ntoken-1, the reference's word2idx.get default) and the current
+        padding id to the snapshot padding id."""
+        d = self.ds.dictionary
+        snap = self.ds.ntoken
+        toks = encode_question(d, text, self.max_q_len)
+        return [
+            self.ds.padding_idx
+            if t == d.padding_idx
+            else (t if t < snap else snap - 1)
+            for t in toks
+        ]
+
+    def infer(
+        self, questions: List[str], image_ids: List[int]
+    ) -> List[Dict[str, Any]]:
+        """Tokenize, pad to the smallest compiled batch size, run, decode."""
+        n = len(questions)
+        B = next((b for b in self.batch_sizes if b >= n), self.batch_sizes[-1])
+        out: List[Dict[str, Any]] = []
+        for lo in range(0, n, B):
+            chunk_q = questions[lo : lo + B]
+            chunk_i = image_ids[lo : lo + B]
+            m = len(chunk_q)
+            toks = np.full((B, self.max_q_len), self.ds.padding_idx, np.int32)
+            img = np.zeros((B,), np.int32)
+            valid = np.zeros((B,), bool)
+            errs: List[Optional[str]] = [None] * m
+            for j, (text, iid) in enumerate(zip(chunk_q, chunk_i)):
+                idx = self.img_index.get(int(iid))
+                if idx is None:
+                    errs[j] = f"unknown image_id {iid}"
+                    continue
+                toks[j] = self._encode(text)
+                img[j] = idx
+                valid[j] = True
+            best, conf = self._step(
+                self.params, self.store.arrays, jnp.asarray(toks),
+                jnp.asarray(img), jnp.asarray(valid),
+            )
+            best = np.asarray(jax.device_get(best))
+            conf = np.asarray(jax.device_get(conf))
+            for j in range(m):
+                if errs[j] is not None:
+                    out.append({"error": errs[j]})
+                else:
+                    out.append(
+                        {
+                            "answer": self.ds.label2ans[int(best[j])],
+                            "confidence": float(conf[j]),
+                        }
+                    )
+        return out
+
+
+class MicroBatcher:
+    """Coalesce concurrent requests into one forward pass.
+
+    Requests queue; a worker drains up to the largest compiled batch size,
+    waiting at most `max_delay_ms` for stragglers once the first request of
+    a batch arrives. Callers get a Future resolved with their single result.
+    """
+
+    def __init__(self, engine: InferenceEngine, max_delay_ms: float = 5.0):
+        self.engine = engine
+        self.max_delay = max_delay_ms / 1000.0
+        self.max_batch = max(engine.batch_sizes)
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, question: str, image_id: int) -> Future:
+        fut: Future = Future()
+        self._q.put((question, image_id, fut))
+        return fut
+
+    def close(self):
+        self._stop = True
+        self._q.put(None)
+        self._worker.join(timeout=5)
+
+    def _run(self):
+        while not self._stop:
+            item = self._q.get()
+            if item is None:
+                return
+            batch = [item]
+            # wait up to max_delay for more, up to the compiled max
+            import time as _time
+
+            deadline = _time.monotonic() + self.max_delay
+            while len(batch) < self.max_batch:
+                budget = deadline - _time.monotonic()
+                if budget <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=budget)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._stop = True
+                    break
+                batch.append(nxt)
+            try:
+                results = self.engine.infer(
+                    [b[0] for b in batch], [b[1] for b in batch]
+                )
+                for (_, _, fut), res in zip(batch, results):
+                    fut.set_result(res)
+            except Exception as e:  # pragma: no cover — surfaced to callers
+                for _, _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
+def make_server(
+    cfg: Config, ds: VQADataset, params: Any, port: int = 0
+) -> Tuple[ThreadingHTTPServer, MicroBatcher]:
+    """Build (not start) the HTTP server; port 0 = ephemeral (tests)."""
+    engine = InferenceEngine(
+        cfg, ds, params,
+        batch_sizes=tuple(
+            int(x) for x in cfg.serve_batch_sizes.split(",") if x.strip()
+        ),
+    )
+    batcher = MicroBatcher(engine, cfg.serve_max_delay_ms)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(
+                    200,
+                    {
+                        "status": "ok",
+                        "model": f"{cfg.relation_type}-{cfg.fusion}",
+                        "split": ds.name,
+                        "batch_sizes": list(engine.batch_sizes),
+                        "num_answers": ds.num_ans,
+                    },
+                )
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                return self._json(404, {"error": "not found"})
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+            except Exception:
+                return self._json(400, {"error": "invalid JSON"})
+            single = isinstance(req, dict)
+            items = [req] if single else req
+            try:
+                futs = [
+                    batcher.submit(str(it["question"]), int(it["image_id"]))
+                    for it in items
+                ]
+            except (KeyError, TypeError, ValueError):
+                return self._json(
+                    400, {"error": "each item needs question + image_id"}
+                )
+            results = [f.result(timeout=60) for f in futs]
+            self._json(200, results[0] if single else results)
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    return server, batcher
+
+
+def run_server(cfg: Config, ds: VQADataset, params: Any, logger) -> None:
+    server, batcher = make_server(cfg, ds, params, cfg.serve_port)
+    logger.write(
+        f"serving {cfg.relation_type}-{cfg.fusion} on "
+        f"http://127.0.0.1:{server.server_address[1]} "
+        f"(batch sizes {cfg.serve_batch_sizes}, split {ds.name})"
+    )
+    try:
+        server.serve_forever()
+    finally:
+        batcher.close()
