@@ -165,8 +165,10 @@ class InferenceEngine:
                 self.params, self.store.arrays, jnp.asarray(toks),
                 jnp.asarray(img), jnp.asarray(valid),
             )
-            best = np.asarray(jax.device_get(best))
-            conf = np.asarray(jax.device_get(conf))
+            # ONE fetch for both outputs: each device_get is a full tunnel
+            # round trip (~27 ms) — fetching them separately doubled the
+            # batch-1 request latency (PERF_NOTES serve row).
+            best, conf = jax.device_get((best, conf))
             for j in range(m):
                 if errs[j] is not None:
                     out.append({"error": errs[j]})
