@@ -98,3 +98,52 @@ def test_sharded_train_step_runs_and_is_finite():
             losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert step._cache_size() == 1
+
+
+def test_sharded_blocked_eval_matches_per_batch():
+    """build_sharded_store_eval_block (one lax.scan program over K index
+    batches gathered via shard_map) must reproduce the per-batch sharded
+    eval stream exactly, including the -1-padded tail block."""
+    from tf_vqa_regat_tpu.train.loop import _block_batches
+    from tf_vqa_regat_tpu.train.step import (
+        build_sharded_store_eval_block,
+        build_sharded_store_eval_step,
+    )
+
+    cfg = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+        batch_size=8, adaptive=True, num_rois=R,
+    )
+    ds = synthetic_dataset(num_images=8, num_questions=43, v_dim=24, num_ans=NUM_ANS)
+    mesh = _mesh()
+    store = ShardedDeviceStore(ds, mesh)
+    params = init_regat(jax.random.PRNGKey(0), cfg, ds.ntoken, 24, NUM_ANS)
+
+    batches = list(store.epoch_indices(0, 8, shuffle=False, seed=0))
+    K = 4
+    assert len(batches) % K != 0  # force a padded tail
+
+    per_batch = build_sharded_store_eval_step(
+        cfg, ds.ntoken, mesh, "jnp", NUM_ANS, store.padding_idx
+    )
+    want = {"loss_sum": 0.0, "score": 0.0, "n": 0.0}
+    for idx in batches:
+        m = jax.device_get(per_batch(params, store.arrays, jnp.asarray(idx)))
+        want["loss_sum"] += float(m["loss"]) * float(m["n"])
+        want["score"] += float(m["score"])
+        want["n"] += float(m["n"])
+
+    blocked = build_sharded_store_eval_block(
+        cfg, ds.ntoken, mesh, "jnp", NUM_ANS, store.padding_idx, K
+    )
+    got = {"loss_sum": 0.0, "score": 0.0, "n": 0.0}
+    for _, blk in _block_batches(((R, b) for b in batches), K, 8):
+        m = jax.device_get(blocked(params, store.arrays, jnp.asarray(blk)))
+        got["loss_sum"] += float(m["loss"]) * float(m["n"])
+        got["score"] += float(m["score"])
+        got["n"] += float(m["n"])
+
+    assert got["n"] == want["n"] == 43
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-6)
+    np.testing.assert_allclose(got["loss_sum"], want["loss_sum"], rtol=1e-5)

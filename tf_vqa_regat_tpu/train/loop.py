@@ -483,6 +483,8 @@ class _DataPath:
                 self.steps_per_epoch = self.train_store.steps_per_epoch(
                     cfg.batch_size
                 )
+            if max(cfg.eval_block, 1) > 1:
+                self.eval_steps = self._eval_block_count()
         elif mode == "device":
             from tf_vqa_regat_tpu.data.device_store import DeviceStore
             from tf_vqa_regat_tpu.parallel.mesh import replicated
@@ -540,6 +542,7 @@ class _DataPath:
         )
         if self.mode == "sharded":
             from tf_vqa_regat_tpu.train.step import (
+                build_sharded_store_eval_block,
                 build_sharded_store_eval_step,
                 build_sharded_store_train_step,
             )
@@ -552,10 +555,17 @@ class _DataPath:
                 self.train_call = lambda s, item, rng: t(
                     s, self.train_store.arrays, item, rng
                 )
-            e = build_sharded_store_eval_step(
-                cfg, ntoken, mesh, impl, self.val_ds.num_ans,
-                self.eval_store.padding_idx,
-            )
+            K = max(cfg.eval_block, 1)
+            if K > 1:
+                e = build_sharded_store_eval_block(
+                    cfg, ntoken, mesh, impl, self.val_ds.num_ans,
+                    self.eval_store.padding_idx, K,
+                )
+            else:
+                e = build_sharded_store_eval_step(
+                    cfg, ntoken, mesh, impl, self.val_ds.num_ans,
+                    self.eval_store.padding_idx,
+                )
             self.eval_call = lambda p, item: e(p, self.eval_store.arrays, item)
         elif self.mode == "device":
             from tf_vqa_regat_tpu.train.step import (
@@ -659,10 +669,19 @@ class _DataPath:
                 else:
                     yield put_global(idx, self._eval_spec(idx))
         elif self.mode == "sharded":
-            for idx in self.eval_store.epoch_indices(
+            K = max(cfg.eval_block, 1)
+            batches = self.eval_store.epoch_indices(
                 0, self.eval_batch, False, cfg.seed
-            ):
-                yield put_global(idx, self.bspec)
+            )
+            if K > 1:
+                R0 = cfg.resolved_num_rois()
+                for _, blk in _block_batches(
+                    ((R0, b) for b in batches), K, self.eval_batch
+                ):
+                    yield put_global(blk, self._eval_spec(blk))
+            else:
+                for idx in batches:
+                    yield put_global(idx, self.bspec)
         else:
             yield from prefetch_to_device(
                 self.eval_loader.epoch(0), self.bspec, depth=cfg.prefetch

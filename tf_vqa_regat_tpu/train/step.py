@@ -349,3 +349,54 @@ def build_store_predict_block(
         in_shardings=(None, rep, block_sh),
         out_shardings=block_sh,
     )
+
+
+def build_sharded_store_eval_block(
+    cfg: Config, ntoken: int, mesh, impl: str, num_ans: int, padding_idx: int,
+    block: int,
+):
+    """Sharded-store analog of build_store_eval_block: ONE program scans
+    `block` index batches, each gathered from the data-axis-partitioned
+    tables inside shard_map — the dispatch-latency amortization of blocked
+    eval extends to splits too large to replicate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tf_vqa_regat_tpu.data.sharded_store import build_sharded_gather
+    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+
+    gather = build_sharded_gather(mesh, cfg.resolved_num_rois(), num_ans, padding_idx)
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+    sp_mesh = mesh if cfg.sp_rois else None
+
+    def eval_block(params, arrays, idx_block):
+        def body(acc, idx):
+            batch = gather(arrays, idx)
+            m = _eval_core(params, batch, cfg, ntoken, impl, sp_mesh)
+            return (
+                {
+                    "loss_sum": acc["loss_sum"] + m["loss"] * m["n"],
+                    "score": acc["score"] + m["score"],
+                    "n": acc["n"] + m["n"],
+                },
+                None,
+            )
+
+        zeros = {
+            "loss_sum": jnp.zeros(()),
+            "score": jnp.zeros(()),
+            "n": jnp.zeros(()),
+        }
+        acc, _ = jax.lax.scan(body, zeros, idx_block)
+        return {
+            "loss": acc["loss_sum"] / jnp.maximum(acc["n"], 1.0),
+            "score": acc["score"],
+            "n": acc["n"],
+        }
+
+    rep = replicated(mesh)
+    block_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(
+        eval_block,
+        in_shardings=(None, dsh, block_sh),
+        out_shardings=rep,
+    )
