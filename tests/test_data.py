@@ -256,3 +256,19 @@ def test_pack_bf16_wire_format():
     )
     for k in ("norm_bb", "bb", "target", "question", "num_boxes", "valid"):
         np.testing.assert_array_equal(b16[k], f32[k])
+
+
+def test_native_gather_matches_numpy_pack(monkeypatch):
+    """The C++ threaded gather (native/pack.cc) must produce bit-identical
+    batches to the numpy fallback (REGAT_NO_NATIVE=1)."""
+    from tf_vqa_regat_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("no C++ toolchain available")
+    ds = synthetic_dataset(num_images=6, num_questions=23, v_dim=12, num_ans=9)
+    idx = np.arange(17)
+    got_native = BatchLoader(ds, 17, 40, shuffle=False)._pack(idx)
+    monkeypatch.setenv("REGAT_NO_NATIVE", "1")
+    got_numpy = BatchLoader(ds, 17, 40, shuffle=False)._pack(idx)
+    for k in got_numpy:
+        np.testing.assert_array_equal(got_native[k], got_numpy[k], err_msg=k)

@@ -89,9 +89,9 @@ class BatchLoader:
             counts = (pos[:, 1] - pos[:, 0]).astype(np.int32)
             self._nbox = np.minimum(counts, R)
             rows = pos[:, :1].astype(np.int64) + r  # [num_img, R]
-            # pad slots point at row 0 (any valid row); they are zeroed after
-            # the gather, matching device_store.gather_batch semantics
-            self._rows = np.where(r < self._nbox[:, None], rows, 0)
+            # pad slots are -1: the native gather zeroes them directly, the
+            # numpy fallback clips + masks — both match gather_batch semantics
+            self._rows = np.where(r < self._nbox[:, None], rows, -1)
         else:
             k = min(store.features.shape[1], R)
             self._nbox = np.full(store.features.shape[0], k, np.int32)
@@ -113,12 +113,21 @@ class BatchLoader:
         norm_bb = np.zeros((B, R, store.s_dim), np.float32)
         bb = np.zeros((B, R, 4), np.float32)
         if store.adaptive:
-            rows = self._rows[imgs].reshape(-1)  # [n_real * R]
+            from tf_vqa_regat_tpu import native
+
+            rows = self._rows[imgs].reshape(-1)  # [n_real * R], -1 = pad
 
             def take(tab, out):
-                g = tab[rows].reshape(n_real, R, tab.shape[-1])
-                g[roi_pad] = 0.0  # zero padded rois (gather_batch parity)
-                out[:n_real] = g
+                dst = out[:n_real].reshape(n_real * R, tab.shape[-1])
+                # Threaded C++ memcpy gather (native/pack.cc) — the numpy
+                # fancy-index path is GIL-bound single-threaded; fall back
+                # to it when no compiler/lib is available.
+                if not native.gather_rows(tab, rows, dst):
+                    g = tab[np.clip(rows, 0, None)].reshape(
+                        n_real, R, tab.shape[-1]
+                    )
+                    g[roi_pad] = 0.0  # zero padded rois (gather_batch parity)
+                    out[:n_real] = g
 
             take(store.features, features)
             take(store.normalized_bb, norm_bb)
