@@ -7,8 +7,13 @@ GloVe(+TF-IDF) embeddings, train with per-epoch eval + checkpoints, save the
 final `{relation_type}-{fusion}-pretrained_model` artifact. Eval mode: restore
 a checkpoint and run one eval pass.
 
-Framework extension: ``--synthetic`` runs the identical pipeline on generated
-in-memory data with real shapes (no 90GB download needed) — used by bench.py.
+Framework extensions beyond the reference's two modes:
+  --mode ensemble_eval  three-branch relation ensemble (train/ensemble.py)
+  --mode predict        VQA submission JSON for answerless test splits
+  --mode serve          HTTP answer service (serve.py)
+  --mode export_h5      write an orbax model as a reference-loadable .h5
+  --synthetic           identical pipeline on generated in-memory data with
+                        real shapes (no 90GB download) — used by bench.py
 """
 
 from __future__ import annotations
