@@ -137,6 +137,28 @@ def build_datasets(cfg: Config):
     return train, val, tfidf, weights
 
 
+def _load_eval_params(cfg: Config, val_ds):
+    """Restore params for an inference-only mode (eval/predict/serve):
+    an orbax dir from training, or a reference-trained keras .h5
+    (train/h5_import.py). Raises without --checkpoint."""
+    if not cfg.checkpoint:
+        raise ValueError(
+            f"--mode {cfg.mode} needs --checkpoint (an orbax dir from "
+            "training or a reference-trained .h5)"
+        )
+    ntoken = val_ds.ntoken
+    if cfg.checkpoint.endswith(".h5"):
+        from tf_vqa_regat_tpu.train.h5_import import import_reference_h5
+
+        return import_reference_h5(
+            cfg.checkpoint, cfg, ntoken, val_ds.v_dim, val_ds.num_ans
+        )
+    abstract = init_regat(
+        jax.random.PRNGKey(cfg.seed), cfg, ntoken, val_ds.v_dim, val_ds.num_ans
+    )
+    return ckpt.load_params(cfg.checkpoint, abstract)
+
+
 def main(argv=None) -> None:
     cfg = parse_with_config(argv)
     # The environment startup hook can pin jax_platforms to the TPU plugin;
@@ -185,24 +207,7 @@ def main(argv=None) -> None:
         print(f"saved final model to {path} (best eval score {best:.4f})")
 
     elif cfg.mode == "eval":
-        if not cfg.checkpoint:
-            raise ValueError(
-                "--mode eval needs --checkpoint (an orbax dir from training "
-                "or a reference-trained .h5)"
-            )
-        ntoken = val_ds.ntoken
-        abstract = init_regat(
-            jax.random.PRNGKey(cfg.seed), cfg, ntoken, val_ds.v_dim, val_ds.num_ans
-        )
-        if cfg.checkpoint.endswith(".h5"):
-            # reference-trained keras weights (see train/h5_import.py)
-            from tf_vqa_regat_tpu.train.h5_import import import_reference_h5
-
-            params = import_reference_h5(
-                cfg.checkpoint, cfg, ntoken, val_ds.v_dim, val_ds.num_ans
-            )
-        else:
-            params = ckpt.load_params(cfg.checkpoint, abstract)
+        params = _load_eval_params(cfg, val_ds)
         logger = Logger(os.path.join(cfg.output, "eval_log.txt"))
         # Same data-path selection as training (device store / roi buckets /
         # host streaming) — see train/loop.py::run_evaluation.
@@ -212,20 +217,7 @@ def main(argv=None) -> None:
     elif cfg.mode == "predict":
         # VQA submission file (question_id -> answer string) for answerless
         # test splits — see train/loop.py::run_prediction.
-        if not cfg.checkpoint:
-            raise ValueError("--mode predict needs --checkpoint")
-        ntoken = val_ds.ntoken
-        abstract = init_regat(
-            jax.random.PRNGKey(cfg.seed), cfg, ntoken, val_ds.v_dim, val_ds.num_ans
-        )
-        if cfg.checkpoint.endswith(".h5"):
-            from tf_vqa_regat_tpu.train.h5_import import import_reference_h5
-
-            params = import_reference_h5(
-                cfg.checkpoint, cfg, ntoken, val_ds.v_dim, val_ds.num_ans
-            )
-        else:
-            params = ckpt.load_params(cfg.checkpoint, abstract)
+        params = _load_eval_params(cfg, val_ds)
         from tf_vqa_regat_tpu.train.loop import run_prediction
 
         logger = Logger(os.path.join(cfg.output, "predict_log.txt"))
@@ -235,20 +227,7 @@ def main(argv=None) -> None:
     elif cfg.mode == "serve":
         # HTTP answer service over a checkpoint (tf_vqa_regat_tpu/serve.py):
         # pre-compiled micro-batched inference, features resident in HBM.
-        if not cfg.checkpoint:
-            raise ValueError("--mode serve needs --checkpoint")
-        ntoken = val_ds.ntoken
-        abstract = init_regat(
-            jax.random.PRNGKey(cfg.seed), cfg, ntoken, val_ds.v_dim, val_ds.num_ans
-        )
-        if cfg.checkpoint.endswith(".h5"):
-            from tf_vqa_regat_tpu.train.h5_import import import_reference_h5
-
-            params = import_reference_h5(
-                cfg.checkpoint, cfg, ntoken, val_ds.v_dim, val_ds.num_ans
-            )
-        else:
-            params = ckpt.load_params(cfg.checkpoint, abstract)
+        params = _load_eval_params(cfg, val_ds)
         from tf_vqa_regat_tpu.serve import run_server
 
         run_server(cfg, val_ds, params, Logger(os.path.join(cfg.output, "serve_log.txt")))

@@ -344,7 +344,7 @@ def test_run_prediction_device_and_host_match_direct_argmax(tmp_path):
             want[int(ds.entries.question_ids[pos + i])] = ds.label2ans[lab[i]]
         pos += 16
 
-    for mode in ("device", "host"):
+    for mode in ("device", "sharded", "host"):
         path = run_prediction(
             cfg.replace(data_mode=mode), ds, params, Logger(str(tmp_path / "l.txt"))
         )

@@ -152,6 +152,13 @@ class ShardedDeviceStore:
         # Multi-process aware: each process places only its local shards.
         self.arrays = {k: put_global(v, sh) for k, v in host.items()}
         self.max_entries = max_entries
+        # local -> global entry mapping ([dp, max_entries], -1 = pad): batch
+        # index vectors hold shard-LOCAL entry indices, so any consumer that
+        # needs entry identity (run_prediction's question ids) translates
+        # through this table.
+        self.local_to_global = np.full((self.dp, max_entries), -1, np.int64)
+        for s, ids in enumerate(shard_entry_ids):
+            self.local_to_global[s, : len(ids)] = ids
 
     def steps_per_epoch(self, batch_size: int) -> int:
         """Steps actually executed per epoch: the max over shards of their

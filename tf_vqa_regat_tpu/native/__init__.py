@@ -31,12 +31,17 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     try:
         if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
             os.makedirs(build_dir, exist_ok=True)
+            # pid-unique tmp: concurrent processes (multi-process feeding,
+            # parallel CLI runs) each compile their own file; os.replace is
+            # atomic, so whichever finishes last wins and nobody ever dlopens
+            # a half-written .so.
+            tmp = f"{so}.{os.getpid()}.tmp"
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
-                 src, "-o", so + ".tmp"],
+                 src, "-o", tmp],
                 check=True, capture_output=True, timeout=120,
             )
-            os.replace(so + ".tmp", so)
+            os.replace(tmp, so)
         lib = ctypes.CDLL(so)
         fn = lib.regat_gather_rows
         fn.argtypes = [

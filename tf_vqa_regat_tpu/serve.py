@@ -18,8 +18,11 @@ are train/eval, reference main.py:99-157). TPU-first design:
 API (JSON over HTTP, stdlib ThreadingHTTPServer — no extra dependencies):
   GET  /healthz   -> {"status": "ok", "batch_sizes": [...], ...}
   POST /predict   {"question": str, "image_id": int}
-                  -> {"answer": str, "confidence": float}  (sigmoid prob)
-  POST /predict   [{...}, {...}]  -> [{...}, {...}]         (client batch)
+                  -> 200 {"answer": str, "confidence": float} (sigmoid prob)
+                  -> 404 {"error": ...} for an unknown image_id
+  POST /predict   [{...}, {...}]  -> 200 [{...}, {...}]       (client batch;
+                  per-item failures appear as {"error": ...} entries)
+  Malformed input -> 400; engine failure / shutdown race -> 500.
 """
 
 from __future__ import annotations
@@ -143,12 +146,20 @@ class InferenceEngine:
     ) -> List[Dict[str, Any]]:
         """Tokenize, pad to the smallest compiled batch size, run, decode."""
         n = len(questions)
-        B = next((b for b in self.batch_sizes if b >= n), self.batch_sizes[-1])
         out: List[Dict[str, Any]] = []
-        for lo in range(0, n, B):
+        lo = 0
+        while lo < n:
+            # smallest compiled size that fits the REMAINING items, so an
+            # oversized client batch's tail runs the small program (a 1-item
+            # tail after a 32-chunk pads to 1, not 32)
+            left = n - lo
+            B = next(
+                (b for b in self.batch_sizes if b >= left), self.batch_sizes[-1]
+            )
             chunk_q = questions[lo : lo + B]
             chunk_i = image_ids[lo : lo + B]
             m = len(chunk_q)
+            lo += m
             toks = np.full((B, self.max_q_len), self.ds.padding_idx, np.int32)
             img = np.zeros((B,), np.int32)
             valid = np.zeros((B,), bool)
@@ -301,8 +312,17 @@ def make_server(
                 return self._json(
                     400, {"error": "each item needs question + image_id"}
                 )
-            results = [f.result(timeout=60) for f in futs]
-            self._json(200, results[0] if single else results)
+            try:
+                results = [f.result(timeout=60) for f in futs]
+            except Exception as e:  # engine failure / batcher shutdown
+                return self._json(500, {"error": f"inference failed: {e}"})
+            if single:
+                # per-item failures (e.g. unknown image_id) are 404 on the
+                # single-request form; the batch form stays 200 with
+                # per-item {"error": ...} entries
+                code = 404 if "error" in results[0] else 200
+                return self._json(code, results[0])
+            self._json(200, results)
 
     server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
     return server, batcher

@@ -187,13 +187,14 @@ def run_ensemble_eval(
         member_params.append(params)
         logger.write(f"[ensemble] loaded {rt} member from {path}")
 
-    from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
+    from tf_vqa_regat_tpu.train.loop import resolve_data_mode
 
     need_adj = any(rt != "implicit" for rt, _ in members)
-    fits = estimate_nbytes(
-        val_ds, include_adj=need_adj, feature_dtype=cfg.feature_dtype
-    ) <= cfg.device_store_budget_gb * 1e9
-    if cfg.data_mode == "device" or (cfg.data_mode == "auto" and fits):
+    # same policy as run_evaluation/run_prediction; the ensemble has no
+    # sharded-store path (members share feature tables, which the sharded
+    # store partitions differently per relation type), so that mode streams
+    # from host — visible in the log line's data= tag.
+    if resolve_data_mode(cfg, val_ds, None, need_adj) == "device":
         return _run_ensemble_device(
             cfg, val_ds, mesh, impl, logger, members, member_params
         )

@@ -254,12 +254,13 @@ def run_prediction(
 
     Capability the reference lacks: its eval path requires soft targets
     (train.py:151-170), so the answerless test-dev2015/test2015 splits it
-    downloads (download.sh) cannot be scored OR submitted from it. Uses the
-    device-store gather when the tables fit (incl. --roi_buckets and
-    --eval_block), host streaming otherwise."""
+    downloads (download.sh) cannot be scored OR submitted from it. Data path
+    follows resolve_data_mode: device-store gather when the tables fit
+    (incl. --roi_buckets and --eval_block), the data-axis-sharded store for
+    --data_mode sharded, host streaming otherwise."""
     import json
 
-    from tf_vqa_regat_tpu.data.device_store import DeviceStore, estimate_nbytes
+    from tf_vqa_regat_tpu.data.device_store import DeviceStore
     from tf_vqa_regat_tpu.parallel.mesh import replicated
 
     mesh = make_mesh(cfg.dp_size, cfg.tp_size)
@@ -272,23 +273,37 @@ def run_prediction(
     seen = np.zeros(len(ds.entries), bool)
 
     include_adj = cfg.relation_type in ("semantic", "spatial")
-    fits = estimate_nbytes(ds, include_adj, cfg.feature_dtype) <= (
-        cfg.device_store_budget_gb * 1e9
-    )
-    if cfg.data_mode == "device" or (cfg.data_mode == "auto" and fits):
+    mode = resolve_data_mode(cfg, ds, None, include_adj)
+    if cfg.parsed_roi_buckets() and mode != "device":
+        raise ValueError(
+            f"--roi_buckets requires the device data mode (resolved mode: "
+            f"{mode!r}) — same constraint as training/eval."
+        )
+    if mode in ("device", "sharded"):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
-        from tf_vqa_regat_tpu.train.step import build_store_predict_block
-
-        store = DeviceStore(
-            ds, replicated(mesh), include_adj, cfg.feature_dtype
+        from tf_vqa_regat_tpu.train.step import (
+            build_sharded_store_predict_block,
+            build_store_predict_block,
         )
+
         K = max(cfg.eval_block, 1)
-        buckets = cfg.parsed_roi_buckets()
+        if mode == "sharded":
+            from tf_vqa_regat_tpu.data.sharded_store import ShardedDeviceStore
+
+            store = ShardedDeviceStore(
+                ds, mesh, cfg.relation_type == "semantic", cfg.feature_dtype
+            )
+            buckets = None
+            builder = build_sharded_store_predict_block
+        else:
+            store = DeviceStore(ds, replicated(mesh), include_adj, cfg.feature_dtype)
+            buckets = cfg.parsed_roi_buckets()
+            builder = build_store_predict_block
         sizes = buckets or [cfg.resolved_num_rois()]
         steps = {
-            R: build_store_predict_block(
+            R: builder(
                 cfg.replace(num_rois=R), ds.ntoken, mesh, impl, ds.num_ans,
                 store.padding_idx, K,
             )
@@ -304,11 +319,25 @@ def run_prediction(
                 (R0, idx)
                 for idx in store.epoch_indices(0, eval_batch, False, cfg.seed)
             )
+        if mode == "sharded":
+            # sharded index vectors hold shard-LOCAL entry indices (segment
+            # s of the batch = shard s); translate to global entry ids for
+            # the answer scatter via the store's mapping table
+            per = eval_batch // mesh.shape["data"]
+            seg = np.arange(eval_batch) // per  # [B] shard of each slot
+
+            def to_global(blk):
+                g = store.local_to_global[seg[None, :], np.clip(blk, 0, None)]
+                return np.where(blk >= 0, g, -1)
+        else:
+            def to_global(blk):
+                return blk
+
         blkspec = NamedSharding(mesh, P(None, DATA_AXIS))
         pending = []  # (host idx block, device labels) — fetch once at the end
         for R, blk in _block_batches(batches, K, eval_batch):
             labels = steps[R](params, store.arrays, put_global(blk, blkspec))
-            pending.append((blk, labels))
+            pending.append((to_global(blk), labels))
         for blk, labels in pending:
             lab = np.asarray(jax.device_get(labels))
             ok = blk >= 0
@@ -401,6 +430,26 @@ def _run_eval(
     return score, mean_loss, elapsed
 
 
+def resolve_data_mode(cfg, val_ds, train_ds, include_adj: bool) -> str:
+    """THE data-path policy (single source — _DataPath, run_prediction and
+    run_ensemble_eval all route through it): 'auto' resolves to 'device'
+    when the estimated table footprint (at cfg.feature_dtype) fits the
+    device budget, else 'host'. Eval-only use (train_ds None) gets the FULL
+    budget; with a train store each split gets half."""
+    mode = cfg.data_mode
+    if mode != "auto":
+        return mode
+    from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
+
+    budget = int(cfg.device_store_budget_gb * 1e9)
+    per_store = budget // 2 if train_ds is not None else budget
+    fits = estimate_nbytes(val_ds, include_adj, cfg.feature_dtype) <= per_store and (
+        train_ds is None
+        or estimate_nbytes(train_ds, include_adj, cfg.feature_dtype) <= per_store
+    )
+    return "device" if fits else "host"
+
+
 def _block_batches(batches, K: int, batch_size: int):
     """Group a stream of (R, idx[B]) eval batches into (R, idx_block[K, B])
     blocks for build_store_eval_block, preserving stream order per bucket.
@@ -443,22 +492,7 @@ class _DataPath:
         self.eval_steps = len(eval_loader)  # overridden when bucketed
         self.steps_per_epoch = len(train_loader) if train_loader is not None else 0
 
-        mode = cfg.data_mode
-        if mode == "auto":
-            from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
-
-            budget = int(cfg.device_store_budget_gb * 1e9)
-            # Eval-only use (train_ds None) gets the FULL budget — the half
-            # split only exists to reserve room for the train store.
-            per_store = budget // 2 if train_ds is not None else budget
-            fits = estimate_nbytes(
-                val_ds, self.include_adj, cfg.feature_dtype
-            ) <= per_store and (
-                train_ds is None
-                or estimate_nbytes(train_ds, self.include_adj, cfg.feature_dtype)
-                <= per_store
-            )
-            mode = "device" if fits else "host"
+        mode = resolve_data_mode(cfg, val_ds, train_ds, self.include_adj)
         self.mode = mode
         if cfg.parsed_roi_buckets() and mode != "device":
             raise ValueError(
@@ -523,6 +557,11 @@ class _DataPath:
     def _eval_block_count(self) -> int:
         """Number of (R, [K, B]) blocks eval_iter will yield (for logging)."""
         K = max(self.cfg.eval_block, 1)
+        if self.mode == "sharded":
+            # ragged shards: the store yields max-over-shards batches, not
+            # ceil(total/batch) (ShardedDeviceStore.steps_per_epoch docstring)
+            b = self.eval_store.steps_per_epoch(self.eval_batch)
+            return -(-b // K)
         if self.buckets:
             bucket_of = self.eval_store._bucket_of(self.buckets)
             per_bucket = [

@@ -400,3 +400,40 @@ def build_sharded_store_eval_block(
         in_shardings=(None, dsh, block_sh),
         out_shardings=rep,
     )
+
+
+def build_sharded_store_predict_block(
+    cfg: Config, ntoken: int, mesh, impl: str, num_ans: int, padding_idx: int,
+    block: int,
+):
+    """Sharded-store analog of build_store_predict_block: argmax labels for
+    `block` index batches, gathered from the data-axis-partitioned tables —
+    `--mode predict` at too-big-to-replicate scale (the answerless adaptive
+    test2015 split is the motivating case)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tf_vqa_regat_tpu.data.sharded_store import build_sharded_gather
+    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+
+    gather = build_sharded_gather(mesh, cfg.resolved_num_rois(), num_ans, padding_idx)
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+    sp_mesh = mesh if cfg.sp_rois else None
+
+    def predict_block(params, arrays, idx_block):
+        def body(carry, idx):
+            batch = gather(arrays, idx)
+            logits = apply_regat(
+                params, cfg, batch, ntoken, train=False, impl=impl,
+                sp_mesh=sp_mesh,
+            )
+            return carry, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        _, labels = jax.lax.scan(body, None, idx_block)
+        return labels  # [K, B]
+
+    block_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(
+        predict_block,
+        in_shardings=(None, dsh, block_sh),
+        out_shardings=block_sh,
+    )
