@@ -31,6 +31,7 @@ if nproc > 1:
     )
 
 import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tf_vqa_regat_tpu.config import Config  # noqa: E402
@@ -91,11 +92,40 @@ for idx in store.epoch_indices(0, BATCH, shuffle=False, seed=3):
     esum += float(m["loss"]) * float(m["n"])
     en += float(m["n"])
 
+# blocked eval + predict: the scan-based programs and their multi-process
+# put_global placement / replicated-label fetch (run_prediction's path)
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+from tf_vqa_regat_tpu.train.loop import _block_batches  # noqa: E402
+from tf_vqa_regat_tpu.train.step import (  # noqa: E402
+    build_store_eval_block, build_store_predict_block,
+)
+
+eblk = build_store_eval_block(cfg, NTOKEN, mesh, "jnp", NUM_ANS, store.padding_idx, 2)
+pblk = build_store_predict_block(cfg, NTOKEN, mesh, "jnp", NUM_ANS, store.padding_idx, 2)
+blkspec = NamedSharding(mesh, P(None, "data"))
+bsum = bscore = bn = 0.0
+pred = {}
+for _, blk in _block_batches(
+    ((cfg.num_rois, i) for i in store.epoch_indices(0, BATCH, False, 3)), 2, BATCH
+):
+    gb = put_global(blk, blkspec)
+    m = eblk(state["params"], store.arrays, gb)
+    bsum += float(m["loss"]) * float(m["n"])
+    bscore += float(m["score"])
+    bn += float(m["n"])
+    lab = np.asarray(jax.device_get(pblk(state["params"], store.arrays, gb)))
+    ok = blk >= 0
+    for i, l in zip(blk[ok].tolist(), lab[ok].tolist()):
+        pred[int(i)] = int(l)
+
 result = {
     "devices": len(jax.devices()),
     "losses": losses,
     "eval_loss": esum / en,
     "eval_score": escore / en,
+    "blocked_eval_loss": bsum / bn,
+    "blocked_eval_score": bscore / bn,
+    "pred": sorted(pred.items()),
 }
 if pid == 0:
     with open(out_json, "w") as f:

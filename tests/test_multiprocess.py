@@ -65,3 +65,12 @@ def test_two_process_run_matches_single_process(tmp_path):
     )
     np.testing.assert_allclose(multi["eval_loss"], single["eval_loss"], rtol=1e-6)
     np.testing.assert_allclose(multi["eval_score"], single["eval_score"], rtol=1e-6)
+    # blocked-eval scan program + predict labels (replicated-output fetch)
+    np.testing.assert_allclose(
+        multi["blocked_eval_loss"], single["blocked_eval_loss"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        multi["blocked_eval_score"], single["blocked_eval_score"], rtol=1e-6
+    )
+    assert multi["pred"] == single["pred"]
+    assert len(single["pred"]) == 64  # every entry predicted exactly once

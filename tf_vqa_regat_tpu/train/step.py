@@ -344,10 +344,13 @@ def build_store_predict_block(
 
     rep = replicated(mesh)
     block_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    # labels replicate ([K, B] int32 is tiny): every process can fetch the
+    # full result under multi-process (a data-sharded output would be
+    # non-addressable on other hosts)
     return jax.jit(
         predict_block,
         in_shardings=(None, rep, block_sh),
-        out_shardings=block_sh,
+        out_shardings=rep,
     )
 
 
@@ -432,8 +435,11 @@ def build_sharded_store_predict_block(
         return labels  # [K, B]
 
     block_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    rep = replicated(mesh)
+    # replicated labels: fetchable from every process (see the device-store
+    # predict block)
     return jax.jit(
         predict_block,
         in_shardings=(None, dsh, block_sh),
-        out_shardings=block_sh,
+        out_shardings=rep,
     )
