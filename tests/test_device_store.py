@@ -182,3 +182,46 @@ def test_blocked_eval_matches_per_batch():
     assert got["n"] == want["n"] == 43
     np.testing.assert_allclose(got["score"], want["score"], rtol=1e-6)
     np.testing.assert_allclose(got["loss_sum"], want["loss_sum"], rtol=1e-5)
+
+
+def test_int8_feature_tables():
+    """int8 per-row quantization: gathered features must match f32 within
+    the quantization bound (rowmax/254 per element), pads stay exactly zero,
+    everything else in the batch is bit-identical, and training runs finite
+    on both the replicated and sharded stores."""
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.data.device_store import estimate_nbytes, gather_batch
+
+    ds = synthetic_dataset(num_images=8, num_questions=32, v_dim=24, num_ans=7)
+    s32 = DeviceStore(ds)
+    s8 = DeviceStore(ds, feature_dtype="int8")
+    idx = jnp.asarray(np.array([0, 5, 31, -1], np.int32))
+    b32 = jax.device_get(gather_batch(s32.arrays, idx, 40, 7, ds.padding_idx))
+    b8 = jax.device_get(gather_batch(s8.arrays, idx, 40, 7, ds.padding_idx))
+    # quantization bound: |err| <= scale/2 = rowmax/254 per element
+    rowmax = np.abs(b32["features"]).max(axis=-1, keepdims=True)
+    assert np.all(np.abs(b8["features"] - b32["features"]) <= rowmax / 254 + 1e-7)
+    pad = np.arange(40)[None, :] >= b32["num_boxes"][:, None]
+    assert (b8["features"][pad] == 0).all()
+    for k in ("norm_bb", "bb", "question", "target", "num_boxes", "valid"):
+        np.testing.assert_array_equal(b8[k], b32[k], err_msg=k)
+    # footprint estimate reflects the 4x feature shrink (+ scale vector)
+    est8 = estimate_nbytes(ds, feature_dtype="int8")
+    est32 = estimate_nbytes(ds, feature_dtype="float32")
+    feat = ds.store.features
+    assert est32 - est8 == feat.nbytes - feat.nbytes // 4 - 4 * feat.shape[0]
+
+    # end-to-end: short trainings run finite on device and sharded paths
+    from tf_vqa_regat_tpu.train.loop import run_training
+
+    cfg = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+        batch_size=16, adaptive=True, num_rois=40, epochs=1,
+        feature_dtype="int8", output="", save_every_epoch=False,
+        synthetic=True,
+    )
+    val = synthetic_dataset(num_images=8, num_questions=16, v_dim=24, num_ans=7, seed=1)
+    for mode in ("device", "sharded"):
+        params, best = run_training(cfg.replace(data_mode=mode), ds, val)
+        assert np.isfinite(best)

@@ -153,8 +153,11 @@ class Config:
     # "bfloat16" halves the device-store resident footprint + gather traffic
     # (re-widened to f32 at gather) and halves host->device bytes/batch when
     # streaming (~214 -> ~109 MB at flagship shapes — the tunnel transfer is
-    # the host path's bottleneck, PERF_NOTES.md). Input-rounding only; box
-    # tables stay float32 (spatial-graph labels are discrete in them).
+    # the host path's bottleneck, PERF_NOTES.md). "int8" (device/sharded
+    # stores only) quantizes per row (scale = rowmax/127, dequantized at
+    # gather): 4x smaller — fits the full ~58 GB adaptive train table in one
+    # v5e's 16 GB HBM. Input-rounding only; box tables stay float32
+    # (spatial-graph labels are discrete in them).
     feature_dtype: str = "float32"
     # Roi bucketing (device data mode): comma-separated static roi sizes,
     # e.g. "36,64,100" — homogeneous-size batches route to per-size compiled

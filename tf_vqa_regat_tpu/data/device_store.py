@@ -93,11 +93,14 @@ def estimate_nbytes(
     runs before construction), accounting for feature_dtype."""
     store = dataset.store
     n_entries = len(dataset.entries)
-    # bf16 applies to the features table only (boxes stay f32; see DeviceStore)
-    float_scale = 0.5 if feature_dtype == "bfloat16" else 1.0
+    # reduced dtypes apply to the features table only (boxes stay f32; see
+    # DeviceStore). int8 adds a f32 per-row scale vector.
+    float_scale = {"bfloat16": 0.5, "int8": 0.25}.get(feature_dtype, 1.0)
     total = int(store.features.nbytes * float_scale) + int(
         store.normalized_bb.nbytes + store.bb.nbytes
     )
+    if feature_dtype == "int8":
+        total += 4 * (store.features.nbytes // store.features.itemsize // store.features.shape[-1])
     n_img = (
         store.pos_boxes.shape[0] if store.adaptive else store.features.shape[0]
     )
@@ -140,6 +143,19 @@ class DeviceStore:
             import jax.numpy as _jnp
 
             host["features"] = host["features"].astype(_jnp.bfloat16)
+        elif feature_dtype == "int8":
+            # Symmetric per-row quantization: scale = rowmax/127 (f32 [T]),
+            # q = round(x/scale) in [-127, 127]. 4x smaller than f32 — the
+            # single-chip enabler for the full ~58 GB adaptive train table
+            # (f32 and bf16 both exceed one v5e's 16 GB HBM; int8+scales is
+            # ~14.7 GB). gather_batch dequantizes after the row gather;
+            # training dynamics under int8 validated in PERF_NOTES.md.
+            f = host["features"]
+            scale = np.maximum(np.abs(f).max(axis=-1), 1e-12) / 127.0
+            host["feat_scale"] = scale.astype(np.float32)
+            host["features"] = np.clip(
+                np.round(f / scale[:, None]), -127, 127
+            ).astype(np.int8)
         self.num_entries = len(dataset.entries)
         self.num_ans = dataset.num_ans
         self.padding_idx = dataset.padding_idx
@@ -297,7 +313,11 @@ def gather_image_features(
 
     def take(tab):
         out = jnp.take(tab, rows.reshape(-1), axis=0).reshape(B, num_rois, -1)
-        out = out.astype(jnp.float32)  # bf16 tables re-widen here
+        out = out.astype(jnp.float32)  # bf16/int8 tables re-widen here
         return jnp.where(roi_ok[..., None], out, jnp.zeros_like(out))
 
-    return take(arrays["features"]), take(arrays["norm_bb"]), take(arrays["bb"])
+    features = take(arrays["features"])
+    if "feat_scale" in arrays:  # int8 tables: dequantize by the per-row scale
+        scale = jnp.take(arrays["feat_scale"], rows.reshape(-1), axis=0)
+        features = features * scale.reshape(B, num_rois, 1)
+    return features, take(arrays["norm_bb"]), take(arrays["bb"])
