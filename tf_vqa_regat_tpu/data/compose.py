@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -8,13 +8,12 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import Optional
 
 import h5py
 import numpy as np
 
 from tf_vqa_regat_tpu.data.dictionary import Dictionary
-from tf_vqa_regat_tpu.data.entries import EntryTable, load_entries
+from tf_vqa_regat_tpu.data.entries import EntryTable
 from tf_vqa_regat_tpu.data.features import FeatureStore, VQADataset
 
 _WORDS = (
