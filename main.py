@@ -86,14 +86,22 @@ def build_datasets(cfg: Config):
     else:
         # --mode predict targets the (possibly answerless) predict_split;
         # every other mode evaluates on val (reference main.py:115).
+        if cfg.mmap_features and (cfg.use_both or cfg.use_vg):
+            raise ValueError(
+                "--mmap_features cannot compose splits (--use_both/--use_vg "
+                "concatenate feature tables, which requires materializing "
+                "them); drop one or the other"
+            )
         val_split = cfg.predict_split if cfg.mode == "predict" else "val"
         val = load_vqa_dataset(
-            val_split, dictionary, cfg.relation_type, cfg.data_folder, cfg.adaptive
+            val_split, dictionary, cfg.relation_type, cfg.data_folder,
+            cfg.adaptive, cfg.mmap_features,
         )
         train = None
         if cfg.mode == "train":
             train = load_vqa_dataset(
-                "train", dictionary, cfg.relation_type, cfg.data_folder, cfg.adaptive
+                "train", dictionary, cfg.relation_type, cfg.data_folder,
+                cfg.adaptive, cfg.mmap_features,
             )
             if cfg.use_both:
                 from tf_vqa_regat_tpu.data.compose import concat_datasets

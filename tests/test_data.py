@@ -272,3 +272,50 @@ def test_native_gather_matches_numpy_pack(monkeypatch):
     got_numpy = BatchLoader(ds, 17, 40, shuffle=False)._pack(idx)
     for k in got_numpy:
         np.testing.assert_array_equal(got_native[k], got_numpy[k], err_msg=k)
+
+
+def test_mmap_feature_loading_matches_materialized(tmp_path):
+    """--mmap_features: the h5py-backed lazy store must produce bit-identical
+    device tables (f32 AND int8 via the chunked converter) and host batches
+    (per-image slice fallback) to the fully-materialized load."""
+    from tf_vqa_regat_tpu.data import device_store as dstore
+    from tf_vqa_regat_tpu.data.device_store import DeviceStore, build_arrays
+    from tf_vqa_regat_tpu.data.dictionary import Dictionary
+    from tf_vqa_regat_tpu.data.features import load_vqa_dataset
+
+    root = str(tmp_path)
+    write_fixture(root, num_images=10, num_questions=20, v_dim=32, num_ans=9,
+                  adaptive=True, name="train")
+    write_fixture(root, num_images=6, num_questions=12, v_dim=32, num_ans=9,
+                  adaptive=True, name="val", first_image_id=2000,
+                  first_question_id=100)
+    d = Dictionary.load_from_file(f"{root}/glove/dictionary.pkl")
+    eager = load_vqa_dataset("train", d, "implicit", root, adaptive=True)
+    lazy = load_vqa_dataset("train", d, "implicit", root, adaptive=True, mmap=True)
+    assert lazy.store.features_lazy and not eager.store.features_lazy
+
+    # chunked conversion (force several chunks) == one-shot, for all dtypes
+    old_chunk = dstore.CHUNK_ROWS
+    dstore.CHUNK_ROWS = 37
+    try:
+        for fd in ("float32", "bfloat16", "int8"):
+            a_eager = build_arrays(eager, feature_dtype=fd)
+            a_lazy = build_arrays(lazy, feature_dtype=fd)
+            assert set(a_eager) == set(a_lazy)
+            for k in a_eager:
+                np.testing.assert_array_equal(
+                    np.asarray(a_eager[k]), np.asarray(a_lazy[k]),
+                    err_msg=f"{fd}:{k}",
+                )
+    finally:
+        dstore.CHUNK_ROWS = old_chunk
+
+    # host loader: lazy per-image-slice fallback == vectorized pack
+    b_eager = next(iter(BatchLoader(eager, 8, 40, shuffle=False).epoch(0)))
+    b_lazy = next(iter(BatchLoader(lazy, 8, 40, shuffle=False).epoch(0)))
+    for k in b_eager:
+        np.testing.assert_array_equal(b_eager[k], b_lazy[k], err_msg=k)
+
+    # device store builds + gathers from the lazy source
+    s = DeviceStore(lazy, feature_dtype="int8")
+    assert int(s.num_entries) == 20

@@ -149,6 +149,13 @@ class Config:
     # (data/sharded_store.py).
     data_mode: str = "auto"
     device_store_budget_gb: float = 8.0
+    # Keep the HDF5 feature table lazy instead of materializing it into host
+    # RAM (the reference loads ~58 GB f32 into RAM, dataset.py:206-230). The
+    # device stores then convert it chunk-by-chunk straight to feature_dtype
+    # — host peak RAM becomes the converted table + one chunk (e.g. ~15 GB
+    # for int8 instead of ~73 GB); host streaming reads per-image slices
+    # from disk.
+    mmap_features: bool = False
     # Feature dtype on the device path AND the host-streaming wire:
     # "bfloat16" halves the device-store resident footprint + gather traffic
     # (re-widened to f32 at gather) and halves host->device bytes/batch when

@@ -32,21 +32,61 @@ from tf_vqa_regat_tpu.data.features import VQADataset
 MAX_LABELS = 16  # VQA soft targets have <=10 answers; headroom for safety
 
 
-def build_arrays(dataset: VQADataset, include_adj: bool = False) -> Dict[str, np.ndarray]:
-    """Host-side column tables ready for one device_put."""
+CHUNK_ROWS = 262144  # rows per conversion chunk (~2 GB f32 at 2048-d)
+
+
+def _materialize_features(src, feature_dtype: str):
+    """Flat [T, v] feature table at the target dtype, built CHUNK-BY-CHUNK so
+    an h5py-backed (mmap) source never fully materializes in f32: host peak
+    RAM is the converted table + one chunk. Returns (features, scale-or-None)
+    — int8 produces the per-row dequantization scale (see DeviceStore)."""
+    shape = src.shape
+    if len(shape) == 3:  # fixed-36 layout [n_img, 36, v] -> flat rows
+        T, v = shape[0] * shape[1], shape[2]
+    else:
+        T, v = shape
+    if feature_dtype == "bfloat16":
+        import jax.numpy as _jnp
+
+        out = np.empty((T, v), _jnp.bfloat16)
+    elif feature_dtype == "int8":
+        out = np.empty((T, v), np.int8)
+        scale = np.empty((T,), np.float32)
+    else:
+        if isinstance(src, np.ndarray):
+            return src.reshape(T, v), None  # zero-copy for the plain case
+        out = np.empty((T, v), np.float32)
+    step = max(CHUNK_ROWS // (shape[1] if len(shape) == 3 else 1), 1)
+    for lo in range(0, shape[0], step):
+        chunk = np.asarray(src[lo : lo + step], np.float32).reshape(-1, v)
+        a = lo * (shape[1] if len(shape) == 3 else 1)
+        b = a + chunk.shape[0]
+        if feature_dtype == "int8":
+            s = np.maximum(np.abs(chunk).max(axis=-1), 1e-12) / 127.0
+            scale[a:b] = s
+            out[a:b] = np.clip(np.round(chunk / s[:, None]), -127, 127)
+        else:
+            out[a:b] = chunk.astype(out.dtype)
+    return out, (scale if feature_dtype == "int8" else None)
+
+
+def build_arrays(
+    dataset: VQADataset, include_adj: bool = False, feature_dtype: str = "float32"
+) -> Dict[str, np.ndarray]:
+    """Host-side column tables ready for one device_put; the feature table
+    is materialized at `feature_dtype` (chunked — mmap-safe)."""
     ent = dataset.entries
     store = dataset.store
     N = len(ent)
 
+    feat, feat_scale = _materialize_features(store.features, feature_dtype)
     if store.adaptive:
-        feat = store.features
         norm_bb = store.normalized_bb
         bb = store.bb
         img_start = store.pos_boxes[:, 0].astype(np.int32)
         img_len = (store.pos_boxes[:, 1] - store.pos_boxes[:, 0]).astype(np.int32)
     else:
         n_img, n_box, v = store.features.shape
-        feat = store.features.reshape(n_img * n_box, v)
         norm_bb = store.normalized_bb.reshape(n_img * n_box, -1)
         bb = store.bb.reshape(n_img * n_box, -1)
         img_start = (np.arange(n_img, dtype=np.int32)) * n_box
@@ -79,6 +119,8 @@ def build_arrays(dataset: VQADataset, include_adj: bool = False) -> Dict[str, np
         )
         if adj is not None:
             arrays["adj"] = adj.astype(np.int8)
+    if feat_scale is not None:
+        arrays["feat_scale"] = feat_scale
     return arrays
 
 
@@ -100,7 +142,9 @@ def estimate_nbytes(
         store.normalized_bb.nbytes + store.bb.nbytes
     )
     if feature_dtype == "int8":
-        total += 4 * (store.features.nbytes // store.features.itemsize // store.features.shape[-1])
+        # per-row f32 scale vector (h5py datasets lack .itemsize — use dtype)
+        n_rows = int(np.prod(store.features.shape[:-1]))
+        total += 4 * n_rows
     n_img = (
         store.pos_boxes.shape[0] if store.adaptive else store.features.shape[0]
     )
@@ -138,24 +182,13 @@ class DeviceStore:
         include_adj: bool = False,
         feature_dtype: str = "float32",
     ):
-        host = build_arrays(dataset, include_adj)
-        if feature_dtype == "bfloat16":
-            import jax.numpy as _jnp
-
-            host["features"] = host["features"].astype(_jnp.bfloat16)
-        elif feature_dtype == "int8":
-            # Symmetric per-row quantization: scale = rowmax/127 (f32 [T]),
-            # q = round(x/scale) in [-127, 127]. 4x smaller than f32 — the
-            # single-chip enabler for the full ~58 GB adaptive train table
-            # (f32 and bf16 both exceed one v5e's 16 GB HBM; int8+scales is
-            # ~14.7 GB). gather_batch dequantizes after the row gather;
-            # training dynamics under int8 validated in PERF_NOTES.md.
-            f = host["features"]
-            scale = np.maximum(np.abs(f).max(axis=-1), 1e-12) / 127.0
-            host["feat_scale"] = scale.astype(np.float32)
-            host["features"] = np.clip(
-                np.round(f / scale[:, None]), -127, 127
-            ).astype(np.int8)
+        # feature table materialized at feature_dtype, chunk-by-chunk
+        # (mmap-safe). int8 = symmetric per-row quantization (scale =
+        # rowmax/127, dequantized in gather_batch): 4x smaller than f32 —
+        # the single-chip enabler for the full ~58 GB adaptive train table
+        # (f32 and bf16 both exceed one v5e's 16 GB HBM; int8+scales is
+        # ~14.7 GB). Training dynamics under int8 validated in PERF_NOTES.md.
+        host = build_arrays(dataset, include_adj, feature_dtype)
         self.num_entries = len(dataset.entries)
         self.num_ans = dataset.num_ans
         self.padding_idx = dataset.padding_idx

@@ -34,6 +34,13 @@ class FeatureStore:
     pos_boxes: Optional[np.ndarray] = None  # adaptive only, [num_img, 2]
     semantic_adj: Optional[np.ndarray] = None  # [num_img, 100, 100]
     spatial_adj: Optional[np.ndarray] = None  # [num_img, 100, 100]
+    # mmap mode: `features` is the live h5py Dataset (contiguous slicing
+    # works; fancy indexing does not) and this handle keeps the file open.
+    h5_file: Optional[object] = None
+
+    @property
+    def features_lazy(self) -> bool:
+        return self.h5_file is not None
 
     @property
     def v_dim(self) -> int:
@@ -52,18 +59,30 @@ class FeatureStore:
 
 
 def load_feature_store(
-    dataroot: str, name: str, adaptive: bool, relation_type: str
+    dataroot: str, name: str, adaptive: bool, relation_type: str,
+    mmap: bool = False,
 ) -> FeatureStore:
-    """Open the split's HDF5 (reference path scheme, dataset.py:183-199) and
-    materialize into host RAM (the arrays are then sliced per batch)."""
+    """Open the split's HDF5 (reference path scheme, dataset.py:183-199).
+
+    Default: materialize into host RAM, as the reference does
+    (dataset.py:206-230 — ~58 GB f32 for the adaptive train split, which is
+    the reference's real hardware floor). ``mmap=True`` keeps the dominant
+    `image_features` table LAZY (an open h5py Dataset): the device stores
+    then convert it chunk-by-chunk straight into the target dtype
+    (device_store.build_arrays), so host peak RAM is the *converted* table
+    (+ one chunk) — e.g. ~15 GB for int8 instead of ~73 GB. Box tables and
+    adjacency are small relative to features and always materialize."""
     prefix = "_36" if "test" in name else "36"
     h5_root = os.path.join(
         dataroot,
         "Bottom-up-features-adaptive" if adaptive else "Bottom-up-features-fixed",
     )
     h5_path = os.path.join(h5_root, "%s%s.hdf5" % (name, "" if adaptive else prefix))
-    with h5py.File(h5_path, "r") as hf:
-        features = np.asarray(hf["image_features"], np.float32)
+    hf = h5py.File(h5_path, "r")
+    try:
+        features = hf["image_features"] if mmap else np.asarray(
+            hf["image_features"], np.float32
+        )
         normalized_bb = np.asarray(hf["spatial_features"], np.float32)
         bb = np.asarray(hf["image_bb"], np.float32)
         semantic_adj = None
@@ -73,6 +92,9 @@ def load_feature_store(
         if "image_adj_matrix" in hf and relation_type == "spatial":
             spatial_adj = np.asarray(hf["image_adj_matrix"], np.int32)
         pos_boxes = np.asarray(hf["pos_boxes"], np.int64) if adaptive else None
+    finally:
+        if not mmap:
+            hf.close()
     return FeatureStore(
         adaptive=adaptive,
         features=features,
@@ -81,6 +103,7 @@ def load_feature_store(
         pos_boxes=pos_boxes,
         semantic_adj=semantic_adj,
         spatial_adj=spatial_adj,
+        h5_file=hf if mmap else None,
     )
 
 
@@ -134,6 +157,7 @@ def load_vqa_dataset(
     relation_type: str,
     dataroot: str = "data",
     adaptive: bool = False,
+    mmap: bool = False,
 ) -> VQADataset:
     assert name in ("train", "val", "test-dev2015", "test2015")
     with open(os.path.join(dataroot, "cache", "trainval_ans2label.pkl"), "rb") as fh:
@@ -141,7 +165,7 @@ def load_vqa_dataset(
     with open(os.path.join(dataroot, "cache", "trainval_label2ans.pkl"), "rb") as fh:
         label2ans = pickle.load(fh)
     img_id2idx = load_imgid2idx(dataroot, name, adaptive)
-    store = load_feature_store(dataroot, name, adaptive, relation_type)
+    store = load_feature_store(dataroot, name, adaptive, relation_type, mmap)
     entries = load_entries(dataroot, name, img_id2idx, label2ans, dictionary)
     return VQADataset(
         name=name,

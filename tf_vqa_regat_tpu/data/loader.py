@@ -112,7 +112,17 @@ class BatchLoader:
         features = np.zeros((B, R, store.v_dim), np.float32)
         norm_bb = np.zeros((B, R, store.s_dim), np.float32)
         bb = np.zeros((B, R, 4), np.float32)
-        if store.adaptive:
+        if getattr(store, "features_lazy", False):
+            # mmap (h5py-backed) features: fancy indexing is unsupported on
+            # h5py datasets — read per-image contiguous slices instead (the
+            # disk-backed streaming pattern; bounded RAM, disk-speed).
+            for row, img in enumerate(imgs):
+                f, nb_, rb = store.image_slice(int(img))
+                k = int(nbox[row])
+                features[row, :k] = f[:k]
+                norm_bb[row, :k] = nb_[:k]
+                bb[row, :k] = rb[:k]
+        elif store.adaptive:
             from tf_vqa_regat_tpu import native
 
             rows = self._rows[imgs].reshape(-1)  # [n_real * R], -1 = pad
