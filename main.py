@@ -72,6 +72,14 @@ def build_datasets(cfg: Config):
     dictionary = Dictionary.load_from_file(
         os.path.join(cfg.data_folder, "glove", "dictionary.pkl")
     )
+    if cfg.mmap_features and (
+        cfg.use_both or cfg.use_vg or cfg.dataset == "vqa_cp"
+    ):
+        raise ValueError(
+            "--mmap_features cannot compose splits (--use_both/--use_vg and "
+            "the vqa_cp merged train+val store concatenate feature tables, "
+            "which requires materializing them); drop one or the other"
+        )
     if cfg.dataset == "vqa_cp":
         from tf_vqa_regat_tpu.data.compose import load_vqa_cp_dataset
 
@@ -86,12 +94,6 @@ def build_datasets(cfg: Config):
     else:
         # --mode predict targets the (possibly answerless) predict_split;
         # every other mode evaluates on val (reference main.py:115).
-        if cfg.mmap_features and (cfg.use_both or cfg.use_vg):
-            raise ValueError(
-                "--mmap_features cannot compose splits (--use_both/--use_vg "
-                "concatenate feature tables, which requires materializing "
-                "them); drop one or the other"
-            )
         val_split = cfg.predict_split if cfg.mode == "predict" else "val"
         val = load_vqa_dataset(
             val_split, dictionary, cfg.relation_type, cfg.data_folder,

@@ -286,9 +286,6 @@ def test_mmap_feature_loading_matches_materialized(tmp_path):
     root = str(tmp_path)
     write_fixture(root, num_images=10, num_questions=20, v_dim=32, num_ans=9,
                   adaptive=True, name="train")
-    write_fixture(root, num_images=6, num_questions=12, v_dim=32, num_ans=9,
-                  adaptive=True, name="val", first_image_id=2000,
-                  first_question_id=100)
     d = Dictionary.load_from_file(f"{root}/glove/dictionary.pkl")
     eager = load_vqa_dataset("train", d, "implicit", root, adaptive=True)
     lazy = load_vqa_dataset("train", d, "implicit", root, adaptive=True, mmap=True)
@@ -319,3 +316,16 @@ def test_mmap_feature_loading_matches_materialized(tmp_path):
     # device store builds + gathers from the lazy source
     s = DeviceStore(lazy, feature_dtype="int8")
     assert int(s.num_entries) == 20
+
+
+def test_host_loader_feature_dtype_validation():
+    """int8 is a device-store concept: the host loader maps it to the bf16
+    wire format; unknown dtypes are rejected."""
+    import ml_dtypes
+
+    ds = synthetic_dataset(num_images=4, num_questions=8, v_dim=8, num_ans=5)
+    l8 = BatchLoader(ds, 8, 36, shuffle=False, feature_dtype="int8")
+    assert l8.feature_dtype == "bfloat16"
+    assert next(iter(l8.epoch(0)))["features"].dtype == ml_dtypes.bfloat16
+    with pytest.raises(ValueError):
+        BatchLoader(ds, 8, 36, shuffle=False, feature_dtype="int4")

@@ -35,6 +35,15 @@ MAX_LABELS = 16  # VQA soft targets have <=10 answers; headroom for safety
 CHUNK_ROWS = 262144  # rows per conversion chunk (~2 GB f32 at 2048-d)
 
 
+def quantize_rows(chunk: np.ndarray):
+    """Symmetric per-row int8 quantization: (q int8, scale f32[rows]) with
+    scale = rowmax/127 — shared by the replicated (chunked) and sharded
+    (per-image) table builders."""
+    s = np.maximum(np.abs(chunk).max(axis=-1), 1e-12) / 127.0
+    q = np.clip(np.round(chunk / s[..., None]), -127, 127).astype(np.int8)
+    return q, s.astype(np.float32)
+
+
 def _materialize_features(src, feature_dtype: str):
     """Flat [T, v] feature table at the target dtype, built CHUNK-BY-CHUNK so
     an h5py-backed (mmap) source never fully materializes in f32: host peak
@@ -62,9 +71,7 @@ def _materialize_features(src, feature_dtype: str):
         a = lo * (shape[1] if len(shape) == 3 else 1)
         b = a + chunk.shape[0]
         if feature_dtype == "int8":
-            s = np.maximum(np.abs(chunk).max(axis=-1), 1e-12) / 127.0
-            scale[a:b] = s
-            out[a:b] = np.clip(np.round(chunk / s[:, None]), -127, 127)
+            out[a:b], scale[a:b] = quantize_rows(chunk)
         else:
             out[a:b] = chunk.astype(out.dtype)
     return out, (scale if feature_dtype == "int8" else None)

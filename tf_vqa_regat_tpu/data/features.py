@@ -92,9 +92,11 @@ def load_feature_store(
         if "image_adj_matrix" in hf and relation_type == "spatial":
             spatial_adj = np.asarray(hf["image_adj_matrix"], np.int32)
         pos_boxes = np.asarray(hf["pos_boxes"], np.int64) if adaptive else None
-    finally:
-        if not mmap:
-            hf.close()
+    except Exception:
+        hf.close()  # don't leak the handle/lock on a malformed file
+        raise
+    if not mmap:
+        hf.close()
     return FeatureStore(
         adaptive=adaptive,
         features=features,

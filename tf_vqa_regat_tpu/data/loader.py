@@ -47,7 +47,16 @@ class BatchLoader:
         # Wire format of the (dominant) feature tensor: "bfloat16" halves
         # host->device bytes (~200 MB/batch at flagship shapes -> ~100 MB);
         # box tables stay float32 (they feed the discrete spatial-graph
-        # classifier — see device_store.DeviceStore docstring).
+        # classifier — see device_store.DeviceStore docstring). "int8" is a
+        # device-store concept (per-row quantized resident tables); its host
+        # wire equivalent is the bf16 reduced format.
+        if feature_dtype == "int8":
+            feature_dtype = "bfloat16"
+        elif feature_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"unknown feature_dtype {feature_dtype!r} "
+                "(float32 | bfloat16 | int8)"
+            )
         self.feature_dtype = feature_dtype
         n = len(dataset)
         self.steps_per_epoch = (n + batch_size - 1) // batch_size

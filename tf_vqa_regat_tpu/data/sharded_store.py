@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from tf_vqa_regat_tpu.data.device_store import MAX_LABELS, gather_batch
+from tf_vqa_regat_tpu.data.device_store import MAX_LABELS, gather_batch, quantize_rows
 from tf_vqa_regat_tpu.data.features import VQADataset
 from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
 
@@ -82,7 +82,22 @@ class ShardedDeviceStore:
         v_dim = store.features.shape[-1]
         s_dim = store.normalized_bb.shape[-1]
 
-        feats = np.zeros((self.dp, max_rows, v_dim), np.float32)
+        # Per-shard tables allocated directly at the TARGET dtype and filled
+        # per image (contiguous slices — works for h5py-backed mmap sources
+        # too), so neither --feature_dtype nor --mmap_features ever stages
+        # the full table in f32: host peak RAM is the converted table + one
+        # image slice.
+        if feature_dtype == "bfloat16":
+            feats = np.zeros((self.dp, max_rows, v_dim), jnp.bfloat16)
+        elif feature_dtype == "int8":
+            feats = np.zeros((self.dp, max_rows, v_dim), np.int8)
+        else:
+            feats = np.zeros((self.dp, max_rows, v_dim), np.float32)
+        feat_scale = (
+            np.zeros((self.dp, max_rows), np.float32)
+            if feature_dtype == "int8"
+            else None
+        )
         norms = np.zeros((self.dp, max_rows, s_dim), np.float32)
         bbs = np.zeros((self.dp, max_rows, 4), np.float32)
         local_start = np.zeros((self.dp, n_img), np.int32)  # per shard, by local img
@@ -97,13 +112,19 @@ class ShardedDeviceStore:
                 ln = int(img_len[img])
                 st = int(img_start[img])
                 if store.adaptive:
-                    feats[s, off : off + ln] = store.features[st : st + ln]
+                    f_img = np.asarray(store.features[st : st + ln], np.float32)
                     norms[s, off : off + ln] = store.normalized_bb[st : st + ln]
                     bbs[s, off : off + ln] = store.bb[st : st + ln]
                 else:
-                    feats[s, off : off + ln] = store.features[img]
+                    f_img = np.asarray(store.features[img], np.float32)
                     norms[s, off : off + ln] = store.normalized_bb[img]
                     bbs[s, off : off + ln] = store.bb[img]
+                if feature_dtype == "int8":
+                    q, sc = quantize_rows(f_img)
+                    feats[s, off : off + ln] = q
+                    feat_scale[s, off : off + ln] = sc
+                else:
+                    feats[s, off : off + ln] = f_img.astype(feats.dtype)
                 local_start[s, li] = off
                 local_len[s, li] = ln
                 img_shard[img] = s
@@ -131,20 +152,6 @@ class ShardedDeviceStore:
                 scores[s, j, :k] = ent.scores[so : so + k]
                 entry_img[s, j] = img_local[ent.image_index[e]]
 
-        if feature_dtype == "bfloat16":
-            # Features only; boxes stay f32 — they feed the discrete
-            # spatial-graph thresholds (see DeviceStore docstring).
-            feats = feats.astype(jnp.bfloat16)
-        feat_scale = None
-        if feature_dtype == "int8":
-            # Per-row symmetric quantization (see DeviceStore): 4x smaller
-            # tables; gather_batch dequantizes via the sharded scale vector.
-            feat_scale = (
-                np.maximum(np.abs(feats).max(axis=-1), 1e-12) / 127.0
-            ).astype(np.float32)
-            feats = np.clip(
-                np.round(feats / feat_scale[..., None]), -127, 127
-            ).astype(np.int8)
         host = {
             "features": feats.reshape(self.dp * max_rows, v_dim),
             "norm_bb": norms.reshape(self.dp * max_rows, s_dim),
