@@ -216,6 +216,105 @@ def test_overfit_bfloat16_compute():
     assert final_score > 0.90 * ceil, (final_score, ceil)
 
 
+def test_grad_accum_matches_single_pass():
+    """cfg.grad_accum=k accumulates k microbatch sum-grads and applies ONE
+    optimizer update on the batch-mean gradient — with dropout off this must
+    reproduce the single-pass step exactly (params and metrics), including on
+    a final partial batch (valid mask) and under a data-sharded mesh."""
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+    from tf_vqa_regat_tpu.data.loader import BatchLoader
+    from tf_vqa_regat_tpu.models.regat import init_regat, trainable_mask
+    from tf_vqa_regat_tpu.parallel.mesh import batch_sharding, make_mesh
+    from tf_vqa_regat_tpu.train.optim import make_optimizer
+    from tf_vqa_regat_tpu.train.step import build_train_step, init_train_state
+
+    base = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+        residual_connection=True, base_lr=5e-3, dropout=0.0, batch_size=32,
+    )
+    # 48 questions / batch 32 -> second batch is half-padded (valid mask)
+    ds = synthetic_dataset(num_images=8, num_questions=48, v_dim=32, num_ans=9)
+    ntoken = ds.dictionary.ntoken
+    mesh = make_mesh()  # full virtual mesh: microbatch dim stays data-sharded
+    rng = jax.random.PRNGKey(1)
+
+    def run(accum):
+        cfg = base.replace(grad_accum=accum)
+        params = init_regat(jax.random.PRNGKey(0), cfg, ntoken, 32, 9)
+        opt = make_optimizer(
+            cfg.base_lr, cfg.grad_clip, 4, 0.75, 2, trainable_mask(params, False)
+        )
+        state = init_train_state(params, opt, mesh)
+        step = build_train_step(cfg, ntoken, opt, mesh, "jnp", params)
+        loader = BatchLoader(ds, cfg.batch_size, 12, shuffle=False)
+        ms = []
+        for _ in range(2):
+            for batch in loader.epoch(0):
+                batch = jax.device_put(batch, batch_sharding(mesh))
+                state, m = step(state, batch, rng)
+                ms.append(jax.device_get(m))
+        return jax.device_get(state["params"]), ms
+
+    # Gradient-level exactness: the accumulated sum-grads / n equal the
+    # single-pass batch-mean gradient to fp epsilon (observed ~1e-10).
+    from tf_vqa_regat_tpu.models.regat import apply_regat
+    from tf_vqa_regat_tpu.train import step as stepmod
+    from tf_vqa_regat_tpu.train.loss import bce_with_logits_sum
+
+    params0 = init_regat(jax.random.PRNGKey(0), base, ntoken, 32, 9)
+    batch0 = next(iter(BatchLoader(ds, 32, 12, shuffle=False).epoch(0)))
+    batch0 = {k: jnp.asarray(v) for k, v in batch0.items()}
+
+    def loss_fn(p):
+        logits = apply_regat(
+            p, base, batch0, ntoken, train=True, rng=rng, impl="jnp"
+        )
+        return bce_with_logits_sum(logits, batch0["target"], batch0["valid"])
+
+    g_direct = jax.grad(loss_fn)(params0)
+    g_accum, m_accum = stepmod._accum_grads(
+        params0, batch0, rng, base, ntoken, "jnp", None, 2
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7),
+        g_direct, g_accum,
+    )
+    np.testing.assert_allclose(float(m_accum["loss"]), float(loss_fn(params0)), rtol=1e-6)
+
+    # Trajectory: losses/scores/params track across full steps. Params get a
+    # small atol: bias leaves whose gradient nearly cancels (~1e-12) take
+    # sign-noise Adamax updates (m/u of fp noise), so bitwise equality is not
+    # the contract there — semantic divergence would show at 1e-2+ scale.
+    p1, m1 = run(1)
+    p2, m2 = run(2)
+    for a, b in zip(m1, m2):
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=2e-5)
+        np.testing.assert_allclose(a["n"], b["n"])
+        np.testing.assert_allclose(a["score"], b["score"], rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-4),
+        p1, p2,
+    )
+
+
+def test_grad_accum_divisibility_validated():
+    """run_training rejects batch sizes not divisible by grad_accum*dp."""
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+    from tf_vqa_regat_tpu.train.loop import run_training
+
+    ds = synthetic_dataset(num_images=4, num_questions=16, v_dim=16, num_ans=5)
+    cfg = Config(
+        num_hid=16, relation_dim=24, num_heads=2, nongt_dim=4,
+        imp_pos_emb_dim=8, fusion="butd", batch_size=24, grad_accum=5,
+        epochs=1,
+    )
+    with pytest.raises(ValueError, match="grad_accum"):
+        run_training(cfg, ds, ds)
+
+
 @pytest.mark.parametrize("fusion", ["butd", "ban", "mutan"])
 def test_train_step_all_fusions(fusion):
     """Gradients flow and params update for every fusion family (BAN/MuTAN

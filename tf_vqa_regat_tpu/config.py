@@ -119,6 +119,16 @@ class Config:
     # cross-platform streams) or "rbg" (hardware RNG; ~15% faster train step
     # at these shapes — dropout masks are ~100M bits/step).
     prng_impl: str = "threefry"
+    # Gradient accumulation: split each optimizer batch into this many
+    # microbatches inside the jitted step (lax.scan), accumulate sum-loss
+    # grads, apply ONE Adamax update on the batch-mean gradient — identical
+    # optimizer semantics to the single-pass step (per-tensor clip acts on
+    # the accumulated gradient), with peak activation memory divided by the
+    # factor. Trains batch-256 reference semantics where one pass doesn't
+    # fit (e.g. host-streaming f32 at R=100 next to a resident table).
+    # Dropout draws a distinct folded key per microbatch. 1 = off (the
+    # single-pass step, unchanged).
+    grad_accum: int = 1
     # Mesh axes: data-parallel size (0 = all local devices) x model-parallel.
     dp_size: int = 0
     tp_size: int = 1

@@ -61,6 +61,12 @@ def run_training(
             f"batch_size {cfg.batch_size} must be divisible by the data-mesh "
             f"size {dp} (the batch dim is sharded over it)"
         )
+    if cfg.grad_accum > 1 and cfg.batch_size % (cfg.grad_accum * dp) != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must be divisible by "
+            f"grad_accum*dp = {cfg.grad_accum}*{dp} (each microbatch's batch "
+            f"dim is sharded over the data mesh)"
+        )
     eval_batch = cfg.resolved_eval_batch(dp)
 
     train_loader = BatchLoader(
