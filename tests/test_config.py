@@ -69,3 +69,24 @@ def test_resolved_eval_batch():
     # explicit override wins and still rounds up
     assert Config(batch_size=256, eval_batch=256).resolved_eval_batch(8) == 256
     assert Config(batch_size=256, eval_batch=100).resolved_eval_batch(8) == 104
+
+
+def test_enum_flags_validated_at_construction():
+    """A typo'd --feature_dtype (or compute_dtype/data_mode/prng_impl) must
+    raise at Config construction — every entrypoint funnels through it, so a
+    silent f32 fallback (4x the intended int8 footprint) cannot happen."""
+    import pytest
+
+    from tf_vqa_regat_tpu.config import Config
+
+    for field, bad in [
+        ("feature_dtype", "int08"),
+        ("compute_dtype", "bf16"),
+        ("data_mode", "devise"),
+        ("prng_impl", "philox"),
+    ]:
+        with pytest.raises(ValueError, match=field):
+            Config(**{field: bad})
+    # replace() re-validates
+    with pytest.raises(ValueError, match="feature_dtype"):
+        Config().replace(feature_dtype="fp32")

@@ -200,6 +200,24 @@ class Config:
     ref_compat_q_att: bool = False  # softmax-over-batch scramble (language_model.py:163-167)
     ref_compat_pos: bool = False  # row-sliced pos matrix + flat regroup (SURVEY §2.3-P2)
 
+    def __post_init__(self) -> None:
+        # Enum-valued extension flags are validated here — the single funnel
+        # every entrypoint (train/eval/predict/serve/ensemble) passes through;
+        # a typo'd --feature_dtype must not silently build f32 tables (4x the
+        # intended footprint for the int8 single-chip capacity case).
+        _check = {
+            "feature_dtype": ("float32", "bfloat16", "int8"),
+            "compute_dtype": ("float32", "bfloat16"),
+            "data_mode": ("auto", "device", "host", "sharded"),
+            "prng_impl": ("threefry", "rbg"),
+        }
+        for field, allowed in _check.items():
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(
+                    f"--{field} {v!r} is not one of {'|'.join(allowed)}"
+                )
+
     def resolved_num_rois(self) -> int:
         if self.num_rois > 0:
             return self.num_rois

@@ -61,10 +61,12 @@ def _materialize_features(src, feature_dtype: str):
     elif feature_dtype == "int8":
         out = np.empty((T, v), np.int8)
         scale = np.empty((T,), np.float32)
-    else:
+    elif feature_dtype == "float32":
         if isinstance(src, np.ndarray):
             return src.reshape(T, v), None  # zero-copy for the plain case
         out = np.empty((T, v), np.float32)
+    else:
+        raise ValueError(f"unknown feature_dtype {feature_dtype!r}")
     step = max(CHUNK_ROWS // (shape[1] if len(shape) == 3 else 1), 1)
     for lo in range(0, shape[0], step):
         chunk = np.asarray(src[lo : lo + step], np.float32).reshape(-1, v)

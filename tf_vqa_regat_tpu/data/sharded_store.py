@@ -91,8 +91,10 @@ class ShardedDeviceStore:
             feats = np.zeros((self.dp, max_rows, v_dim), jnp.bfloat16)
         elif feature_dtype == "int8":
             feats = np.zeros((self.dp, max_rows, v_dim), np.int8)
-        else:
+        elif feature_dtype == "float32":
             feats = np.zeros((self.dp, max_rows, v_dim), np.float32)
+        else:
+            raise ValueError(f"unknown feature_dtype {feature_dtype!r}")
         feat_scale = (
             np.zeros((self.dp, max_rows), np.float32)
             if feature_dtype == "int8"

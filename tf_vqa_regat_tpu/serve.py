@@ -212,6 +212,11 @@ class MicroBatcher:
 
     def submit(self, question: str, image_id: int) -> Future:
         fut: Future = Future()
+        if self._stop:
+            # Racing shutdown: the worker has drained and exited — fail fast
+            # instead of parking the Future until the handler's 60 s timeout.
+            fut.set_exception(RuntimeError("server is shutting down"))
+            return fut
         self._q.put((question, image_id, fut))
         return fut
 

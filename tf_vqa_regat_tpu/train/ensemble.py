@@ -202,11 +202,7 @@ def run_ensemble_eval(
 
 
 def _run_ensemble_device(cfg, val_ds, mesh, impl, logger, members, member_params):
-    import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
-    from tf_vqa_regat_tpu.train.loop import _block_batches
+    from tf_vqa_regat_tpu.train.loop import blocked_eval_stream
 
     ntoken = val_ds.ntoken
     base, arrays_tuple = _member_device_arrays(
@@ -215,9 +211,7 @@ def _run_ensemble_device(cfg, val_ds, mesh, impl, logger, members, member_params
     params_tuple = tuple(member_params)
     dp = mesh.shape["data"]
     eval_batch = cfg.resolved_eval_batch(dp)
-    K = max(cfg.eval_block, 1)
-    buckets = cfg.parsed_roi_buckets()
-    sizes = buckets or [cfg.resolved_num_rois()]
+    K, sizes, blkspec, stream = blocked_eval_stream(cfg, base, mesh, eval_batch)
     steps_by_R = {
         R: build_ensemble_block(
             [cfg.replace(relation_type=rt, num_rois=R) for rt, _ in members],
@@ -225,23 +219,12 @@ def _run_ensemble_device(cfg, val_ds, mesh, impl, logger, members, member_params
         )
         for R in sizes
     }
-    if buckets:
-        batches = base.epoch_indices_bucketed(
-            0, eval_batch, buckets, False, cfg.seed
-        )
-    else:
-        R0 = sizes[0]
-        batches = (
-            (R0, idx)
-            for idx in base.epoch_indices(0, eval_batch, False, cfg.seed)
-        )
     from tf_vqa_regat_tpu.parallel.distributed import put_global
 
-    blkspec = NamedSharding(mesh, P(None, DATA_AXIS))
     start = time.time()
     score = None
     n = None
-    for R, blk in _block_batches(batches, K, eval_batch):
+    for R, blk in stream:
         m = steps_by_R[R](params_tuple, arrays_tuple, put_global(blk, blkspec))
         score = m["score"] if score is None else score + m["score"]
         n = m["n"] if n is None else n + m["n"]

@@ -198,24 +198,6 @@ def run_training(
     return state["params"], best_score
 
 
-def evaluate(
-    eval_step,
-    params,
-    eval_loader: BatchLoader,
-    bspec,
-    cfg: Config,
-    epoch: int,
-    logger: Logger,
-) -> Tuple[float, float, float]:
-    """Host-streaming eval pass (legacy helper; `--mode eval` now goes through
-    run_evaluation, which picks the data path like training does)."""
-    it = prefetch_to_device(eval_loader.epoch(0), bspec, depth=cfg.prefetch)
-    return _run_eval(
-        lambda p, b: eval_step(p, b), params, it, len(eval_loader),
-        eval_loader.num_examples, cfg, epoch, logger,
-    )
-
-
 def run_evaluation(
     cfg: Config,
     val_ds: VQADataset,
@@ -286,28 +268,23 @@ def run_prediction(
             f"{mode!r}) — same constraint as training/eval."
         )
     if mode in ("device", "sharded"):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
         from tf_vqa_regat_tpu.train.step import (
             build_sharded_store_predict_block,
             build_store_predict_block,
         )
 
-        K = max(cfg.eval_block, 1)
         if mode == "sharded":
             from tf_vqa_regat_tpu.data.sharded_store import ShardedDeviceStore
 
+            # (roi buckets already rejected above for non-device modes)
             store = ShardedDeviceStore(
                 ds, mesh, cfg.relation_type == "semantic", cfg.feature_dtype
             )
-            buckets = None
             builder = build_sharded_store_predict_block
         else:
             store = DeviceStore(ds, replicated(mesh), include_adj, cfg.feature_dtype)
-            buckets = cfg.parsed_roi_buckets()
             builder = build_store_predict_block
-        sizes = buckets or [cfg.resolved_num_rois()]
+        K, sizes, blkspec, stream = blocked_eval_stream(cfg, store, mesh, eval_batch)
         steps = {
             R: builder(
                 cfg.replace(num_rois=R), ds.ntoken, mesh, impl, ds.num_ans,
@@ -315,16 +292,6 @@ def run_prediction(
             )
             for R in sizes
         }
-        if buckets:
-            batches = store.epoch_indices_bucketed(
-                0, eval_batch, buckets, False, cfg.seed
-            )
-        else:
-            R0 = sizes[0]
-            batches = (
-                (R0, idx)
-                for idx in store.epoch_indices(0, eval_batch, False, cfg.seed)
-            )
         if mode == "sharded":
             # sharded index vectors hold shard-LOCAL entry indices (segment
             # s of the batch = shard s); translate to global entry ids for
@@ -339,9 +306,8 @@ def run_prediction(
             def to_global(blk):
                 return blk
 
-        blkspec = NamedSharding(mesh, P(None, DATA_AXIS))
         pending = []  # (host idx block, device labels) — fetch once at the end
-        for R, blk in _block_batches(batches, K, eval_batch):
+        for R, blk in stream:
             labels = steps[R](params, store.arrays, put_global(blk, blkspec))
             pending.append((to_global(blk), labels))
         for blk, labels in pending:
@@ -365,10 +331,16 @@ def run_prediction(
             )
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
+        # Labels replicate ([B] int32 is tiny): every process can fetch the
+        # full result under multi-process — a batch-sharded output would span
+        # non-addressable devices on other hosts (same contract as the
+        # device/sharded predict blocks, train/step.py).
+        from tf_vqa_regat_tpu.parallel.mesh import replicated as _rep
+
         step = jax.jit(
             predict,
             in_shardings=(None, batch_sharding(mesh)),
-            out_shardings=batch_sharding(mesh),
+            out_shardings=_rep(mesh),
         )
         pos = 0
         for batch in prefetch_to_device(loader.epoch(0), batch_sharding(mesh), depth=cfg.prefetch):
@@ -469,6 +441,34 @@ def _block_batches(batches, K: int, batch_size: int):
     for R, lst in pending.items():
         pad = [np.full(batch_size, -1, np.int32)] * (K - len(lst))
         yield R, np.stack(lst + pad)
+
+
+def blocked_eval_stream(cfg, store, mesh, eval_batch):
+    """Shared wiring for the blocked one-pass programs (predict, ensemble;
+    _DataPath.eval_iter carries the general train/eval variant): resolve the
+    roi sizes (buckets or the single static size), the per-bucket batch
+    stream, and the [K, B] block sharding spec.
+
+    Returns (K, sizes, blkspec, stream of (R, idx_block[K, B]))."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+
+    K = max(cfg.eval_block, 1)
+    buckets = cfg.parsed_roi_buckets()
+    sizes = buckets or [cfg.resolved_num_rois()]
+    if buckets:
+        batches = store.epoch_indices_bucketed(
+            0, eval_batch, buckets, False, cfg.seed
+        )
+    else:
+        R0 = sizes[0]
+        batches = (
+            (R0, idx)
+            for idx in store.epoch_indices(0, eval_batch, False, cfg.seed)
+        )
+    blkspec = NamedSharding(mesh, P(None, DATA_AXIS))
+    return K, sizes, blkspec, _block_batches(batches, K, eval_batch)
 
 
 class _DataPath:
