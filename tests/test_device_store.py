@@ -225,3 +225,60 @@ def test_int8_feature_tables():
     for mode in ("device", "sharded"):
         params, best = run_training(cfg.replace(data_mode=mode), ds, val)
         assert np.isfinite(best)
+
+
+@pytest.mark.parametrize("feature_dtype", ["float32", "bfloat16", "int8"])
+def test_packed_cache_roundtrip(tmp_path, feature_dtype):
+    """--packed_cache: the first build writes the converted table to .npy;
+    a second build memory-maps it (no HDF5 read / reconversion) and must
+    produce byte-identical tables; a changed source signature rebuilds."""
+    import json
+
+    ds = synthetic_dataset(num_images=6, num_questions=24, v_dim=16, num_ans=7)
+    cache = str(tmp_path / "pack")
+
+    direct = build_arrays(ds, feature_dtype=feature_dtype)
+    first = build_arrays(ds, feature_dtype=feature_dtype, cache_dir=cache)
+    files = sorted(p.name for p in (tmp_path / "pack").iterdir())
+    assert any(n.endswith(".features.npy") for n in files), files
+    assert any(n.endswith(".meta.json") for n in files), files
+    assert (feature_dtype == "int8") == any(
+        n.endswith(".scale.npy") for n in files
+    ), files
+
+    hit = build_arrays(ds, feature_dtype=feature_dtype, cache_dir=cache)
+    for k in direct:
+        np.testing.assert_array_equal(
+            np.asarray(direct[k]), np.asarray(hit[k]), err_msg=k
+        )
+        np.testing.assert_array_equal(
+            np.asarray(first[k]), np.asarray(hit[k]), err_msg=k
+        )
+    # mmap actually used on hit (not a rebuilt in-RAM copy)
+    assert isinstance(np.asarray(hit["features"]).base, np.memmap) or isinstance(
+        hit["features"].base, np.memmap
+    ) or isinstance(hit["features"], np.memmap)
+
+    # stale meta -> rebuild (not a crash, not a stale read)
+    meta = next(p for p in (tmp_path / "pack").iterdir() if p.name.endswith(".meta.json"))
+    sig = json.loads(meta.read_text())
+    sig["src_shape"] = [999, 1]
+    meta.write_text(json.dumps(sig))
+    rebuilt = build_arrays(ds, feature_dtype=feature_dtype, cache_dir=cache)
+    np.testing.assert_array_equal(
+        np.asarray(rebuilt["features"]), np.asarray(direct["features"])
+    )
+    assert json.loads(meta.read_text())["src_shape"] != [999, 1]
+
+
+def test_packed_cache_device_store_end_to_end(tmp_path):
+    """DeviceStore built from a cache hit gathers identically."""
+    ds = synthetic_dataset(num_images=6, num_questions=24, v_dim=16, num_ans=7)
+    cache = str(tmp_path / "pack")
+    s1 = DeviceStore(ds, feature_dtype="bfloat16", cache_dir=cache)
+    s2 = DeviceStore(ds, feature_dtype="bfloat16", cache_dir=cache)
+    idx = jnp.asarray(np.arange(8, dtype=np.int32))
+    b1 = gather_batch(s1.arrays, idx, 12, ds.num_ans, ds.padding_idx)
+    b2 = gather_batch(s2.arrays, idx, 12, ds.num_ans, ds.padding_idx)
+    for k in b1:
+        np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]), err_msg=k)

@@ -166,6 +166,13 @@ class Config:
     # for int8 instead of ~73 GB); host streaming reads per-image slices
     # from disk.
     mmap_features: bool = False
+    # Packed-feature cache directory ("" = off, device data mode): the
+    # converted flat feature table (+ int8 scales) persists as .npy after
+    # the first run; later runs memory-map it, skipping the HDF5 read and
+    # chunked dtype conversion entirely (minutes of startup at the ~58 GB
+    # adaptive scale). Composes with --mmap_features (the HDF5 is then
+    # never read on a cache hit) and any --feature_dtype.
+    packed_cache: str = ""
     # Feature dtype on the device path AND the host-streaming wire:
     # "bfloat16" halves the device-store resident footprint + gather traffic
     # (re-widened to f32 at gather) and halves host->device bytes/batch when

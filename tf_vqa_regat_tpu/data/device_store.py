@@ -79,16 +79,85 @@ def _materialize_features(src, feature_dtype: str):
     return out, (scale if feature_dtype == "int8" else None)
 
 
+def _cached_features(store, feature_dtype: str, cache_dir: str, name: str):
+    """Packed-feature cache (--packed_cache): the converted flat [T, v] table
+    (+ int8 scales) persisted as .npy so repeat runs memory-map it instead of
+    re-reading and re-converting the HDF5 source — at the real ~58 GB
+    adaptive scale a cache hit turns minutes of startup (full HDF5 read +
+    chunked dtype conversion, _materialize_features) into an mmap open, and
+    with --mmap_features the HDF5 is never opened for reading at all.
+
+    Keyed by (split name, layout, dtype); a meta sidecar pins the source
+    shape so a changed dataset rebuilds. Writes are atomic (tmp + replace):
+    concurrent first runs race benignly. bf16 is stored as a uint16 view
+    (np.save drops the ml_dtypes bfloat16 descr)."""
+    import json as _json
+    import os
+
+    from ml_dtypes import bfloat16 as _bf16
+
+    key = f"{name}-{'adaptive' if store.adaptive else 'fixed'}-{feature_dtype}"
+    meta_p = os.path.join(cache_dir, key + ".meta.json")
+    feat_p = os.path.join(cache_dir, key + ".features.npy")
+    scale_p = os.path.join(cache_dir, key + ".scale.npy")
+    sig = {
+        "src_shape": [int(x) for x in store.features.shape],
+        "feature_dtype": feature_dtype,
+        "version": 1,
+    }
+    try:
+        with open(meta_p) as fh:
+            if _json.load(fh) == sig:
+                feat = np.load(feat_p, mmap_mode="r")
+                if feature_dtype == "bfloat16":
+                    feat = feat.view(_bf16)
+                scale = (
+                    np.load(scale_p, mmap_mode="r")
+                    if feature_dtype == "int8"
+                    else None
+                )
+                return feat, scale
+    except (OSError, ValueError):
+        pass
+
+    feat, scale = _materialize_features(store.features, feature_dtype)
+    os.makedirs(cache_dir, exist_ok=True)
+
+    def _atomic_save(path, arr):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as fh:
+            np.save(fh, arr)
+        os.replace(tmp, path)
+
+    _atomic_save(
+        feat_p, feat.view(np.uint16) if feature_dtype == "bfloat16" else feat
+    )
+    if scale is not None:
+        _atomic_save(scale_p, scale)
+    tmp = f"{meta_p}.{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(sig, fh)
+    os.replace(tmp, meta_p)  # meta last: readers only trust complete caches
+    return feat, scale
+
+
 def build_arrays(
-    dataset: VQADataset, include_adj: bool = False, feature_dtype: str = "float32"
+    dataset: VQADataset, include_adj: bool = False,
+    feature_dtype: str = "float32", cache_dir: str = "",
 ) -> Dict[str, np.ndarray]:
     """Host-side column tables ready for one device_put; the feature table
-    is materialized at `feature_dtype` (chunked — mmap-safe)."""
+    is materialized at `feature_dtype` (chunked — mmap-safe), or mapped from
+    the packed cache when `cache_dir` is set."""
     ent = dataset.entries
     store = dataset.store
     N = len(ent)
 
-    feat, feat_scale = _materialize_features(store.features, feature_dtype)
+    if cache_dir:
+        feat, feat_scale = _cached_features(
+            store, feature_dtype, cache_dir, dataset.name
+        )
+    else:
+        feat, feat_scale = _materialize_features(store.features, feature_dtype)
     if store.adaptive:
         norm_bb = store.normalized_bb
         bb = store.bb
@@ -190,6 +259,7 @@ class DeviceStore:
         sharding=None,
         include_adj: bool = False,
         feature_dtype: str = "float32",
+        cache_dir: str = "",
     ):
         # feature table materialized at feature_dtype, chunk-by-chunk
         # (mmap-safe). int8 = symmetric per-row quantization (scale =
@@ -197,7 +267,7 @@ class DeviceStore:
         # the single-chip enabler for the full ~58 GB adaptive train table
         # (f32 and bf16 both exceed one v5e's 16 GB HBM; int8+scales is
         # ~14.7 GB). Training dynamics under int8 validated in PERF_NOTES.md.
-        host = build_arrays(dataset, include_adj, feature_dtype)
+        host = build_arrays(dataset, include_adj, feature_dtype, cache_dir)
         self.num_entries = len(dataset.entries)
         self.num_ans = dataset.num_ans
         self.padding_idx = dataset.padding_idx

@@ -68,7 +68,9 @@ class InferenceEngine:
         impl = resolve_impl(cfg)
         rep = replicated(self.mesh)
         include_adj = cfg.relation_type in ("semantic", "spatial")
-        self.store = DeviceStore(ds, rep, include_adj, cfg.feature_dtype)
+        self.store = DeviceStore(
+            ds, rep, include_adj, cfg.feature_dtype, cfg.packed_cache
+        )
         self.params = put_global_tree(params, rep)
         # image_id -> image index over the loaded split
         self.img_index = {

@@ -282,7 +282,10 @@ def run_prediction(
             )
             builder = build_sharded_store_predict_block
         else:
-            store = DeviceStore(ds, replicated(mesh), include_adj, cfg.feature_dtype)
+            store = DeviceStore(
+                ds, replicated(mesh), include_adj, cfg.feature_dtype,
+                cfg.packed_cache,
+            )
             builder = build_store_predict_block
         K, sizes, blkspec, stream = blocked_eval_stream(cfg, store, mesh, eval_batch)
         steps = {
@@ -531,12 +534,16 @@ class _DataPath:
 
             rep = replicated(mesh)
             self.train_store = (
-                DeviceStore(train_ds, rep, self.include_adj, cfg.feature_dtype)
+                DeviceStore(
+                    train_ds, rep, self.include_adj, cfg.feature_dtype,
+                    cfg.packed_cache,
+                )
                 if train_ds is not None
                 else None
             )
             self.eval_store = DeviceStore(
-                val_ds, rep, self.include_adj, cfg.feature_dtype
+                val_ds, rep, self.include_adj, cfg.feature_dtype,
+                cfg.packed_cache,
             )
             self.buckets = cfg.parsed_roi_buckets()
             if self.buckets:
