@@ -118,6 +118,35 @@ for _, blk in _block_batches(
     for i, l in zip(blk[ok].tolist(), lab[ok].tolist()):
         pred[int(i)] = int(l)
 
+# host-streaming predict path (run_prediction's host branch): batch-sharded
+# inputs assembled per-process by put_global_tree, labels REPLICATED — a
+# batch-sharded output would span non-addressable devices on the other
+# process and device_get would fail (round-2 review finding).
+from tf_vqa_regat_tpu.data.loader import BatchLoader  # noqa: E402
+from tf_vqa_regat_tpu.models.regat import apply_regat  # noqa: E402
+from tf_vqa_regat_tpu.parallel.distributed import put_global_tree  # noqa: E402
+
+loader = BatchLoader(ds, BATCH, cfg.num_rois, shuffle=False)
+
+
+def _host_predict(params, batch):
+    logits = apply_regat(params, cfg, batch, NTOKEN, train=False, impl="jnp")
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+hstep = jax.jit(
+    _host_predict, in_shardings=(None, bspec), out_shardings=replicated(mesh)
+)
+host_pred = []
+pos = 0
+for batch in loader.epoch(0):
+    lab = np.asarray(
+        jax.device_get(hstep(state["params"], put_global_tree(batch, bspec)))
+    )
+    n_real = min(BATCH, len(ds.entries) - pos)
+    host_pred.extend(int(x) for x in lab[:n_real])
+    pos += n_real
+
 result = {
     "devices": len(jax.devices()),
     "losses": losses,
@@ -126,6 +155,7 @@ result = {
     "blocked_eval_loss": bsum / bn,
     "blocked_eval_score": bscore / bn,
     "pred": sorted(pred.items()),
+    "host_pred": host_pred,
 }
 if pid == 0:
     with open(out_json, "w") as f:

@@ -74,3 +74,8 @@ def test_two_process_run_matches_single_process(tmp_path):
     )
     assert multi["pred"] == single["pred"]
     assert len(single["pred"]) == 64  # every entry predicted exactly once
+    # host-streaming predict (replicated-label jit): same answers in both
+    # topologies, and consistent with the device-store predict blocks
+    assert multi["host_pred"] == single["host_pred"]
+    assert len(single["host_pred"]) == 64
+    assert single["host_pred"] == [l for _, l in single["pred"]]
