@@ -14,6 +14,10 @@ Framework extensions beyond the reference's two modes:
   --mode export_h5      write an orbax model as a reference-loadable .h5
   --synthetic           identical pipeline on generated in-memory data with
                         real shapes (no 90GB download) — used by bench.py
+
+Capacity/throughput levers (see Config docstrings + PERF_NOTES.md):
+--feature_dtype bfloat16|int8, --mmap_features, --packed_cache DIR,
+--roi_buckets 36,64,100, --grad_accum k, --data_mode device|sharded|host.
 """
 
 from __future__ import annotations
