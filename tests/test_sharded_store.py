@@ -147,3 +147,95 @@ def test_sharded_blocked_eval_matches_per_batch():
     assert got["n"] == want["n"] == 43
     np.testing.assert_allclose(got["score"], want["score"], rtol=1e-6)
     np.testing.assert_allclose(got["loss_sum"], want["loss_sum"], rtol=1e-5)
+
+
+def test_sharded_bucketed_coverage_and_homogeneity():
+    """epoch_indices_bucketed: every entry exactly once per epoch, each batch
+    homogeneous in its bucket (valid entries' box counts <= R, and > the
+    previous bucket unless clamped), SPMD-consistent [dp, per] segments."""
+    ds = synthetic_dataset(num_images=12, num_questions=50, v_dim=16, num_ans=NUM_ANS)
+    mesh = _mesh()
+    store = ShardedDeviceStore(ds, mesh)
+    buckets = [36, 64, 100]
+    dp, batch = 8, 16
+    per = batch // dp
+    seen = []
+    for R, idx in store.epoch_indices_bucketed(0, batch, buckets, True, seed=3):
+        assert R in buckets
+        blk = idx.reshape(dp, per)
+        for s in range(dp):
+            for local in blk[s]:
+                if local < 0:
+                    continue
+                g = int(store.local_to_global[s, local])
+                assert g >= 0
+                seen.append(g)
+                nb = int(store._local_entry_nbox[s][local])
+                assert min(nb, max(buckets)) <= R  # fits (oversize clamps)
+    assert sorted(seen) == list(range(50))
+    # schedule length matches the advertised step count
+    n_jobs = len(list(store.epoch_indices_bucketed(0, batch, buckets, True, 3)))
+    assert n_jobs == store.bucketed_steps_per_epoch(batch, buckets)
+
+
+def test_sharded_bucketed_eval_matches_unbucketed(tmp_path):
+    """run_evaluation with --data_mode sharded --roi_buckets must reproduce
+    the unbucketed sharded eval exactly: eval metrics are additive over
+    entries and per-entry outputs are invariant to padding depth (tested
+    property), so only the batch composition changes."""
+    from tf_vqa_regat_tpu.train.logging import Logger
+    from tf_vqa_regat_tpu.train.loop import run_evaluation
+
+    ds = synthetic_dataset(
+        num_images=10, num_questions=40, v_dim=16, num_ans=NUM_ANS, name="val"
+    )
+    cfg = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+        residual_connection=True, batch_size=16, adaptive=True,
+        data_mode="sharded", eval_batch=16, eval_block=2,
+    )
+    params = init_regat(jax.random.PRNGKey(0), cfg, ds.ntoken, 16, NUM_ANS)
+    logger = Logger(str(tmp_path / "log.txt"))
+    score0, loss0, _ = run_evaluation(cfg, ds, params, logger)
+    score1, loss1, _ = run_evaluation(
+        cfg.replace(roi_buckets="36,100"), ds, params, logger
+    )
+    np.testing.assert_allclose(score1, score0, rtol=1e-5)
+    np.testing.assert_allclose(loss1, loss0, rtol=1e-5)
+
+
+def test_sharded_bucketed_training_runs(tmp_path):
+    """Two bucketed sharded train epochs through the production _DataPath:
+    finite metrics, every entry visited once per epoch."""
+    from tf_vqa_regat_tpu.data.loader import BatchLoader
+    from tf_vqa_regat_tpu.parallel.mesh import batch_sharding as bs
+    from tf_vqa_regat_tpu.train.loop import _DataPath
+
+    ds = synthetic_dataset(num_images=10, num_questions=40, v_dim=16, num_ans=NUM_ANS)
+    cfg = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+        residual_connection=True, batch_size=16, adaptive=True,
+        data_mode="sharded", roi_buckets="36,100", eval_batch=16,
+    )
+    mesh = _mesh()
+    train_loader = BatchLoader(ds, cfg.batch_size, 100, shuffle=True)
+    eval_loader = BatchLoader(ds, 16, 100, shuffle=False)
+    data = _DataPath(cfg, ds, ds, train_loader, eval_loader, mesh, bs(mesh))
+    params = init_regat(jax.random.PRNGKey(0), cfg, ds.ntoken, 16, NUM_ANS)
+    opt = make_optimizer(
+        cfg.base_lr, cfg.grad_clip, data.steps_per_epoch, 0.75, 2,
+        trainable_mask(params, False),
+    )
+    state = init_train_state(params, opt, mesh)
+    data.build_steps(ds.ntoken, opt, params, "jnp")
+    rng = jax.random.PRNGKey(1)
+    for epoch in range(2):
+        n = 0.0
+        for item in data.train_iter(epoch):
+            state, m = data.train_call(state, item, rng)
+            m = jax.device_get(m)
+            assert np.isfinite(m["loss"])
+            n += float(m["n"])
+        assert n == 40  # every entry exactly once per epoch

@@ -183,11 +183,14 @@ class Config:
     # v5e's 16 GB HBM. Input-rounding only; box tables stay float32
     # (spatial-graph labels are discrete in them).
     feature_dtype: str = "float32"
-    # Roi bucketing (device data mode): comma-separated static roi sizes,
-    # e.g. "36,64,100" — homogeneous-size batches route to per-size compiled
-    # programs, recovering the padding waste of always-padding to the max
-    # (measured R=100/64/36 -> 8.5k/12.0k/16.6k train q/s; SURVEY §7).
-    # Empty = single static size (resolved_num_rois()).
+    # Roi bucketing (device and sharded data modes): comma-separated static
+    # roi sizes, e.g. "36,64,100" — homogeneous-size batches route to
+    # per-size compiled programs, recovering the padding waste of
+    # always-padding to the max (measured R=100/64/36 -> 8.5k/12.0k/16.6k
+    # train q/s; SURVEY §7). In sharded mode every shard steps through the
+    # same deterministic (R, step) schedule (per-bucket step count = max over
+    # shards), padding short segments with -1. Empty = single static size
+    # (resolved_num_rois()).
     roi_buckets: str = ""
     # BAN glimpses / MuTAN rank+glimpses (net-new families; defaults match the
     # PyTorch ReGAT's ban_gamma=4 / mutan_gamma=2 and block-lib rank=15).

@@ -345,14 +345,16 @@ class DeviceStore:
             np.searchsorted(np.asarray(buckets), self.entry_nbox), len(buckets) - 1
         )
 
-    def bucketed_steps_per_epoch(self, batch_size: int, buckets: "list[int]") -> int:
+    def bucketed_batch_counts(self, batch_size: int, buckets: "list[int]") -> "list[int]":
+        """Per bucket: number of (R, idx) batches an epoch yields."""
         bucket_of = self._bucket_of(sorted(buckets))
-        return int(
-            sum(
-                -(-int((bucket_of == bi).sum()) // batch_size)
-                for bi in range(len(buckets))
-            )
-        )
+        return [
+            -(-int((bucket_of == bi).sum()) // batch_size)
+            for bi in range(len(buckets))
+        ]
+
+    def bucketed_steps_per_epoch(self, batch_size: int, buckets: "list[int]") -> int:
+        return int(sum(self.bucketed_batch_counts(batch_size, buckets)))
 
 
 def gather_batch(

@@ -180,6 +180,17 @@ class ShardedDeviceStore:
         self.local_to_global = np.full((self.dp, max_entries), -1, np.int64)
         for s, ids in enumerate(shard_entry_ids):
             self.local_to_global[s, : len(ids)] = ids
+        # per-shard box count of each local entry (roi-bucket assignment)
+        self._local_entry_nbox = [
+            local_len[s][entry_img[s, : len(ids)]].copy()
+            for s, ids in enumerate(shard_entry_ids)
+        ]
+
+    @property
+    def entry_nbox(self) -> np.ndarray:
+        """Box counts over all entries (shard-concatenated order) — feeds the
+        roi-bucket truncation warning, same contract as DeviceStore."""
+        return np.concatenate(self._local_entry_nbox)
 
     def steps_per_epoch(self, batch_size: int) -> int:
         """Steps actually executed per epoch: the max over shards of their
@@ -214,6 +225,75 @@ class ShardedDeviceStore:
                 chunk = orders[s][i * per : (i + 1) * per]
                 out[s, : len(chunk)] = chunk
             yield out.reshape(dp * per)
+
+    # ---- roi bucketing (sharded analog of DeviceStore's; SURVEY §7 padding
+    # economics — measured +30% mixed-size train throughput on v5e) ----------
+
+    def _local_bucket_of(self, buckets: "list[int]") -> "List[np.ndarray]":
+        """Per shard: bucket index of each local entry; oversized images clamp
+        to the last bucket (same clamp as a plain --num_rois)."""
+        b = np.asarray(sorted(buckets))
+        return [
+            np.minimum(np.searchsorted(b, nb), len(b) - 1)
+            for nb in self._local_entry_nbox
+        ]
+
+    def bucketed_batch_counts(self, batch_size: int, buckets: "list[int]") -> "List[int]":
+        """Per bucket: steps executed = MAX over shards of the shard's local
+        batch count (SPMD: every shard must run the same static-R program each
+        step; shards short on a bucket pad their segment with -1)."""
+        per = batch_size // self.dp
+        bos = self._local_bucket_of(buckets)
+        return [
+            max(-(-int((bo == bi).sum()) // per) for bo in bos)
+            for bi in range(len(buckets))
+        ]
+
+    def bucketed_steps_per_epoch(self, batch_size: int, buckets: "list[int]") -> int:
+        return int(sum(self.bucketed_batch_counts(batch_size, buckets)))
+
+    def epoch_indices_bucketed(
+        self,
+        epoch: int,
+        batch_size: int,
+        buckets: "list[int]",
+        shuffle: bool,
+        seed: int,
+    ) -> "Iterator[tuple[int, np.ndarray]]":
+        """Bucketed (R, [batch]) index vectors; segment s of each batch holds
+        shard-LOCAL entry ids of shard s's entries in that bucket (-1 pad).
+        All shards step through the same deterministic (R, step) schedule —
+        computed from global metadata, so every process agrees — and every
+        local entry appears exactly once per epoch. The bucket mix interleaves
+        under shuffle (job order permuted), like the replicated store."""
+        buckets = sorted(buckets)
+        dp = self.dp
+        assert batch_size % dp == 0, f"batch {batch_size} not divisible by dp={dp}"
+        per = batch_size // dp
+        bos = self._local_bucket_of(buckets)
+        rng = np.random.RandomState((seed * 100003 + epoch * 31 + 7) % (2**31))
+        jobs = []
+        for bi, R in enumerate(buckets):
+            per_shard = []
+            for s in range(dp):
+                ids = np.where(bos[s] == bi)[0].astype(np.int32)
+                if shuffle:
+                    srng = np.random.RandomState(
+                        (seed * 100003 + epoch * 7919 + s * 131 + bi) % (2**31)
+                    )
+                    ids = ids[srng.permutation(len(ids))]
+                per_shard.append(ids)
+            steps = max((len(ids) + per - 1) // per for ids in per_shard)
+            for i in range(steps):
+                out = np.full((dp, per), -1, np.int32)
+                for s in range(dp):
+                    chunk = per_shard[s][i * per : (i + 1) * per]
+                    out[s, : len(chunk)] = chunk
+                jobs.append((R, out.reshape(dp * per)))
+        if shuffle:
+            order = rng.permutation(len(jobs))
+            jobs = [jobs[i] for i in order]
+        yield from jobs
 
 
 def build_sharded_gather(mesh, num_rois: int, num_ans: int, padding_idx: int):

@@ -262,10 +262,10 @@ def run_prediction(
 
     include_adj = cfg.relation_type in ("semantic", "spatial")
     mode = resolve_data_mode(cfg, ds, None, include_adj)
-    if cfg.parsed_roi_buckets() and mode != "device":
+    if cfg.parsed_roi_buckets() and mode == "host":
         raise ValueError(
-            f"--roi_buckets requires the device data mode (resolved mode: "
-            f"{mode!r}) — same constraint as training/eval."
+            f"--roi_buckets requires the device or sharded data mode "
+            f"(resolved mode: {mode!r}) — same constraint as training/eval."
         )
     if mode in ("device", "sharded"):
         from tf_vqa_regat_tpu.train.step import (
@@ -276,7 +276,6 @@ def run_prediction(
         if mode == "sharded":
             from tf_vqa_regat_tpu.data.sharded_store import ShardedDeviceStore
 
-            # (roi buckets already rejected above for non-device modes)
             store = ShardedDeviceStore(
                 ds, mesh, cfg.relation_type == "semantic", cfg.feature_dtype
             )
@@ -503,11 +502,12 @@ class _DataPath:
 
         mode = resolve_data_mode(cfg, val_ds, train_ds, self.include_adj)
         self.mode = mode
-        if cfg.parsed_roi_buckets() and mode != "device":
+        if cfg.parsed_roi_buckets() and mode == "host":
             raise ValueError(
-                f"--roi_buckets requires the device data mode (resolved mode: "
-                f"{mode!r}); per-size compiled programs need HBM-resident "
-                f"tables. Force --data_mode device or drop --roi_buckets."
+                f"--roi_buckets requires the device or sharded data mode "
+                f"(resolved mode: {mode!r}); per-size compiled programs need "
+                f"device-resident tables. Force --data_mode device/sharded "
+                f"or drop --roi_buckets."
             )
 
         if mode == "sharded":
@@ -526,8 +526,6 @@ class _DataPath:
                 self.steps_per_epoch = self.train_store.steps_per_epoch(
                     cfg.batch_size
                 )
-            if max(cfg.eval_block, 1) > 1:
-                self.eval_steps = self._eval_block_count()
         elif mode == "device":
             from tf_vqa_regat_tpu.data.device_store import DeviceStore
             from tf_vqa_regat_tpu.parallel.mesh import replicated
@@ -545,6 +543,10 @@ class _DataPath:
                 val_ds, rep, self.include_adj, cfg.feature_dtype,
                 cfg.packed_cache,
             )
+        else:
+            self.train_store = self.eval_store = None
+
+        if mode in ("device", "sharded"):
             self.buckets = cfg.parsed_roi_buckets()
             if self.buckets:
                 sized = self.train_store or self.eval_store
@@ -564,24 +566,20 @@ class _DataPath:
                 )
             if max(cfg.eval_block, 1) > 1:
                 self.eval_steps = self._eval_block_count()
-        else:
-            self.train_store = self.eval_store = None
 
     def _eval_block_count(self) -> int:
         """Number of (R, [K, B]) blocks eval_iter will yield (for logging)."""
         K = max(self.cfg.eval_block, 1)
+        if self.buckets:
+            nbatches = self.eval_store.bucketed_batch_counts(
+                self.eval_batch, self.buckets
+            )
+            return sum(-(-b // K) for b in nbatches if b > 0)
         if self.mode == "sharded":
             # ragged shards: the store yields max-over-shards batches, not
             # ceil(total/batch) (ShardedDeviceStore.steps_per_epoch docstring)
             b = self.eval_store.steps_per_epoch(self.eval_batch)
             return -(-b // K)
-        if self.buckets:
-            bucket_of = self.eval_store._bucket_of(self.buckets)
-            per_bucket = [
-                int((bucket_of == i).sum()) for i in range(len(self.buckets))
-            ]
-            nbatches = [-(-c // self.eval_batch) for c in per_bucket if c > 0]
-            return sum(-(-b // K) for b in nbatches)
         b = -(-self.eval_store.num_entries // self.eval_batch)
         return -(-b // K)
 
@@ -599,26 +597,49 @@ class _DataPath:
                 build_sharded_store_train_step,
             )
 
-            if has_train:
-                t = build_sharded_store_train_step(
-                    cfg, ntoken, optimizer, mesh, impl, params,
-                    self.train_ds.num_ans, self.train_store.padding_idx,
-                )
-                self.train_call = lambda s, item, rng: t(
-                    s, self.train_store.arrays, item, rng
-                )
+            sizes = self.buckets or [cfg.resolved_num_rois()]
             K = max(cfg.eval_block, 1)
             if K > 1:
-                e = build_sharded_store_eval_block(
-                    cfg, ntoken, mesh, impl, self.val_ds.num_ans,
-                    self.eval_store.padding_idx, K,
+                e_by_R = {
+                    R: build_sharded_store_eval_block(
+                        cfg.replace(num_rois=R), ntoken, mesh, impl,
+                        self.val_ds.num_ans, self.eval_store.padding_idx, K,
+                    )
+                    for R in sizes
+                }
+            else:
+                e_by_R = {
+                    R: build_sharded_store_eval_step(
+                        cfg.replace(num_rois=R), ntoken, mesh, impl,
+                        self.val_ds.num_ans, self.eval_store.padding_idx,
+                    )
+                    for R in sizes
+                }
+            if has_train:
+                t_by_R = {
+                    R: build_sharded_store_train_step(
+                        cfg.replace(num_rois=R), ntoken, optimizer, mesh, impl,
+                        params, self.train_ds.num_ans,
+                        self.train_store.padding_idx,
+                    )
+                    for R in sizes
+                }
+            if self.buckets:
+                if has_train:
+                    self.train_call = lambda s, item, rng: t_by_R[item[0]](
+                        s, self.train_store.arrays, item[1], rng
+                    )
+                self.eval_call = lambda p, item: e_by_R[item[0]](
+                    p, self.eval_store.arrays, item[1]
                 )
             else:
-                e = build_sharded_store_eval_step(
-                    cfg, ntoken, mesh, impl, self.val_ds.num_ans,
-                    self.eval_store.padding_idx,
-                )
-            self.eval_call = lambda p, item: e(p, self.eval_store.arrays, item)
+                (e,) = e_by_R.values()
+                if has_train:
+                    (t,) = t_by_R.values()
+                    self.train_call = lambda s, item, rng: t(
+                        s, self.train_store.arrays, item, rng
+                    )
+                self.eval_call = lambda p, item: e(p, self.eval_store.arrays, item)
         elif self.mode == "device":
             from tf_vqa_regat_tpu.train.step import (
                 build_store_eval_block,
@@ -680,7 +701,7 @@ class _DataPath:
 
     def train_iter(self, epoch):
         cfg = self.cfg
-        if self.mode == "device" and self.buckets:
+        if self.mode in ("device", "sharded") and self.buckets:
             for R, idx in self.train_store.epoch_indices_bucketed(
                 epoch, cfg.batch_size, self.buckets, True, cfg.seed
             ):
@@ -697,7 +718,7 @@ class _DataPath:
 
     def eval_iter(self):
         cfg = self.cfg
-        if self.mode == "device":
+        if self.mode in ("device", "sharded"):
             if self.buckets:
                 batches = self.eval_store.epoch_indices_bucketed(
                     0, self.eval_batch, self.buckets, False, cfg.seed
@@ -720,20 +741,6 @@ class _DataPath:
                     yield (R, put_global(idx, self._eval_spec(idx)))
                 else:
                     yield put_global(idx, self._eval_spec(idx))
-        elif self.mode == "sharded":
-            K = max(cfg.eval_block, 1)
-            batches = self.eval_store.epoch_indices(
-                0, self.eval_batch, False, cfg.seed
-            )
-            if K > 1:
-                R0 = cfg.resolved_num_rois()
-                for _, blk in _block_batches(
-                    ((R0, b) for b in batches), K, self.eval_batch
-                ):
-                    yield put_global(blk, self._eval_spec(blk))
-            else:
-                for idx in batches:
-                    yield put_global(idx, self.bspec)
         else:
             yield from prefetch_to_device(
                 self.eval_loader.epoch(0), self.bspec, depth=cfg.prefetch
