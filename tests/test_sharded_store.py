@@ -239,3 +239,33 @@ def test_sharded_bucketed_training_runs(tmp_path):
             assert np.isfinite(m["loss"])
             n += float(m["n"])
         assert n == 40  # every entry exactly once per epoch
+
+
+def test_sharded_semantic_adjacency_matches_device(tmp_path):
+    """Semantic relations at sharded scale: the per-shard adjacency table
+    (ordered by local image slot) must reproduce the replicated device-store
+    eval exactly — same entries, same per-entry edge labels, additive
+    metrics."""
+    from tf_vqa_regat_tpu.train.logging import Logger
+    from tf_vqa_regat_tpu.train.loop import run_evaluation
+
+    ds = synthetic_dataset(
+        num_images=10, num_questions=40, v_dim=16, num_ans=NUM_ANS,
+        semantic=True, name="val",
+    )
+    cfg = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        fusion="butd", relation_type="semantic", residual_connection=True,
+        batch_size=16, adaptive=True, eval_batch=16, eval_block=2,
+        num_rois=40,
+    )
+    params = init_regat(jax.random.PRNGKey(0), cfg, ds.ntoken, 16, NUM_ANS)
+    logger = Logger(str(tmp_path / "log.txt"))
+    score_dev, loss_dev, _ = run_evaluation(
+        cfg.replace(data_mode="device"), ds, params, logger
+    )
+    score_sh, loss_sh, _ = run_evaluation(
+        cfg.replace(data_mode="sharded"), ds, params, logger
+    )
+    np.testing.assert_allclose(score_sh, score_dev, rtol=1e-5)
+    np.testing.assert_allclose(loss_sh, loss_dev, rtol=1e-5)

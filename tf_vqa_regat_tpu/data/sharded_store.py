@@ -53,11 +53,6 @@ class ShardedDeviceStore:
         feature_dtype: str = "float32",
     ):
         self._feature_dtype = feature_dtype
-        if include_adj:
-            raise NotImplementedError(
-                "sharded store does not carry precomputed adjacency yet; "
-                "spatial adjacency is built in-jit from boxes"
-            )
         self.mesh = mesh
         self.dp = mesh.shape[DATA_AXIS]
         ent = dataset.entries
@@ -167,6 +162,26 @@ class ShardedDeviceStore:
         }
         if feat_scale is not None:
             host["feat_scale"] = feat_scale.reshape(self.dp * max_rows)
+        # Precomputed edge labels (semantic; spatial builds in-jit from bb):
+        # per-shard adjacency ordered by LOCAL image slot — gather_batch
+        # indexes arrays["adj"][entry_img], which holds local slots here, so
+        # the local-gather path needs no adjacency-specific code.
+        self.has_adj = False
+        if include_adj:
+            adj_src = (
+                dataset.store.semantic_adj
+                if dataset.relation_type == "semantic"
+                else dataset.store.spatial_adj
+            )
+            if adj_src is not None:
+                A = adj_src.shape[1]
+                max_imgs = int(n_local_imgs.max()) if n_img else 1
+                adj_local = np.zeros((self.dp, max_imgs, A, A), np.int8)
+                for s, bucket in enumerate(buckets):
+                    for li, img in enumerate(bucket):
+                        adj_local[s, li] = adj_src[img]
+                host["adj"] = adj_local.reshape(self.dp * max_imgs, A, A)
+                self.has_adj = True
         sh = NamedSharding(mesh, P(DATA_AXIS))
         from tf_vqa_regat_tpu.parallel.distributed import put_global
 
@@ -305,18 +320,10 @@ def build_sharded_gather(mesh, num_rois: int, num_ans: int, padding_idx: int):
     def local_gather(arrays, idx):
         return gather_batch(arrays, idx, num_rois, num_ans, padding_idx)
 
-    # prefix spec: every table is sharded on axis 0 over the data axis
-    # (key-agnostic, so optional tables like int8's feat_scale just work)
-    in_spec = (P(DATA_AXIS), P(DATA_AXIS))
-    out_spec = {
-        "features": P(DATA_AXIS),
-        "norm_bb": P(DATA_AXIS),
-        "bb": P(DATA_AXIS),
-        "question": P(DATA_AXIS),
-        "target": P(DATA_AXIS),
-        "num_boxes": P(DATA_AXIS),
-        "valid": P(DATA_AXIS),
-    }
+    # prefix specs: every table is sharded on axis 0 over the data axis, and
+    # every output is a batch-segment sharded the same way (key-agnostic, so
+    # optional tables — int8's feat_scale, semantic adjacency — just work)
     return shard_map(
-        local_gather, mesh=mesh, in_specs=in_spec, out_specs=out_spec
+        local_gather, mesh=mesh, in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
     )

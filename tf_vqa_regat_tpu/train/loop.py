@@ -514,7 +514,7 @@ class _DataPath:
             from tf_vqa_regat_tpu.data.sharded_store import ShardedDeviceStore
 
             # spatial adjacency is built in-jit from boxes; only semantic
-            # needs the precomputed table (which the sharded store rejects)
+            # carries the precomputed table (sharded with the images)
             adj = cfg.relation_type == "semantic"
             self.train_store = (
                 ShardedDeviceStore(train_ds, mesh, adj, cfg.feature_dtype)
