@@ -282,3 +282,26 @@ def test_packed_cache_device_store_end_to_end(tmp_path):
     b2 = gather_batch(s2.arrays, idx, 12, ds.num_ans, ds.padding_idx)
     for k in b1:
         np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]), err_msg=k)
+
+
+def test_packed_cache_detects_content_change(tmp_path):
+    """Same-shape, different-content source must MISS the cache (the meta
+    fingerprint samples rows, not just the shape) — shape-only matching
+    would silently serve stale features after a re-extraction."""
+    cache = str(tmp_path / "pack")
+    ds_a = synthetic_dataset(
+        num_images=6, num_questions=24, v_dim=16, num_ans=7, adaptive=False,
+        seed=0,
+    )
+    ds_b = synthetic_dataset(
+        num_images=6, num_questions=24, v_dim=16, num_ans=7, adaptive=False,
+        seed=1,
+    )
+    assert ds_a.store.features.shape == ds_b.store.features.shape
+    a = build_arrays(ds_a, cache_dir=cache)
+    b = build_arrays(ds_b, cache_dir=cache)
+    np.testing.assert_array_equal(
+        np.asarray(b["features"]),
+        np.asarray(build_arrays(ds_b)["features"]),
+    )
+    assert not np.array_equal(np.asarray(a["features"]), np.asarray(b["features"]))

@@ -79,6 +79,22 @@ def _materialize_features(src, feature_dtype: str):
     return out, (scale if feature_dtype == "int8" else None)
 
 
+def _source_fingerprint(src) -> str:
+    """Cheap content identity for the packed-cache signature: sha1 over the
+    shape and ~64 strided row samples, read as contiguous slices (h5py-safe,
+    no full-table read). Shape alone would serve STALE features when the
+    source is re-extracted or swapped for a same-shape file."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(repr(tuple(src.shape)).encode())
+    n = src.shape[0]
+    step = max(n // 64, 1)
+    for lo in range(0, n, step):
+        h.update(np.asarray(src[lo : lo + 1], np.float32).tobytes())
+    return h.hexdigest()
+
+
 def _cached_features(store, feature_dtype: str, cache_dir: str, name: str):
     """Packed-feature cache (--packed_cache): the converted flat [T, v] table
     (+ int8 scales) persisted as .npy so repeat runs memory-map it instead of
@@ -102,8 +118,9 @@ def _cached_features(store, feature_dtype: str, cache_dir: str, name: str):
     scale_p = os.path.join(cache_dir, key + ".scale.npy")
     sig = {
         "src_shape": [int(x) for x in store.features.shape],
+        "src_sha1": _source_fingerprint(store.features),
         "feature_dtype": feature_dtype,
-        "version": 1,
+        "version": 2,
     }
     try:
         with open(meta_p) as fh:

@@ -32,6 +32,20 @@ from tf_vqa_regat_tpu.data.features import VQADataset
 from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
 
 
+def _padded_step_batches(per_shard: "List[np.ndarray]", per: int):
+    """[dp*per] index batches from per-shard local-id lists: SPMD step count
+    = max over shards of ceil(len/per); short segments pad with -1 (invalid,
+    masked out by gather_batch)."""
+    dp = len(per_shard)
+    steps = max((len(ids) + per - 1) // per for ids in per_shard)
+    for i in range(steps):
+        out = np.full((dp, per), -1, np.int32)
+        for s in range(dp):
+            chunk = per_shard[s][i * per : (i + 1) * per]
+            out[s, : len(chunk)] = chunk
+        yield out.reshape(dp * per)
+
+
 def _assign_images(box_counts: np.ndarray, n_shards: int) -> List[np.ndarray]:
     """Greedy balanced partition of image indices by box count."""
     order = np.argsort(-box_counts, kind="stable")
@@ -223,7 +237,6 @@ class ShardedDeviceStore:
         assert batch_size % dp == 0, f"batch {batch_size} not divisible by dp={dp}"
         per = batch_size // dp
         orders = []
-        steps = 0
         for s in range(dp):
             n = int(self.local_entry_counts[s])
             if shuffle:
@@ -233,13 +246,7 @@ class ShardedDeviceStore:
                 orders.append(rng.permutation(n))
             else:
                 orders.append(np.arange(n))
-            steps = max(steps, (n + per - 1) // per)
-        for i in range(steps):
-            out = np.full((dp, per), -1, np.int32)
-            for s in range(dp):
-                chunk = orders[s][i * per : (i + 1) * per]
-                out[s, : len(chunk)] = chunk
-            yield out.reshape(dp * per)
+        yield from _padded_step_batches(orders, per)
 
     # ---- roi bucketing (sharded analog of DeviceStore's; SURVEY §7 padding
     # economics — measured +30% mixed-size train throughput on v5e) ----------
@@ -298,13 +305,8 @@ class ShardedDeviceStore:
                     )
                     ids = ids[srng.permutation(len(ids))]
                 per_shard.append(ids)
-            steps = max((len(ids) + per - 1) // per for ids in per_shard)
-            for i in range(steps):
-                out = np.full((dp, per), -1, np.int32)
-                for s in range(dp):
-                    chunk = per_shard[s][i * per : (i + 1) * per]
-                    out[s, : len(chunk)] = chunk
-                jobs.append((R, out.reshape(dp * per)))
+            for blk in _padded_step_batches(per_shard, per):
+                jobs.append((R, blk))
         if shuffle:
             order = rng.permutation(len(jobs))
             jobs = [jobs[i] for i in order]

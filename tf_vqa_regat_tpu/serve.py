@@ -209,22 +209,28 @@ class MicroBatcher:
         self.max_batch = max(engine.batch_sizes)
         self._q: "queue.Queue" = queue.Queue()
         self._stop = False
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     def submit(self, question: str, image_id: int) -> Future:
         fut: Future = Future()
-        if self._stop:
-            # Racing shutdown: the worker has drained and exited — fail fast
-            # instead of parking the Future until the handler's 60 s timeout.
-            fut.set_exception(RuntimeError("server is shutting down"))
-            return fut
-        self._q.put((question, image_id, fut))
+        # The lock makes (check _stop, enqueue) atomic against close()'s
+        # (set _stop, enqueue sentinel): a submit that wins the lock enqueues
+        # BEFORE the sentinel, so the worker still serves it; one that loses
+        # fails fast instead of parking the Future until the handler's 60 s
+        # timeout (an unlocked check was TOCTOU-racy).
+        with self._submit_lock:
+            if self._stop:
+                fut.set_exception(RuntimeError("server is shutting down"))
+                return fut
+            self._q.put((question, image_id, fut))
         return fut
 
     def close(self):
-        self._stop = True
-        self._q.put(None)
+        with self._submit_lock:
+            self._stop = True
+            self._q.put(None)
         self._worker.join(timeout=5)
 
     def _run(self):

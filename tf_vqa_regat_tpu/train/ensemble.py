@@ -123,7 +123,9 @@ def build_ensemble_block(
     )
 
 
-def _member_device_arrays(val_ds: VQADataset, members, mesh, feature_dtype: str):
+def _member_device_arrays(
+    val_ds: VQADataset, members, mesh, feature_dtype: str, cache_dir: str = ""
+):
     """Per-member device array dicts SHARING the feature/box/question tables
     (uploaded once); only the adjacency table differs per relation type
     (semantic: HDF5 label table; spatial: precomputed table when present,
@@ -138,6 +140,7 @@ def _member_device_arrays(val_ds: VQADataset, members, mesh, feature_dtype: str)
         sharding=rep,
         include_adj=False,
         feature_dtype=feature_dtype,
+        cache_dir=cache_dir,
     )
     adj_cache = {}
     arrays_tuple = []
@@ -206,7 +209,7 @@ def _run_ensemble_device(cfg, val_ds, mesh, impl, logger, members, member_params
 
     ntoken = val_ds.ntoken
     base, arrays_tuple = _member_device_arrays(
-        val_ds, members, mesh, cfg.feature_dtype
+        val_ds, members, mesh, cfg.feature_dtype, cfg.packed_cache
     )
     params_tuple = tuple(member_params)
     dp = mesh.shape["data"]

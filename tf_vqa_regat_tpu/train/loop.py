@@ -590,62 +590,20 @@ class _DataPath:
         has_train = self.train_ds is not None or (
             self.mode == "host" and self.train_loader is not None
         )
-        if self.mode == "sharded":
-            from tf_vqa_regat_tpu.train.step import (
-                build_sharded_store_eval_block,
-                build_sharded_store_eval_step,
-                build_sharded_store_train_step,
-            )
+        if self.mode in ("sharded", "device"):
+            from tf_vqa_regat_tpu.train import step as _step
 
-            sizes = self.buckets or [cfg.resolved_num_rois()]
-            K = max(cfg.eval_block, 1)
-            if K > 1:
-                e_by_R = {
-                    R: build_sharded_store_eval_block(
-                        cfg.replace(num_rois=R), ntoken, mesh, impl,
-                        self.val_ds.num_ans, self.eval_store.padding_idx, K,
-                    )
-                    for R in sizes
-                }
+            # Same wiring for both device-resident modes — only the builder
+            # triple differs (the sharded builders gather from the data-axis-
+            # partitioned tables inside shard_map; signatures are identical).
+            if self.mode == "sharded":
+                b_train = _step.build_sharded_store_train_step
+                b_eval = _step.build_sharded_store_eval_step
+                b_eval_block = _step.build_sharded_store_eval_block
             else:
-                e_by_R = {
-                    R: build_sharded_store_eval_step(
-                        cfg.replace(num_rois=R), ntoken, mesh, impl,
-                        self.val_ds.num_ans, self.eval_store.padding_idx,
-                    )
-                    for R in sizes
-                }
-            if has_train:
-                t_by_R = {
-                    R: build_sharded_store_train_step(
-                        cfg.replace(num_rois=R), ntoken, optimizer, mesh, impl,
-                        params, self.train_ds.num_ans,
-                        self.train_store.padding_idx,
-                    )
-                    for R in sizes
-                }
-            if self.buckets:
-                if has_train:
-                    self.train_call = lambda s, item, rng: t_by_R[item[0]](
-                        s, self.train_store.arrays, item[1], rng
-                    )
-                self.eval_call = lambda p, item: e_by_R[item[0]](
-                    p, self.eval_store.arrays, item[1]
-                )
-            else:
-                (e,) = e_by_R.values()
-                if has_train:
-                    (t,) = t_by_R.values()
-                    self.train_call = lambda s, item, rng: t(
-                        s, self.train_store.arrays, item, rng
-                    )
-                self.eval_call = lambda p, item: e(p, self.eval_store.arrays, item)
-        elif self.mode == "device":
-            from tf_vqa_regat_tpu.train.step import (
-                build_store_eval_block,
-                build_store_eval_step,
-                build_store_train_step,
-            )
+                b_train = _step.build_store_train_step
+                b_eval = _step.build_store_eval_step
+                b_eval_block = _step.build_store_eval_block
 
             sizes = self.buckets or [cfg.resolved_num_rois()]
             K = max(cfg.eval_block, 1)
@@ -653,7 +611,7 @@ class _DataPath:
                 # Blocked eval: one program evaluates K batches (dispatch
                 # latency amortization — build_store_eval_block docstring).
                 e_by_R = {
-                    R: build_store_eval_block(
+                    R: b_eval_block(
                         cfg.replace(num_rois=R), ntoken, mesh, impl,
                         self.val_ds.num_ans, self.eval_store.padding_idx, K,
                     )
@@ -661,7 +619,7 @@ class _DataPath:
                 }
             else:
                 e_by_R = {
-                    R: build_store_eval_step(
+                    R: b_eval(
                         cfg.replace(num_rois=R), ntoken, mesh, impl,
                         self.val_ds.num_ans, self.eval_store.padding_idx,
                     )
@@ -669,7 +627,7 @@ class _DataPath:
                 }
             if has_train:
                 t_by_R = {
-                    R: build_store_train_step(
+                    R: b_train(
                         cfg.replace(num_rois=R), ntoken, optimizer, mesh, impl,
                         params, self.train_ds.num_ans,
                         self.train_store.padding_idx,
