@@ -171,7 +171,8 @@ class Config:
     # the first run; later runs memory-map it, skipping the HDF5 read and
     # chunked dtype conversion entirely (minutes of startup at the ~58 GB
     # adaptive scale). Composes with --mmap_features (the HDF5 is then
-    # never read on a cache hit) and any --feature_dtype.
+    # read drops to ~64 fingerprint-sample rows on a hit) and any
+    # --feature_dtype.
     packed_cache: str = ""
     # Feature dtype on the device path AND the host-streaming wire:
     # "bfloat16" halves the device-store resident footprint + gather traffic

@@ -101,7 +101,8 @@ def _cached_features(store, feature_dtype: str, cache_dir: str, name: str):
     re-reading and re-converting the HDF5 source — at the real ~58 GB
     adaptive scale a cache hit turns minutes of startup (full HDF5 read +
     chunked dtype conversion, _materialize_features) into an mmap open, and
-    with --mmap_features the HDF5 is never opened for reading at all.
+    with --mmap_features the HDF5 read shrinks to the ~64 sampled rows of
+    the staleness fingerprint.
 
     Keyed by (split name, layout, dtype); a meta sidecar pins the source
     shape so a changed dataset rebuilds. Writes are atomic (tmp + replace):
