@@ -64,12 +64,15 @@ def test_device_ensemble_matches_host_ensemble(tmp_path):
     spec = ",".join(f"{rt}:{p}" for rt, p in paths.items())
     logger = Logger(str(tmp_path / "log.txt"))
     scores = {}
-    for mode in ("device", "host"):
+    for mode in ("device", "sharded", "host"):
         cfg = base.replace(
             ensemble_checkpoints=spec, data_mode=mode, mode="ensemble_eval",
         )
         scores[mode] = run_ensemble_eval(cfg, ds, mesh, "jnp", logger)
     assert scores["device"] == pytest.approx(scores["host"], rel=1e-6)
-    # device path was actually taken (log carries the data= tag)
+    # sharded path: members share the partitioned base tables; the semantic
+    # member's edge labels ride base.sharded_adj_table — same score exactly
+    assert scores["sharded"] == pytest.approx(scores["host"], rel=1e-6)
+    # each resident path was actually taken (log carries the data= tag)
     log = open(tmp_path / "log.txt").read()
-    assert "data=device" in log and "data=host" in log
+    assert "data=device" in log and "data=sharded" in log and "data=host" in log

@@ -176,6 +176,13 @@ class ShardedDeviceStore:
         }
         if feat_scale is not None:
             host["feat_scale"] = feat_scale.reshape(self.dp * max_rows)
+        # Image assignment kept for extra adjacency tables (sharded ensemble:
+        # members share these feature tables, each bringing its own edge
+        # labels partitioned the same way — the assignment depends only on
+        # box counts, never on the relation type).
+        self._img_buckets = buckets
+        self._max_local_imgs = int(n_local_imgs.max()) if n_img else 1
+
         # Precomputed edge labels (semantic; spatial builds in-jit from bb):
         # per-shard adjacency ordered by LOCAL image slot — gather_batch
         # indexes arrays["adj"][entry_img], which holds local slots here, so
@@ -188,13 +195,7 @@ class ShardedDeviceStore:
                 else dataset.store.spatial_adj
             )
             if adj_src is not None:
-                A = adj_src.shape[1]
-                max_imgs = int(n_local_imgs.max()) if n_img else 1
-                adj_local = np.zeros((self.dp, max_imgs, A, A), np.int8)
-                for s, bucket in enumerate(buckets):
-                    for li, img in enumerate(bucket):
-                        adj_local[s, li] = adj_src[img]
-                host["adj"] = adj_local.reshape(self.dp * max_imgs, A, A)
+                host["adj"] = self._adj_local_host(adj_src)
                 self.has_adj = True
         sh = NamedSharding(mesh, P(DATA_AXIS))
         from tf_vqa_regat_tpu.parallel.distributed import put_global
@@ -214,6 +215,25 @@ class ShardedDeviceStore:
             local_len[s][entry_img[s, : len(ids)]].copy()
             for s, ids in enumerate(shard_entry_ids)
         ]
+
+    def _adj_local_host(self, adj_src) -> np.ndarray:
+        """Host-side per-shard adjacency table in LOCAL image-slot order,
+        flattened to [dp * max_local_imgs, A, A] for the P('data') put."""
+        A = adj_src.shape[1]
+        adj_local = np.zeros((self.dp, self._max_local_imgs, A, A), np.int8)
+        for s, bucket in enumerate(self._img_buckets):
+            for li, img in enumerate(bucket):
+                adj_local[s, li] = adj_src[img]
+        return adj_local.reshape(self.dp * self._max_local_imgs, A, A)
+
+    def sharded_adj_table(self, adj_src) -> jax.Array:
+        """Extra adjacency table partitioned with THIS store's image
+        assignment — lets the sharded ensemble share one base store across
+        members whose relation types need different edge tables."""
+        from tf_vqa_regat_tpu.parallel.distributed import put_global
+
+        sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        return put_global(self._adj_local_host(adj_src), sh)
 
     @property
     def entry_nbox(self) -> np.ndarray:

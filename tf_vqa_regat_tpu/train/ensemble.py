@@ -123,6 +123,89 @@ def build_ensemble_block(
     )
 
 
+def build_sharded_ensemble_block(
+    member_cfgs: List[Config],
+    ntoken: int,
+    mesh,
+    impl: str,
+    num_ans: int,
+    padding_idx: int,
+    block: int,
+):
+    """Sharded analog of build_ensemble_block: each member's inputs gather
+    from the data-axis-partitioned tables inside shard_map
+    (data/sharded_store.py) — the fused one-program ensemble at
+    too-big-to-replicate scale."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tf_vqa_regat_tpu.data.sharded_store import build_sharded_gather
+    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+
+    R = member_cfgs[0].resolved_num_rois()
+    gather = build_sharded_gather(mesh, R, num_ans, padding_idx)
+
+    def one_batch(params_tuple, arrays_tuple, idx):
+        probs = None
+        ref = None
+        for mcfg, params, arrays in zip(member_cfgs, params_tuple, arrays_tuple):
+            batch = gather(arrays, idx)
+            ref = batch  # entries identical across members; keep any
+            logits = apply_regat(params, mcfg, batch, ntoken, train=False, impl=impl)
+            p = jax.nn.sigmoid(logits)
+            probs = p if probs is None else probs + p
+        probs = probs / len(member_cfgs)
+        return (
+            vqa_score_sum(probs, ref["target"], ref["valid"]),
+            jnp.sum(ref["valid"].astype(jnp.float32)),
+        )
+
+    def ensemble_block(params_tuple, arrays_tuple, idx_block):
+        def body(acc, idx):
+            s, n = one_batch(params_tuple, arrays_tuple, idx)
+            return {"score": acc["score"] + s, "n": acc["n"] + n}, None
+
+        zeros = {"score": jnp.zeros(()), "n": jnp.zeros(())}
+        acc, _ = jax.lax.scan(body, zeros, idx_block)
+        return acc
+
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+    block_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(
+        ensemble_block,
+        in_shardings=(None, dsh, block_sh),
+        out_shardings=replicated(mesh),
+    )
+
+
+def _member_sharded_arrays(val_ds: VQADataset, members, mesh, feature_dtype: str):
+    """Per-member sharded array dicts SHARING the partitioned feature/box/
+    question tables; each member's edge-label table (semantic/spatial when
+    precomputed) is partitioned with the base store's image assignment —
+    which depends only on box counts, never the relation type."""
+    import dataclasses as _dc
+
+    from tf_vqa_regat_tpu.data.sharded_store import ShardedDeviceStore
+
+    base = ShardedDeviceStore(
+        _dc.replace(val_ds, relation_type="implicit"), mesh, False, feature_dtype
+    )
+    adj_cache = {}
+    arrays_tuple = []
+    for rt, _ in members:
+        arrays = dict(base.arrays)
+        src = None
+        if rt == "semantic":
+            src = val_ds.store.semantic_adj
+        elif rt == "spatial":
+            src = val_ds.store.spatial_adj
+        if src is not None:
+            if rt not in adj_cache:
+                adj_cache[rt] = base.sharded_adj_table(src)
+            arrays["adj"] = adj_cache[rt]
+        arrays_tuple.append(arrays)
+    return base, tuple(arrays_tuple)
+
+
 def _member_device_arrays(
     val_ds: VQADataset, members, mesh, feature_dtype: str, cache_dir: str = ""
 ):
@@ -193,30 +276,43 @@ def run_ensemble_eval(
     from tf_vqa_regat_tpu.train.loop import resolve_data_mode
 
     need_adj = any(rt != "implicit" for rt, _ in members)
-    # same policy as run_evaluation/run_prediction; the ensemble has no
-    # sharded-store path (members share feature tables, which the sharded
-    # store partitions differently per relation type), so that mode streams
-    # from host — visible in the log line's data= tag.
-    if resolve_data_mode(cfg, val_ds, None, need_adj) == "device":
-        return _run_ensemble_device(
-            cfg, val_ds, mesh, impl, logger, members, member_params
+    # same policy as run_evaluation/run_prediction: device-resident (fused
+    # one-program blocks) when replicated tables fit or --data_mode sharded
+    # partitions them; host streaming otherwise — the log line's data= tag
+    # shows which ran.
+    mode = resolve_data_mode(cfg, val_ds, None, need_adj)
+    if mode in ("device", "sharded"):
+        return _run_ensemble_resident(
+            cfg, val_ds, mesh, impl, logger, members, member_params, mode
         )
     return _run_ensemble_host(cfg, val_ds, mesh, impl, logger, members, member_params)
 
 
-def _run_ensemble_device(cfg, val_ds, mesh, impl, logger, members, member_params):
+def _run_ensemble_resident(
+    cfg, val_ds, mesh, impl, logger, members, member_params, mode
+):
+    """Device-resident ensemble eval: replicated tables (mode='device') or
+    data-axis-partitioned ones (mode='sharded'); identical wiring, only the
+    arrays/block builders differ."""
     from tf_vqa_regat_tpu.train.loop import blocked_eval_stream
 
     ntoken = val_ds.ntoken
-    base, arrays_tuple = _member_device_arrays(
-        val_ds, members, mesh, cfg.feature_dtype, cfg.packed_cache
-    )
+    if mode == "sharded":
+        base, arrays_tuple = _member_sharded_arrays(
+            val_ds, members, mesh, cfg.feature_dtype
+        )
+        block_builder = build_sharded_ensemble_block
+    else:
+        base, arrays_tuple = _member_device_arrays(
+            val_ds, members, mesh, cfg.feature_dtype, cfg.packed_cache
+        )
+        block_builder = build_ensemble_block
     params_tuple = tuple(member_params)
     dp = mesh.shape["data"]
     eval_batch = cfg.resolved_eval_batch(dp)
     K, sizes, blkspec, stream = blocked_eval_stream(cfg, base, mesh, eval_batch)
     steps_by_R = {
-        R: build_ensemble_block(
+        R: block_builder(
             [cfg.replace(relation_type=rt, num_rois=R) for rt, _ in members],
             ntoken, mesh, impl, val_ds.num_ans, base.padding_idx, K,
         )
@@ -233,7 +329,7 @@ def _run_ensemble_device(cfg, val_ds, mesh, impl, logger, members, member_params
         n = m["n"] if n is None else n + m["n"]
     score_pct = 100.0 * float(jax.device_get(score)) / max(float(jax.device_get(n)), 1.0)
     logger.write(
-        f"[ensemble] members={[rt for rt, _ in members]} data=device "
+        f"[ensemble] members={[rt for rt, _ in members]} data={mode} "
         f"score={score_pct:.4f} ({time.time()-start:.1f}s)"
     )
     return score_pct
