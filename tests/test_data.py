@@ -274,6 +274,21 @@ def test_native_gather_matches_numpy_pack(monkeypatch):
         np.testing.assert_array_equal(got_native[k], got_numpy[k], err_msg=k)
 
 
+def test_native_gather_rejects_out_of_range_rows():
+    """gather_rows is a raw-memory memcpy in C++: an out-of-range row index
+    must be refused (return False -> caller takes the numpy path, which
+    raises) instead of reading out of bounds (round-2 advisor finding)."""
+    from tf_vqa_regat_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("no C++ toolchain available")
+    tab = np.arange(12, dtype=np.float32).reshape(4, 3)
+    out = np.zeros((2, 3), np.float32)
+    assert native.gather_rows(tab, np.array([1, 4]), out) is False
+    assert native.gather_rows(tab, np.array([1, 3]), out) is True
+    np.testing.assert_array_equal(out, tab[[1, 3]])
+
+
 def test_mmap_feature_loading_matches_materialized(tmp_path):
     """--mmap_features: the h5py-backed lazy store must produce bit-identical
     device tables (f32 AND int8 via the chunked converter) and host batches

@@ -269,3 +269,76 @@ def test_sharded_semantic_adjacency_matches_device(tmp_path):
     )
     np.testing.assert_allclose(score_sh, score_dev, rtol=1e-5)
     np.testing.assert_allclose(loss_sh, loss_dev, rtol=1e-5)
+
+
+def test_estimate_sharded_nbytes_matches_built_store():
+    """The metadata-only sizing function must reproduce the ACTUAL per-shard
+    footprint of a constructed store exactly (same greedy assignment, same
+    pad-to-max layout) — it is what resolve_data_mode trusts to promote
+    'auto' onto the sharded path before anything is built."""
+    from tf_vqa_regat_tpu.data.sharded_store import estimate_sharded_nbytes
+
+    ds = synthetic_dataset(
+        num_images=12, num_questions=50, v_dim=16, num_ans=NUM_ANS, seed=5
+    )
+    mesh = _mesh()
+    for dtype in ("float32", "bfloat16", "int8"):
+        store = ShardedDeviceStore(ds, mesh, False, dtype)
+        actual = sum(int(a.nbytes) for a in store.arrays.values()) // 8
+        est = estimate_sharded_nbytes(ds, False, dtype, 8)
+        assert est == actual, (dtype, est, actual)
+
+
+def test_resolve_data_mode_matrix():
+    """Round-2 verdict #1: the 'auto' policy resolution matrix. Budgets are
+    derived from the dataset's own estimates so the test pins the POLICY,
+    not fixture-size magic numbers: small -> device; too big to replicate
+    but per-shard fits at dp=8 -> sharded; dp=1 -> host (sharding can't
+    help); the same dp=1 split at int8 (4x smaller) -> device; too big even
+    per shard -> host; forced modes always win."""
+    from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
+    from tf_vqa_regat_tpu.data.sharded_store import estimate_sharded_nbytes
+    from tf_vqa_regat_tpu.train.loop import resolve_data_mode
+
+    ds = synthetic_dataset(
+        num_images=16, num_questions=64, v_dim=32, num_ans=NUM_ANS, seed=2
+    )
+    e_dev = {
+        dt: estimate_nbytes(ds, False, dt) for dt in ("float32", "int8")
+    }
+    e_sh8 = estimate_sharded_nbytes(ds, False, "float32", 8)
+    assert e_sh8 < e_dev["float32"]  # sharding actually shrinks the slice
+
+    def cfg(budget_bytes, **kw):
+        return Config(batch_size=8, adaptive=True,
+                      device_store_budget_gb=budget_bytes / 1e9, **kw)
+
+    # generous budget: replicate
+    c = cfg(e_dev["float32"] + 1)
+    assert resolve_data_mode(c, ds, None, False, dp=8) == "device"
+    # too big to replicate, per-shard slice fits, dp=8: sharded
+    c = cfg((e_sh8 + e_dev["float32"]) // 2)
+    assert resolve_data_mode(c, ds, None, False, dp=8) == "sharded"
+    # same budget at dp=1: sharding unavailable -> host
+    assert resolve_data_mode(c, ds, None, False, dp=1) == "host"
+    # ... but int8 shrinks the replicated table 4x under the same budget
+    assert e_dev["int8"] < (e_sh8 + e_dev["float32"]) // 2
+    c8 = cfg((e_sh8 + e_dev["float32"]) // 2, feature_dtype="int8")
+    assert resolve_data_mode(c8, ds, None, False, dp=1) == "device"
+    # too big even per shard -> host
+    c = cfg(e_sh8 // 2)
+    assert resolve_data_mode(c, ds, None, False, dp=8) == "host"
+    # train_ds present halves the per-store budget: device flips to sharded
+    c = cfg(2 * ((e_sh8 + e_dev["float32"]) // 2))
+    assert resolve_data_mode(c, ds, None, False, dp=8) == "device"
+    assert resolve_data_mode(c, ds, ds, False, dp=8) == "sharded"
+    # forced modes bypass the estimates entirely
+    for forced in ("device", "sharded", "host"):
+        c = cfg(1, data_mode=forced)
+        assert resolve_data_mode(c, ds, None, False, dp=8) == forced
+    # extra_bytes (ensemble adjacency) can push device over the edge
+    c = cfg(e_dev["float32"] + 1)
+    assert (
+        resolve_data_mode(c, ds, None, False, dp=8, extra_bytes=10**6)
+        == "sharded"
+    )

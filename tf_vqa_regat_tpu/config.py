@@ -152,11 +152,13 @@ class Config:
     profile_dir: str = ""
     # Data loader prefetch depth (host->device double buffering).
     prefetch: int = 2
-    # Data path: "auto" keeps feature tables resident in HBM with on-device
-    # batch gather when they fit device_store_budget_gb, else streams from
-    # host; "device"/"host" force those modes; "sharded" partitions the
-    # tables across the data mesh axis for splits too large to replicate
-    # (data/sharded_store.py).
+    # Data path: "auto" resolves device -> sharded -> host: feature tables
+    # replicated in HBM with on-device batch gather when they fit
+    # device_store_budget_gb; else partitioned across the data mesh axis
+    # (dp>1) when the per-shard slice fits (the real adaptive train split
+    # lands here on a v5e-8); else host streaming.
+    # "device"/"sharded"/"host" force a mode (train/loop.py::
+    # resolve_data_mode is the single policy).
     data_mode: str = "auto"
     device_store_budget_gb: float = 8.0
     # Keep the HDF5 feature table lazy instead of materializing it into host

@@ -190,11 +190,22 @@ def build_arrays(
 
     labels = np.full((N, MAX_LABELS), -1, np.int32)
     scores = np.zeros((N, MAX_LABELS), np.float32)
+    # Loud, not lossy: real VQA soft targets carry <=10 answers, but a cache
+    # pickle exceeding MAX_LABELS would otherwise silently drop score mass
+    # on the device path while the host path keeps it — a device/host parity
+    # break no fixture-based test would catch (round-2 verdict weak #4).
+    max_k = int(np.diff(ent.label_offsets).max()) if N else 0
+    if max_k > MAX_LABELS:
+        raise ValueError(
+            f"an entry has {max_k} answer labels > MAX_LABELS={MAX_LABELS}; "
+            f"raise device_store.MAX_LABELS — truncating would silently "
+            f"drop soft-target score mass"
+        )
     for i in range(N):
         s, e = ent.label_offsets[i], ent.label_offsets[i + 1]
-        k = min(e - s, MAX_LABELS)
-        labels[i, :k] = ent.labels[s : s + k]
-        scores[i, :k] = ent.scores[s : s + k]
+        k = e - s
+        labels[i, :k] = ent.labels[s:e]
+        scores[i, :k] = ent.scores[s:e]
 
     arrays = {
         "features": feat,

@@ -58,6 +58,58 @@ def _assign_images(box_counts: np.ndarray, n_shards: int) -> List[np.ndarray]:
     return [np.asarray(sorted(b), np.int64) for b in buckets]
 
 
+def estimate_sharded_nbytes(
+    dataset: VQADataset,
+    include_adj: bool,
+    feature_dtype: str,
+    dp: int,
+) -> int:
+    """PER-SHARD device footprint of a ShardedDeviceStore at `dp` shards,
+    computed from metadata only (box counts, entry counts — no feature reads),
+    using the SAME greedy image assignment and pad-to-max-shard layout the
+    constructor builds. This is the sharded half of the one sizing policy
+    resolve_data_mode (train/loop.py) applies: 'auto' promotes a split too
+    large to replicate onto the sharded store whenever this per-shard slice
+    fits the per-device budget."""
+    store = dataset.store
+    ent = dataset.entries
+    if store.adaptive:
+        img_len = (store.pos_boxes[:, 1] - store.pos_boxes[:, 0]).astype(np.int64)
+    else:
+        n_img_, n_box, _ = store.features.shape
+        img_len = np.full((n_img_,), n_box, np.int64)
+    n_img = len(img_len)
+    buckets = _assign_images(img_len, dp)
+    max_rows = max((int(img_len[b].sum()) for b in buckets), default=1) or 1
+
+    v_dim = store.features.shape[-1]
+    s_dim = store.normalized_bb.shape[-1]
+    feat_itemsize = {"bfloat16": 2, "int8": 1}.get(feature_dtype, 4)
+    per_row = v_dim * feat_itemsize + s_dim * 4 + 4 * 4  # features+norm_bb+bb
+    if feature_dtype == "int8":
+        per_row += 4  # f32 dequant scale per row
+    total = max_rows * per_row
+    total += 2 * 4 * n_img  # local_start/local_len ([n_img] int32 per shard)
+
+    # entries: padded to the max shard entry count
+    img_shard = np.zeros(n_img, np.int32)
+    for s, b in enumerate(buckets):
+        img_shard[b] = s
+    entry_shard = img_shard[ent.image_index]
+    max_entries = (
+        max(int((entry_shard == s).sum()) for s in range(dp)) if len(ent) else 1
+    ) or 1
+    q_len = ent.q_tokens.shape[1]
+    total += max_entries * (q_len * 4 + MAX_LABELS * (4 + 4) + 4)
+
+    if include_adj and dataset.relation_type == "semantic":
+        adj = store.semantic_adj
+        if adj is not None:
+            max_local_imgs = max((len(b) for b in buckets), default=1) or 1
+            total += max_local_imgs * adj.shape[1] * adj.shape[2]  # int8
+    return int(total)
+
+
 class ShardedDeviceStore:
     def __init__(
         self,
@@ -154,13 +206,21 @@ class ShardedDeviceStore:
         labels = np.full((self.dp, max_entries, MAX_LABELS), -1, np.int32)
         scores = np.zeros((self.dp, max_entries, MAX_LABELS), np.float32)
         entry_img = np.zeros((self.dp, max_entries), np.int32)
+        # same loud guard as device_store.build_arrays: never silently drop
+        # soft-target score mass past MAX_LABELS
+        max_k = int(np.diff(ent.label_offsets).max()) if self.num_entries else 0
+        if max_k > MAX_LABELS:
+            raise ValueError(
+                f"an entry has {max_k} answer labels > MAX_LABELS="
+                f"{MAX_LABELS}; raise device_store.MAX_LABELS"
+            )
         for s, ids in enumerate(shard_entry_ids):
             for j, e in enumerate(ids):
                 questions[s, j] = ent.q_tokens[e]
                 so, eo = ent.label_offsets[e], ent.label_offsets[e + 1]
-                k = min(eo - so, MAX_LABELS)
-                labels[s, j, :k] = ent.labels[so : so + k]
-                scores[s, j, :k] = ent.scores[so : so + k]
+                k = eo - so
+                labels[s, j, :k] = ent.labels[so:eo]
+                scores[s, j, :k] = ent.scores[so:eo]
                 entry_img[s, j] = img_local[ent.image_index[e]]
 
         host = {

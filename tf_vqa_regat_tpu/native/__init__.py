@@ -82,6 +82,11 @@ def gather_rows(
     ):
         return False
     rows = np.ascontiguousarray(rows, np.int64)
+    # raw-memory utility: an out-of-range row would memcpy out of bounds in
+    # C++ (the numpy fallback raises instead) — refuse rather than trust
+    # future callers (negligible cost next to the copy itself)
+    if len(rows) and int(rows.max()) >= tab.shape[0]:
+        return False
     if n_threads <= 0:
         n_threads = min(8, os.cpu_count() or 1)
     lib.regat_gather_rows(

@@ -46,6 +46,9 @@ from tf_vqa_regat_tpu.models.regat import apply_regat, resolve_impl
 from tf_vqa_regat_tpu.parallel.distributed import put_global_tree
 from tf_vqa_regat_tpu.parallel.mesh import make_mesh, replicated
 
+# Largest client batch one POST may carry (see do_POST).
+MAX_CLIENT_BATCH = 512
+
 
 class InferenceEngine:
     """Pre-compiled fixed-batch-size inference over device-resident features.
@@ -68,6 +71,26 @@ class InferenceEngine:
         impl = resolve_impl(cfg)
         rep = replicated(self.mesh)
         include_adj = cfg.relation_type in ("semantic", "spatial")
+        # Capacity guard: serving hardwires the REPLICATED store (latency
+        # path — features resident in every local device's HBM, batch dim
+        # unsharded so batch-1 works). Splits too big to replicate must
+        # shrink via --feature_dtype int8 (4x; the full adaptive split fits
+        # one v5e at ~14.7 GB, PERF_NOTES.md) — fail loudly with the fix
+        # rather than OOM mid-upload.
+        from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
+
+        need = estimate_nbytes(ds, include_adj, cfg.feature_dtype)
+        budget = int(cfg.device_store_budget_gb * 1e9)
+        if need > budget:
+            raise ValueError(
+                f"serve: split {ds.name!r} needs ~{need/1e9:.1f} GB "
+                f"replicated at --feature_dtype {cfg.feature_dtype} but the "
+                f"device budget is {cfg.device_store_budget_gb:.1f} GB "
+                f"(--device_store_budget_gb). Use --feature_dtype int8 "
+                f"(~{estimate_nbytes(ds, include_adj, 'int8')/1e9:.1f} GB) "
+                f"or serve a smaller split — the serving engine replicates "
+                f"tables for batch-1 latency and has no sharded fallback."
+            )
         self.store = DeviceStore(
             ds, rep, include_adj, cfg.feature_dtype, cfg.packed_cache
         )
@@ -316,6 +339,19 @@ def make_server(
                 return self._json(400, {"error": "invalid JSON"})
             single = isinstance(req, dict)
             items = [req] if single else req
+            # Cap the client batch: every item funnels through the single
+            # MicroBatcher worker in max_batch chunks, so one huge request
+            # would starve concurrent requests past the 60 s Future timeout
+            # into 500s (round-2 advisor finding). 512 items is ~16 chunks
+            # at the default sizes — well inside the timeout.
+            if not single and len(items) > MAX_CLIENT_BATCH:
+                return self._json(
+                    400,
+                    {
+                        "error": f"batch too large ({len(items)} items; "
+                        f"max {MAX_CLIENT_BATCH}) — split the request"
+                    },
+                )
             try:
                 futs = [
                     batcher.submit(str(it["question"]), int(it["image_id"]))

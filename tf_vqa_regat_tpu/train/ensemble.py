@@ -19,6 +19,7 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tf_vqa_regat_tpu.config import Config
 from tf_vqa_regat_tpu.data.features import VQADataset
@@ -275,12 +276,27 @@ def run_ensemble_eval(
 
     from tf_vqa_regat_tpu.train.loop import resolve_data_mode
 
-    need_adj = any(rt != "implicit" for rt, _ in members)
-    # same policy as run_evaluation/run_prediction: device-resident (fused
-    # one-program blocks) when replicated tables fit or --data_mode sharded
-    # partitions them; host streaming otherwise — the log line's data= tag
-    # shows which ran.
-    mode = resolve_data_mode(cfg, val_ds, None, need_adj)
+    # Same policy as run_evaluation/run_prediction: device-resident (fused
+    # one-program blocks) when replicated tables fit or the per-shard slice
+    # does (dp>1); host streaming otherwise — the log line's data= tag shows
+    # which ran. The base store never carries adjacency (members share
+    # feature tables, each bringing its OWN edge table via
+    # _member_device_arrays/_member_sharded_arrays), so the budget check
+    # adds every distinct member adjacency table explicitly — at val scale
+    # semantic AND spatial together are ~800 MB int8, enough to breach a
+    # budget the features alone fit (round-2 advisor finding).
+    adj_extra = 0
+    for rt in {rt for rt, _ in members}:
+        src = (
+            val_ds.store.semantic_adj
+            if rt == "semantic"
+            else val_ds.store.spatial_adj if rt == "spatial" else None
+        )
+        if src is not None:
+            adj_extra += int(np.prod(src.shape))  # uploaded as int8
+    mode = resolve_data_mode(
+        cfg, val_ds, None, False, mesh.shape["data"], adj_extra
+    )
     if mode in ("device", "sharded"):
         return _run_ensemble_resident(
             cfg, val_ds, mesh, impl, logger, members, member_params, mode
