@@ -1,0 +1,83 @@
+"""Checkpoint/resume UNDER multi-process jax.distributed (round-2 verdict
+weak #2 / next-round #3): a 2-process gloo run saves an Orbax checkpoint
+mid-training, is killed, and a fresh run restores it — the resumed epoch's
+per-step losses and final eval must equal an uninterrupted 2-process run's.
+Also pins process-count portability: the same 2-process checkpoint resumes
+under a SINGLE process (the host-numpy checkpoint representation is
+process-count independent for replicated state — train/checkpoint.py
+docstring)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+_DRIVER = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "mp_ckpt_driver.py"
+)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _clean_env():
+    env = dict(os.environ)
+    for k in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES"):
+        env.pop(k, None)
+    return env
+
+
+def _run(nproc: int, tmpdir: str, outdir: str, phase: str) -> dict:
+    port = _free_port()
+    out = os.path.join(tmpdir, f"ckpt_{phase}_{nproc}.json")
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, _DRIVER, out, str(pid), str(nproc), str(port),
+                outdir, phase,
+            ],
+            env=_clean_env(),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(nproc)
+    ]
+    logs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, (
+            f"driver failed (nproc={nproc}, phase={phase}):\n{log[-4000:]}"
+        )
+    with open(out) as f:
+        return json.load(f)
+
+
+def test_multiprocess_checkpoint_resume(tmp_path):
+    outdir = str(tmp_path / "run")
+    full = _run(2, str(tmp_path), str(tmp_path / "unused"), "full")
+    saved = _run(2, str(tmp_path), outdir, "save")
+    # epoch 0 must agree before the checkpoint is even in play
+    np.testing.assert_allclose(
+        saved["losses_e0"], full["losses_e0"], rtol=1e-6
+    )
+    # resume in a FRESH 2-process run: epoch 1 == uninterrupted epoch 1
+    resumed = _run(2, str(tmp_path), outdir, "resume")
+    np.testing.assert_allclose(
+        resumed["losses_e1"], full["losses_e1"], rtol=1e-6,
+        err_msg="resumed epoch-1 losses diverge from the uninterrupted run",
+    )
+    np.testing.assert_allclose(resumed["eval_loss"], full["eval_loss"], rtol=1e-6)
+    # process-count change between save and restore: 2-proc checkpoint,
+    # 1-proc resume (8 local devices; same global mesh, same SPMD program)
+    resumed1 = _run(1, str(tmp_path), outdir, "resume")
+    np.testing.assert_allclose(
+        resumed1["losses_e1"], full["losses_e1"], rtol=1e-6
+    )
+    np.testing.assert_allclose(resumed1["eval_loss"], full["eval_loss"], rtol=1e-6)

@@ -5,6 +5,17 @@ resume-from-latest and best-model tracking.
 The reference saved weights-only once after the final epoch and supported no
 resume (main.py:145,155; SURVEY §2.4-T7 / §5 failure-recovery row). The
 `--checkpoint` eval flag loads either a full state dir or a params-only dir.
+
+Multi-process contract (tests/test_mp_checkpoint.py): every process calls
+save/restore (Orbax saves are collective — they barrier internally), only
+process 0 writes the meta sidecar, and a barrier keeps any process from
+racing ahead of an incomplete checkpoint. State is saved in its HOST
+(replicated-numpy) representation, which makes checkpoints PROCESS-COUNT
+PORTABLE: a run saved with N processes restores under M (the resume test
+does 2 -> 1 and 2 -> 2). The trade-off: leaves must be fully replicated or
+at least fully addressable per process — true for the dp-over-devices
+production state; a tp-sharded multi-HOST state would need the
+jax.Array-native Orbax path and is guarded with a loud error below.
 """
 
 from __future__ import annotations
@@ -21,6 +32,32 @@ def _ckpt_dir(output: str) -> str:
     return os.path.abspath(os.path.join(output, "checkpoints"))
 
 
+def _sync(tag: str) -> None:
+    """Barrier across processes (no-op single-process)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+def _to_host(state: Dict[str, Any]) -> Dict[str, Any]:
+    """device_get with a loud error for state this path cannot save."""
+    bad = [
+        type(x)
+        for x in jax.tree.leaves(state)
+        if isinstance(x, jax.Array) and not x.is_fully_addressable
+        and not x.is_fully_replicated
+    ]
+    if bad:
+        raise ValueError(
+            "checkpoint state has leaves sharded across processes (e.g. "
+            "tensor-parallel params on a multi-host mesh); the portable "
+            "host-numpy checkpoint format requires fully replicated or "
+            "fully addressable leaves"
+        )
+    return jax.device_get(state)
+
+
 def save_checkpoint(
     output: str,
     state: Dict[str, Any],
@@ -32,17 +69,20 @@ def save_checkpoint(
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, f"epoch_{epoch:04d}")
     ckptr = ocp.StandardCheckpointer()
-    host_state = jax.device_get(state)
+    host_state = _to_host(state)
     ckptr.save(path, host_state, force=True)
     ckptr.wait_until_finished()
-    meta = {"epoch": epoch, "best_score": best_score}
-    with open(os.path.join(root, "meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    if jax.process_index() == 0:
+        meta = {"epoch": epoch, "best_score": best_score}
+        with open(os.path.join(root, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
     if is_best:
         best = os.path.join(root, "best")
         ckptr2 = ocp.StandardCheckpointer()
         ckptr2.save(best, host_state, force=True)
         ckptr2.wait_until_finished()
+    # no process may see a checkpoint whose meta/best is still being written
+    _sync(f"regat_ckpt_epoch_{epoch}")
 
 
 def latest_checkpoint(output: str) -> Optional[str]:
@@ -61,7 +101,15 @@ def latest_checkpoint(output: str) -> Optional[str]:
 def restore_checkpoint(
     path: str, abstract_state: Dict[str, Any]
 ) -> Dict[str, Any]:
-    """Restore against an abstract (shape/dtype/sharding) target state."""
+    """Restore against an abstract (shape/dtype/sharding) target state.
+
+    Values come back as host numpy; leaves whose abstract counterpart is a
+    sharded jax.Array are re-placed onto that sharding via put_global —
+    required under multi-process (a later jit could not device_put host
+    arrays onto a sharding spanning non-addressable devices), and a no-op
+    placement change single-process."""
+    from tf_vqa_regat_tpu.parallel.distributed import put_global
+
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
@@ -69,7 +117,14 @@ def restore_checkpoint(
         else x,
         abstract_state,
     )
-    return ckptr.restore(path, target)
+    restored = ckptr.restore(path, target)
+    return jax.tree.map(
+        lambda r, a: put_global(r, a.sharding)
+        if isinstance(a, jax.Array)
+        else r,
+        restored,
+        abstract_state,
+    )
 
 
 def restore_meta(output: str) -> Tuple[int, float]:
