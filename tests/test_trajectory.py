@@ -4,11 +4,14 @@ Round-1 verdict item #1: eval-mode layer parity alone leaves the 63.2%
 accuracy gate resting on composition of unit tests. These tests close the
 gap constructively: same random init (copied from the reference's keras
 model), same batches, matched Adamax / per-tensor clip / LR -> the per-step
-LOSS trajectories must agree. Measured behavior on this fixture: bit-identical
-losses for the first ~14 steps, then fp32 chaotic drift growing to ~2e-3
-relative by step 50 (two float32 implementations with different op orderings
-cannot do better on a curved loss surface; the drift is non-monotonic, which
-is the signature of rounding divergence rather than a semantic mismatch).
+LOSS trajectories must agree. Measured behavior on THIS test's fixture (TF
+global seed 1234, 50 steps): bit-identical losses for the first ~14 steps,
+then fp32 chaotic drift growing to ~2e-3 relative by step 50. TRAJECTORY.md
+§1 reports a DIFFERENT instance of the same experiment (the tool's unseeded
+TF init, 100 steps): max drift 1.09e-3 at step 30 there — the magnitude of
+fp32 chaos is init-dependent; the envelope (<2e-2 asserted below) is what
+both must satisfy. The drift is non-monotonic in both, which is the
+signature of rounding divergence rather than a semantic mismatch.
 
 Reference contract: train.py:103-119 (the train step), train.ipynb cell 1
 (the committed loss curve is the acceptance record).
@@ -37,7 +40,9 @@ from tf_vqa_regat_tpu.train.h5_import import (
 )
 from tf_vqa_regat_tpu.train.trajectory import (
     jax_trajectory,
+    jax_trajectory_epochs,
     make_trajectory_batches,
+    reference_trajectory_epochs,
     reference_trajectory_from_model,
 )
 
@@ -127,3 +132,46 @@ def test_training_trajectory_matches_reference(setup):
     # both actually learned
     assert refs[-1] < 0.7 * refs[0]
     assert ours[-1] < 0.7 * ours[0]
+
+
+def test_trajectory_across_lr_schedule():
+    """Round-2 verdict missing #2: the constant-LR run above leaves the LR
+    schedule uncovered. 7 tiny epochs x 3 steps span the full warmup
+    (epochs 0-4: [1,1,1.2,1.3,1.4]*base, reference train.py:53) and one
+    x0.75 decay (epoch 5 with lr_decay_step=2, train.py:54,73-77), against
+    the reference's OWN imperative multi-epoch loop — per-epoch LRs must be
+    float-identical, per-step losses within fp32 chaotic drift, and the
+    per-epoch eval scores (reference evaluate(), train.py:130-177) must
+    agree. TRAJECTORY.md §3 carries the longer 9x4 run's table."""
+    tf.keras.utils.set_random_seed(77)
+    cfg = _cfg(lr_decay_rate=0.75, lr_decay_step=2)
+    ds = synthetic_dataset(
+        num_images=8, num_questions=48, v_dim=V_DIM, num_ans=NUM_ANS,
+        adaptive=False, seed=11,
+    )
+    batches = make_trajectory_batches(ds, cfg.batch_size, R)
+    model = build_reference_model(cfg, ds.ntoken, V_DIM, NUM_ANS)
+    params0 = reference_model_to_params(model, cfg)
+    EPOCHS, SPE = 7, 3
+
+    ours = jax_trajectory_epochs(cfg, params0, ds.ntoken, batches, SPE, EPOCHS)
+    refs = reference_trajectory_epochs(model, cfg, NUM_ANS, batches, SPE, EPOCHS)
+
+    # the schedule itself: closed form == imperative assignments, including
+    # warmup factors and the decay transition at epoch 5
+    lr_refs = np.asarray(refs["lr"])
+    np.testing.assert_allclose(ours["lr"], lr_refs, rtol=1e-6)
+    want = np.asarray(
+        [1.0, 1.0, 1.2, 1.3, 1.4, 1.4 * 0.75, 1.4 * 0.75]
+    ) * cfg.base_lr
+    np.testing.assert_allclose(lr_refs, want, rtol=1e-6)
+
+    # per-step losses: same drift envelope as the constant-LR run
+    l_ours, l_refs = np.asarray(ours["loss"]), np.asarray(refs["loss"])
+    rel = np.abs(l_ours - l_refs) / np.abs(l_refs)
+    assert rel[:6].max() < 1e-6, rel[:6]  # bit-matched through epoch 1
+    assert rel.max() < 2e-2, (rel.max(), rel.argmax())
+    # per-epoch eval scores: argmax answers agree (identical to a hair —
+    # allow one near-tie flip out of the 48 questions)
+    es = np.abs(np.asarray(ours["eval_score"]) - np.asarray(refs["eval_score"]))
+    assert es.max() <= 1.0 / 48 + 1e-9, es

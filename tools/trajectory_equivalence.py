@@ -47,14 +47,20 @@ from tf_vqa_regat_tpu.train.h5_import import (
 )
 from tf_vqa_regat_tpu.train.trajectory import (
     jax_trajectory,
+    jax_trajectory_epochs,
     jax_trajectory_with_scores,
     make_trajectory_batches,
+    reference_trajectory_epochs,
     reference_trajectory_from_model,
 )
 
 V_DIM, NUM_ANS, R = 24, 9, 36
 STEPS_EQ = 100
 STEPS_AB = 300
+# multi-epoch run: 9 tiny epochs x 4 steps spans the FULL warmup
+# (epochs 0-4: [1,1,1.2,1.3,1.4]*base) and two x0.75 decays (epochs 5, 7
+# with lr_decay_step=2) plus one constant epoch after (8)
+EPOCHS_SCHED, SPE_SCHED = 9, 4
 
 
 def base_cfg(**kw) -> Config:
@@ -69,6 +75,13 @@ def base_cfg(**kw) -> Config:
 
 
 def run_equivalence(out):
+    # Pin TF's GLOBAL rng: the keras init draws from it, and how many early
+    # steps stay bit-identical across frameworks depends on the drawn
+    # values (fp32 rounding luck) — unpinned, the artifact changes every
+    # regeneration.
+    import tensorflow as tf
+
+    tf.keras.utils.set_random_seed(4242)
     cfg = base_cfg(ref_compat_q_att=True, ref_compat_pos=True)
     ds = synthetic_dataset(
         num_images=8, num_questions=64, v_dim=V_DIM, num_ans=NUM_ANS,
@@ -83,7 +96,7 @@ def run_equivalence(out):
         reference_trajectory_from_model(model, cfg, NUM_ANS, batches, STEPS_EQ)
     )
     rel = np.abs(ours - refs) / np.abs(refs)
-    exact = int(np.argmax(rel > 0)) if (rel > 0).any() else STEPS_EQ
+    exact = int(np.argmax(rel > 1e-7)) if (rel > 1e-7).any() else STEPS_EQ
 
     out.append(f"## 1. Trajectory equivalence ({STEPS_EQ} steps)\n")
     out.append(
@@ -99,9 +112,10 @@ def run_equivalence(out):
         out.append(f"| {i} | {refs[i]:.6f} | {ours[i]:.6f} | {rel[i]:.2e} |")
     out.append("")
     out.append(
-        f"- losses are **bit-identical for the first {exact} steps**, then "
-        "fp32 rounding divergence accumulates chaotically (non-monotonic — "
-        "the signature of float drift, not a semantic mismatch);"
+        f"- losses agree to f32 epsilon (rel < 1e-7) for the first {exact} "
+        "steps, then fp32 rounding divergence accumulates chaotically "
+        "(non-monotonic — the signature of float drift, not a semantic "
+        "mismatch);"
     )
     out.append(
         f"- max relative drift over {STEPS_EQ} steps: **{rel.max():.2e}** "
@@ -119,6 +133,85 @@ def run_equivalence(out):
         "same class of deviation as re-running the reference with a "
         "different cuDNN version. Enforced in CI by "
         "tests/test_trajectory.py.\n"
+    )
+
+
+def run_schedule_equivalence(out):
+    """TRAJECTORY.md §3: the multi-epoch run across the LR schedule —
+    round-2 verdict missing #2 (the 100-step run above holds LR constant;
+    the reference's odd warmup + x0.75 decays, train.py:53-83, were only
+    unit-tested against a hand-derived table before this)."""
+    import tensorflow as tf
+
+    tf.keras.utils.set_random_seed(777)  # reproducible artifact (see §1 note)
+    cfg = base_cfg(
+        ref_compat_q_att=True, ref_compat_pos=True, lr_decay_rate=0.75,
+        lr_decay_step=2,
+    )
+    ds = synthetic_dataset(
+        num_images=8, num_questions=64, v_dim=V_DIM, num_ans=NUM_ANS,
+        adaptive=False, seed=11,
+    )
+    batches = make_trajectory_batches(ds, cfg.batch_size, R)
+    model = build_reference_model(cfg, ds.ntoken, V_DIM, NUM_ANS)
+    params0 = reference_model_to_params(model, cfg)
+
+    ours = jax_trajectory_epochs(
+        cfg, params0, ds.ntoken, batches, SPE_SCHED, EPOCHS_SCHED
+    )
+    refs = reference_trajectory_epochs(
+        model, cfg, NUM_ANS, batches, SPE_SCHED, EPOCHS_SCHED
+    )
+    l_ours = np.asarray(ours["loss"])
+    l_refs = np.asarray(refs["loss"])
+    rel = np.abs(l_ours - l_refs) / np.abs(l_refs)
+
+    out.append(
+        f"## 3. Schedule equivalence ({EPOCHS_SCHED} epochs x {SPE_SCHED} "
+        "steps, full LR schedule)\n"
+    )
+    out.append(
+        "The reference's OWN multi-epoch loop — imperative warmup "
+        "assignments and x0.75 decays at epochs 5, 7 (reference "
+        "train.py:53-83) plus its per-epoch eval pass (train.py:130-177) — "
+        "vs this framework's production epoch-keyed schedule "
+        "(train/optim.py::make_lr_schedule) and eval forward, from "
+        "identical copied init on identical batches. Covers what §1 left "
+        "open: LR transitions and epoch boundaries.\n"
+    )
+    out.append("| epoch | LR (TF) | LR (JAX) | last-step loss (TF) | "
+               "last-step loss (JAX) | eval score (TF) | eval score (JAX) |")
+    out.append("|---|---|---|---|---|---|---|")
+    lr_ours = np.asarray(ours["lr"])
+    lr_refs = np.asarray(refs["lr"])
+    for e in range(EPOCHS_SCHED):
+        i = (e + 1) * SPE_SCHED - 1
+        out.append(
+            f"| {e} | {lr_refs[e]:.3e} | {lr_ours[e]:.3e} | "
+            f"{l_refs[i]:.6f} | {l_ours[i]:.6f} | "
+            f"{refs['eval_score'][e]:.4f} | {ours['eval_score'][e]:.4f} |"
+        )
+    out.append("")
+    out.append(
+        f"- per-epoch LR identical to float tolerance (max rel diff "
+        f"{np.abs(lr_ours - lr_refs).max() / lr_refs.max():.1e}): the "
+        "epoch-keyed closed form reproduces the reference's imperative "
+        "assignments across warmup AND both decay transitions;"
+    )
+    out.append(
+        f"- per-step loss max relative drift "
+        f"{rel.max():.2e} over {l_refs.size} steps (same fp32-chaos class "
+        "as §1);"
+    )
+    es_diff = np.abs(
+        np.asarray(ours["eval_score"]) - np.asarray(refs["eval_score"])
+    ).max()
+    out.append(
+        f"- per-epoch eval scores agree (max abs diff {es_diff:.2e}).\n"
+    )
+    out.append(
+        "Enforced in CI by tests/test_trajectory.py::"
+        "test_trajectory_across_lr_schedule.\n"
     )
 
 
@@ -187,7 +280,8 @@ def main():
         "",
     ]
     run_equivalence(out)
-    run_fix_ab(out)
+    run_fix_ab(out)  # §2 (numbering pinned by round-2 docs)
+    run_schedule_equivalence(out)  # §3: appended round 3 (verdict missing #2)
     path = os.path.join(_ROOT, "TRAJECTORY.md")
     with open(path, "w") as fh:
         fh.write("\n".join(out) + "\n")
