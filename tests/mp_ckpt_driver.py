@@ -1,11 +1,12 @@
 """Subprocess driver for the multi-process checkpoint/resume test.
 
-Same tiny synthetic DeviceStore training as mp_driver.py, but exercising the
-Orbax checkpoint path UNDER jax.distributed — the standard place multi-host
-training breaks first (round-2 verdict weak #2): every process must call the
-(collective) save, only one may write the meta sidecar, and a restore must
-work on a run with a DIFFERENT process count (state is replicated, so the
-host representation is process-count independent).
+Same tiny synthetic DeviceStore training as mp_driver.py (rig shared via
+tests/mp_common.py), but exercising the Orbax checkpoint path UNDER
+jax.distributed — the standard place multi-host training breaks first
+(round-2 verdict weak #2): every process must call the (collective) save,
+only one may write the meta sidecar, and a restore must work on a run with
+a DIFFERENT process count (state is replicated, so the host representation
+is process-count independent).
 
 Phases:
   full  — train 2 epochs uninterrupted; write all per-step losses + eval.
@@ -19,76 +20,30 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import mp_common
+
 out_json, pid, nproc, port, outdir, phase = (
     sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
     sys.argv[5], sys.argv[6],
 )
+jax = mp_common.init_runtime(nproc, pid, port)
+rig = mp_common.build_tiny_training()
 
-os.environ["XLA_FLAGS"] = (
-    f"--xla_force_host_platform_device_count={8 // nproc}"
-)
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_default_matmul_precision", "highest")
-if nproc > 1:
-    jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    jax.distributed.initialize(
-        f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
-    )
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from tf_vqa_regat_tpu.config import Config  # noqa: E402
-from tf_vqa_regat_tpu.data.device_store import DeviceStore  # noqa: E402
-from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset  # noqa: E402
-from tf_vqa_regat_tpu.models.regat import init_regat, trainable_mask  # noqa: E402
 from tf_vqa_regat_tpu.parallel.distributed import put_global  # noqa: E402
-from tf_vqa_regat_tpu.parallel.mesh import (  # noqa: E402
-    batch_sharding, make_mesh, replicated,
-)
 from tf_vqa_regat_tpu.train import checkpoint as ckpt  # noqa: E402
-from tf_vqa_regat_tpu.train.optim import make_optimizer  # noqa: E402
-from tf_vqa_regat_tpu.train.step import (  # noqa: E402
-    build_store_eval_step, build_store_train_step, init_train_state,
-)
 
-NTOKEN, V_DIM, NUM_ANS, BATCH = 40, 48, 11, 16
-
-cfg = Config(
-    batch_size=BATCH, num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
-    imp_pos_emb_dim=16, dir_num=2, num_steps=1, residual_connection=True,
-    label_bias=False, dropout=0.2, fusion="butd", relation_type="implicit",
-    num_rois=10, adaptive=True,
-)
-
-ds = synthetic_dataset(
-    num_images=24, num_questions=64, v_dim=V_DIM, num_ans=NUM_ANS,
-    adaptive=True, seed=0,
-)
-mesh = make_mesh()
-store = DeviceStore(ds, sharding=replicated(mesh))
-params = init_regat(jax.random.PRNGKey(0), cfg, NTOKEN, V_DIM, NUM_ANS)
-mask = trainable_mask(params, emb2_trainable=True)
-steps_per_epoch = (len(ds) + BATCH - 1) // BATCH
-optimizer = make_optimizer(
-    cfg.base_lr, cfg.grad_clip, steps_per_epoch, cfg.lr_decay_rate,
-    cfg.lr_decay_step, mask,
-)
-state = init_train_state(params, optimizer, mesh)
-train_step = build_store_train_step(
-    cfg, NTOKEN, optimizer, mesh, "jnp", params, NUM_ANS, store.padding_idx
-)
-eval_step = build_store_eval_step(
-    cfg, NTOKEN, mesh, "jnp", NUM_ANS, store.padding_idx
-)
-bspec = batch_sharding(mesh)
-rng = jax.random.PRNGKey(7)
+BATCH = mp_common.BATCH
+store, bspec, rng = rig.store, rig.bspec, rig.rng
+state = rig.state
 
 
 def run_epoch(state, epoch):
     losses = []
     for idx in store.epoch_indices(epoch, BATCH, shuffle=True, seed=3):
-        state, m = train_step(state, store.arrays, put_global(idx, bspec), rng)
+        state, m = rig.train_step(
+            state, store.arrays, put_global(idx, bspec), rng
+        )
         losses.append(float(m["loss"]))
     return state, losses
 
@@ -96,7 +51,7 @@ def run_epoch(state, epoch):
 def run_eval(params):
     esum = en = 0.0
     for idx in store.epoch_indices(0, BATCH, shuffle=False, seed=3):
-        m = eval_step(params, store.arrays, put_global(idx, bspec))
+        m = rig.eval_step(params, store.arrays, put_global(idx, bspec))
         esum += float(m["loss"]) * float(m["n"])
         en += float(m["n"])
     return esum / en

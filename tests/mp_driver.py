@@ -5,7 +5,8 @@ put_global, per-step index vectors likewise) for a fixed number of steps
 plus one eval pass, and writes the per-step metrics as JSON. Launched by
 tests/test_multiprocess.py either as one process with 8 virtual CPU
 devices, or as two jax.distributed processes with 4 each — the global
-program is identical, so the metrics must match.
+program is identical, so the metrics must match. Runtime + rig setup is
+shared with mp_ckpt_driver.py via tests/mp_common.py.
 
 Usage: mp_driver.py <out_json> <process_id> <num_processes> <port>
 """
@@ -13,81 +14,35 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import mp_common
+
 out_json, pid, nproc, port = (
     sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
 )
-
-os.environ["XLA_FLAGS"] = (
-    f"--xla_force_host_platform_device_count={8 // nproc}"
-)
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_default_matmul_precision", "highest")
-if nproc > 1:
-    jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    jax.distributed.initialize(
-        f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
-    )
+jax = mp_common.init_runtime(nproc, pid, port)
+rig = mp_common.build_tiny_training()
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from tf_vqa_regat_tpu.config import Config  # noqa: E402
-from tf_vqa_regat_tpu.data.device_store import DeviceStore  # noqa: E402
-from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset  # noqa: E402
-from tf_vqa_regat_tpu.models.regat import init_regat, trainable_mask  # noqa: E402
 from tf_vqa_regat_tpu.parallel.distributed import put_global  # noqa: E402
-from tf_vqa_regat_tpu.parallel.mesh import (  # noqa: E402
-    batch_sharding, make_mesh, replicated,
-)
-from tf_vqa_regat_tpu.train.optim import make_optimizer  # noqa: E402
-from tf_vqa_regat_tpu.train.step import (  # noqa: E402
-    build_store_eval_step, build_store_train_step, init_train_state,
-)
 
-NTOKEN, V_DIM, NUM_ANS, BATCH = 40, 48, 11, 16
-
-cfg = Config(
-    batch_size=BATCH, num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
-    imp_pos_emb_dim=16, dir_num=2, num_steps=1, residual_connection=True,
-    label_bias=False, dropout=0.2, fusion="butd", relation_type="implicit",
-    num_rois=10, adaptive=True,
-)
-
-ds = synthetic_dataset(
-    num_images=24, num_questions=64, v_dim=V_DIM, num_ans=NUM_ANS,
-    adaptive=True, seed=0,
-)
-mesh = make_mesh()
-store = DeviceStore(ds, sharding=replicated(mesh))
-params = init_regat(jax.random.PRNGKey(0), cfg, NTOKEN, V_DIM, NUM_ANS)
-mask = trainable_mask(params, emb2_trainable=True)
-steps_per_epoch = (len(ds) + BATCH - 1) // BATCH
-optimizer = make_optimizer(
-    cfg.base_lr, cfg.grad_clip, steps_per_epoch, cfg.lr_decay_rate,
-    cfg.lr_decay_step, mask,
-)
-state = init_train_state(params, optimizer, mesh)
-train_step = build_store_train_step(
-    cfg, NTOKEN, optimizer, mesh, "jnp", params, NUM_ANS, store.padding_idx
-)
-eval_step = build_store_eval_step(
-    cfg, NTOKEN, mesh, "jnp", NUM_ANS, store.padding_idx
-)
-bspec = batch_sharding(mesh)
-rng = jax.random.PRNGKey(7)
+NTOKEN, NUM_ANS, BATCH = mp_common.NTOKEN, mp_common.NUM_ANS, mp_common.BATCH
+cfg, ds, store, bspec, rng = rig.cfg, rig.ds, rig.store, rig.bspec, rig.rng
+state = rig.state
 
 losses = []
 for epoch in range(2):
     for idx in store.epoch_indices(epoch, BATCH, shuffle=True, seed=3):
-        state, m = train_step(state, store.arrays, put_global(idx, bspec), rng)
+        state, m = rig.train_step(
+            state, store.arrays, put_global(idx, bspec), rng
+        )
         losses.append(float(m["loss"]))
 
 escore = esum = en = 0.0
 for idx in store.epoch_indices(0, BATCH, shuffle=False, seed=3):
-    m = eval_step(state["params"], store.arrays, put_global(idx, bspec))
+    m = rig.eval_step(state["params"], store.arrays, put_global(idx, bspec))
     escore += float(m["score"])
     esum += float(m["loss"]) * float(m["n"])
     en += float(m["n"])
@@ -100,6 +55,7 @@ from tf_vqa_regat_tpu.train.step import (  # noqa: E402
     build_store_eval_block, build_store_predict_block,
 )
 
+mesh = rig.mesh
 eblk = build_store_eval_block(cfg, NTOKEN, mesh, "jnp", NUM_ANS, store.padding_idx, 2)
 pblk = build_store_predict_block(cfg, NTOKEN, mesh, "jnp", NUM_ANS, store.padding_idx, 2)
 blkspec = NamedSharding(mesh, P(None, "data"))
@@ -125,6 +81,7 @@ for _, blk in _block_batches(
 from tf_vqa_regat_tpu.data.loader import BatchLoader  # noqa: E402
 from tf_vqa_regat_tpu.models.regat import apply_regat  # noqa: E402
 from tf_vqa_regat_tpu.parallel.distributed import put_global_tree  # noqa: E402
+from tf_vqa_regat_tpu.parallel.mesh import replicated  # noqa: E402
 
 loader = BatchLoader(ds, BATCH, cfg.num_rois, shuffle=False)
 

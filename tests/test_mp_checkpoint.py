@@ -5,58 +5,23 @@ per-step losses and final eval must equal an uninterrupted 2-process run's.
 Also pins process-count portability: the same 2-process checkpoint resumes
 under a SINGLE process (the host-numpy checkpoint representation is
 process-count independent for replicated state — train/checkpoint.py
-docstring)."""
+docstring). Launch harness shared with test_multiprocess.py via
+tests/mp_util.py."""
 
-import json
 import os
-import socket
-import subprocess
-import sys
 
 import numpy as np
+
+from mp_util import run_drivers
 
 _DRIVER = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "mp_ckpt_driver.py"
 )
 
 
-def _free_port() -> int:
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
-
-
-def _clean_env():
-    env = dict(os.environ)
-    for k in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES"):
-        env.pop(k, None)
-    return env
-
-
 def _run(nproc: int, tmpdir: str, outdir: str, phase: str) -> dict:
-    port = _free_port()
     out = os.path.join(tmpdir, f"ckpt_{phase}_{nproc}.json")
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable, _DRIVER, out, str(pid), str(nproc), str(port),
-                outdir, phase,
-            ],
-            env=_clean_env(),
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-        )
-        for pid in range(nproc)
-    ]
-    logs = [p.communicate(timeout=900)[0].decode() for p in procs]
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, (
-            f"driver failed (nproc={nproc}, phase={phase}):\n{log[-4000:]}"
-        )
-    with open(out) as f:
-        return json.load(f)
+    return run_drivers(_DRIVER, nproc, out, outdir, phase)
 
 
 def test_multiprocess_checkpoint_resume(tmp_path):

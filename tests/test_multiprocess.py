@@ -6,52 +6,21 @@ global arrays from per-process local shards).
 
 Covers SURVEY §2.5 DP row ("per-host data feeding") and the round-1
 verdict's multi-host gap. Both runs execute in subprocesses so each gets a
-fresh JAX runtime with its own device topology.
+fresh JAX runtime with its own device topology. Launch harness shared with
+test_mp_checkpoint.py via tests/mp_util.py.
 """
 
-import json
 import os
-import socket
-import subprocess
-import sys
 
 import numpy as np
+
+from mp_util import run_drivers
 
 _DRIVER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "mp_driver.py")
 
 
-def _free_port() -> int:
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
-
-
-def _clean_env():
-    env = dict(os.environ)
-    for k in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES"):
-        env.pop(k, None)
-    return env
-
-
 def _run(nproc: int, tmpdir: str) -> dict:
-    port = _free_port()
-    out = os.path.join(tmpdir, f"mp_{nproc}.json")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, _DRIVER, out, str(pid), str(nproc), str(port)],
-            env=_clean_env(),
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-        )
-        for pid in range(nproc)
-    ]
-    logs = [p.communicate(timeout=900)[0].decode() for p in procs]
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"driver failed (nproc={nproc}):\n{log[-4000:]}"
-    with open(out) as f:
-        return json.load(f)
+    return run_drivers(_DRIVER, nproc, os.path.join(tmpdir, f"mp_{nproc}.json"))
 
 
 def test_two_process_run_matches_single_process(tmp_path):

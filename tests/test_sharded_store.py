@@ -342,3 +342,16 @@ def test_resolve_data_mode_matrix():
         resolve_data_mode(c, ds, None, False, dp=8, extra_bytes=10**6)
         == "sharded"
     )
+    # ... and the sharded check sizes extras by the caller's PER-SHARD
+    # figure when given (padded-per-image tables are bigger than total/dp):
+    # an extra that fits at total/dp but not at its true padded size must
+    # demote sharded -> host
+    room = (e_sh8 + e_dev["float32"]) // 2 - e_sh8  # sharded headroom
+    assert (
+        resolve_data_mode(
+            c.replace(device_store_budget_gb=((e_sh8 + e_dev["float32"]) // 2) / 1e9),
+            ds, None, False, dp=8,
+            extra_bytes=room, extra_bytes_sharded=room + 1,
+        )
+        == "host"
+    )

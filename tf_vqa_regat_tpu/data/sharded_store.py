@@ -58,19 +58,14 @@ def _assign_images(box_counts: np.ndarray, n_shards: int) -> List[np.ndarray]:
     return [np.asarray(sorted(b), np.int64) for b in buckets]
 
 
-def estimate_sharded_nbytes(
-    dataset: VQADataset,
-    include_adj: bool,
-    feature_dtype: str,
-    dp: int,
-) -> int:
-    """PER-SHARD device footprint of a ShardedDeviceStore at `dp` shards,
-    computed from metadata only (box counts, entry counts — no feature reads),
-    using the SAME greedy image assignment and pad-to-max-shard layout the
-    constructor builds. This is the sharded half of the one sizing policy
-    resolve_data_mode (train/loop.py) applies: 'auto' promotes a split too
-    large to replicate onto the sharded store whenever this per-shard slice
-    fits the per-device budget."""
+def sharded_layout(dataset: VQADataset, dp: int):
+    """(n_img, max_rows, max_entries, max_local_imgs) of the pad-to-max
+    sharded layout at `dp` shards — from metadata only (box counts, entry
+    counts; no feature reads), using the SAME greedy image assignment the
+    constructor builds. NOTE: _assign_images balances BOX counts, so a shard
+    owning many small images can hold far more than n_img/dp images —
+    anything padded per-image (the ensemble's adjacency tables) must size by
+    max_local_imgs, not n_img // dp."""
     store = dataset.store
     ent = dataset.entries
     if store.adaptive:
@@ -81,6 +76,32 @@ def estimate_sharded_nbytes(
     n_img = len(img_len)
     buckets = _assign_images(img_len, dp)
     max_rows = max((int(img_len[b].sum()) for b in buckets), default=1) or 1
+    max_local_imgs = max((len(b) for b in buckets), default=1) or 1
+    img_shard = np.zeros(n_img, np.int32)
+    for s, b in enumerate(buckets):
+        img_shard[b] = s
+    entry_shard = img_shard[ent.image_index]
+    max_entries = (
+        max(int((entry_shard == s).sum()) for s in range(dp)) if len(ent) else 1
+    ) or 1
+    return n_img, max_rows, max_entries, max_local_imgs
+
+
+def estimate_sharded_nbytes(
+    dataset: VQADataset,
+    include_adj: bool,
+    feature_dtype: str,
+    dp: int,
+) -> int:
+    """PER-SHARD device footprint of a ShardedDeviceStore at `dp` shards
+    (layout from sharded_layout — exact vs the built store, tested). This is
+    the sharded half of the one sizing policy resolve_data_mode
+    (train/loop.py) applies: 'auto' promotes a split too large to replicate
+    onto the sharded store whenever this per-shard slice fits the
+    per-device budget."""
+    store = dataset.store
+    ent = dataset.entries
+    n_img, max_rows, max_entries, max_local_imgs = sharded_layout(dataset, dp)
 
     v_dim = store.features.shape[-1]
     s_dim = store.normalized_bb.shape[-1]
@@ -90,22 +111,12 @@ def estimate_sharded_nbytes(
         per_row += 4  # f32 dequant scale per row
     total = max_rows * per_row
     total += 2 * 4 * n_img  # local_start/local_len ([n_img] int32 per shard)
-
-    # entries: padded to the max shard entry count
-    img_shard = np.zeros(n_img, np.int32)
-    for s, b in enumerate(buckets):
-        img_shard[b] = s
-    entry_shard = img_shard[ent.image_index]
-    max_entries = (
-        max(int((entry_shard == s).sum()) for s in range(dp)) if len(ent) else 1
-    ) or 1
     q_len = ent.q_tokens.shape[1]
     total += max_entries * (q_len * 4 + MAX_LABELS * (4 + 4) + 4)
 
     if include_adj and dataset.relation_type == "semantic":
         adj = store.semantic_adj
         if adj is not None:
-            max_local_imgs = max((len(b) for b in buckets), default=1) or 1
             total += max_local_imgs * adj.shape[1] * adj.shape[2]  # int8
     return int(total)
 

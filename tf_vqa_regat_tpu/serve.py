@@ -82,14 +82,21 @@ class InferenceEngine:
         need = estimate_nbytes(ds, include_adj, cfg.feature_dtype)
         budget = int(cfg.device_store_budget_gb * 1e9)
         if need > budget:
+            if cfg.feature_dtype != "int8":
+                remedy = (
+                    f"Use --feature_dtype int8 "
+                    f"(~{estimate_nbytes(ds, include_adj, 'int8')/1e9:.1f} "
+                    f"GB), raise --device_store_budget_gb,"
+                )
+            else:  # already at the smallest dtype — only the budget helps
+                remedy = "Raise --device_store_budget_gb"
             raise ValueError(
                 f"serve: split {ds.name!r} needs ~{need/1e9:.1f} GB "
                 f"replicated at --feature_dtype {cfg.feature_dtype} but the "
                 f"device budget is {cfg.device_store_budget_gb:.1f} GB "
-                f"(--device_store_budget_gb). Use --feature_dtype int8 "
-                f"(~{estimate_nbytes(ds, include_adj, 'int8')/1e9:.1f} GB) "
-                f"or serve a smaller split — the serving engine replicates "
-                f"tables for batch-1 latency and has no sharded fallback."
+                f"(--device_store_budget_gb). {remedy} or serve a smaller "
+                f"split — the serving engine replicates tables for batch-1 "
+                f"latency and has no sharded fallback."
             )
         self.store = DeviceStore(
             ds, rep, include_adj, cfg.feature_dtype, cfg.packed_cache

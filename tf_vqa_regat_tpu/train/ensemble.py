@@ -285,17 +285,34 @@ def run_ensemble_eval(
     # adds every distinct member adjacency table explicitly — at val scale
     # semantic AND spatial together are ~800 MB int8, enough to breach a
     # budget the features alone fit (round-2 advisor finding).
-    adj_extra = 0
-    for rt in {rt for rt, _ in members}:
-        src = (
+    adj_srcs = [
+        src
+        for rt in {rt for rt, _ in members}
+        for src in [
             val_ds.store.semantic_adj
             if rt == "semantic"
             else val_ds.store.spatial_adj if rt == "spatial" else None
+        ]
+        if src is not None
+    ]
+    dp = mesh.shape["data"]
+    # replicated upload: full [n_img, A, A] int8 per distinct table
+    adj_extra = sum(int(np.prod(src.shape)) for src in adj_srcs)
+    adj_extra_sharded = 0
+    if adj_srcs and dp > 1:
+        # Sharded upload pads each table to the layout's max image-count
+        # shard ([dp, max_local_imgs, A, A], sharded_adj_table) — and the
+        # greedy assignment balances BOX counts, so max_local_imgs can be
+        # several times n_img/dp on an adaptive split. Size by the real
+        # layout, not total/dp (review finding, round 3).
+        from tf_vqa_regat_tpu.data.sharded_store import sharded_layout
+
+        _, _, _, max_local_imgs = sharded_layout(val_ds, dp)
+        adj_extra_sharded = sum(
+            max_local_imgs * src.shape[1] * src.shape[2] for src in adj_srcs
         )
-        if src is not None:
-            adj_extra += int(np.prod(src.shape))  # uploaded as int8
     mode = resolve_data_mode(
-        cfg, val_ds, None, False, mesh.shape["data"], adj_extra
+        cfg, val_ds, None, False, dp, adj_extra, adj_extra_sharded
     )
     if mode in ("device", "sharded"):
         return _run_ensemble_resident(

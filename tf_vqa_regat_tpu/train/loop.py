@@ -411,7 +411,13 @@ def _run_eval(
 
 
 def resolve_data_mode(
-    cfg, val_ds, train_ds, include_adj: bool, dp: int = 1, extra_bytes: int = 0
+    cfg,
+    val_ds,
+    train_ds,
+    include_adj: bool,
+    dp: int = 1,
+    extra_bytes: int = 0,
+    extra_bytes_sharded: "int | None" = None,
 ) -> str:
     """THE data-path policy (single source — _DataPath, run_prediction and
     run_ensemble_eval all route through it). 'auto' resolves, in order:
@@ -428,9 +434,13 @@ def resolve_data_mode(
     Eval-only use (train_ds None) gets the FULL budget; with a train store
     each split gets half. `extra_bytes` adds caller-known device-resident
     arrays outside the store estimate (the ensemble's per-member adjacency
-    tables — replicated in device mode, partitioned over dp in sharded).
-    Replaces the reference's unconditional ~58 GB host-RAM materialization
-    (reference dataset.py:206-230)."""
+    tables, replicated in device mode); `extra_bytes_sharded` is their
+    PER-SHARD footprint in sharded mode — callers must size padded-per-image
+    tables by the layout's max_local_imgs (sharded_store.sharded_layout),
+    NOT total/dp, because the greedy assignment balances box counts and a
+    shard can own far more than n_img/dp images. Defaults to extra_bytes/dp
+    for extras that partition evenly. Replaces the reference's unconditional
+    ~58 GB host-RAM materialization (reference dataset.py:206-230)."""
     mode = cfg.data_mode
     if mode != "auto":
         return mode
@@ -446,9 +456,11 @@ def resolve_data_mode(
         for ds in splits
     ):
         return "device"
+    if extra_bytes_sharded is None:
+        extra_bytes_sharded = extra_bytes // dp
     if dp > 1 and all(
         estimate_sharded_nbytes(ds, include_adj, cfg.feature_dtype, dp)
-        + extra_bytes // dp
+        + extra_bytes_sharded
         <= per_store
         for ds in splits
     ):
@@ -504,9 +516,10 @@ class _DataPath:
 
     Modes (cfg.data_mode): 'device' = HBM-replicated tables with on-device
     gather; 'sharded' = tables partitioned over the data axis (splits too
-    large to replicate); 'host' = host-streaming prefetch; 'auto' = device if
-    the estimated table footprint (at cfg.feature_dtype) fits the budget,
-    else host. One class so the three paths can't drift apart.
+    large to replicate); 'host' = host-streaming prefetch; 'auto' resolves
+    device -> sharded -> host via resolve_data_mode (replicated fit, then
+    per-shard fit at dp>1, then streaming). One class so the three paths
+    can't drift apart.
 
     train_ds/train_loader may be None for eval-only use (run_evaluation);
     then only the eval store/step/iterator are constructed.
