@@ -355,3 +355,47 @@ def test_resolve_data_mode_matrix():
         )
         == "host"
     )
+
+
+def test_sharded_packed_cache_roundtrip(tmp_path):
+    """--packed_cache for the SHARDED store (where real training lands):
+    first build writes the per-shard feature table, a rebuild memory-maps
+    it with byte-identical device arrays for every dtype, the key includes
+    dp, and a stale signature rebuilds instead of serving old bytes."""
+    import json
+
+    ds = synthetic_dataset(
+        num_images=12, num_questions=50, v_dim=16, num_ans=NUM_ANS, seed=4
+    )
+    mesh = _mesh()
+    cache = str(tmp_path / "pack")
+    for dtype in ("float32", "bfloat16", "int8"):
+        direct = ShardedDeviceStore(ds, mesh, False, dtype)
+        miss = ShardedDeviceStore(ds, mesh, False, dtype, cache)
+        hit = ShardedDeviceStore(ds, mesh, False, dtype, cache)
+        for k in direct.arrays:
+            a = np.asarray(jax.device_get(direct.arrays[k]))
+            np.testing.assert_array_equal(
+                a, np.asarray(jax.device_get(miss.arrays[k])), err_msg=k
+            )
+            np.testing.assert_array_equal(
+                a, np.asarray(jax.device_get(hit.arrays[k])), err_msg=k
+            )
+    names = sorted(p.name for p in (tmp_path / "pack").iterdir())
+    assert any("sharded8" in n and n.endswith(".features.npy") for n in names), names
+    assert any(n.endswith(".scale.npy") for n in names), names  # int8 run
+
+    # stale meta (e.g. re-extracted features) -> rebuild, then re-cache
+    meta = next(
+        p for p in (tmp_path / "pack").iterdir()
+        if "float32" in p.name and p.name.endswith(".meta.json")
+    )
+    sig = json.loads(meta.read_text())
+    sig["src_sha1"] = "0" * 40
+    meta.write_text(json.dumps(sig))
+    rebuilt = ShardedDeviceStore(ds, mesh, False, "float32", cache)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(rebuilt.arrays["features"])),
+        np.asarray(jax.device_get(ShardedDeviceStore(ds, mesh, False, "float32").arrays["features"])),
+    )
+    assert json.loads(meta.read_text())["src_sha1"] != "0" * 40

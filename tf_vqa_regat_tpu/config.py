@@ -168,11 +168,12 @@ class Config:
     # for int8 instead of ~73 GB); host streaming reads per-image slices
     # from disk.
     mmap_features: bool = False
-    # Packed-feature cache directory ("" = off, device data mode): the
-    # converted flat feature table (+ int8 scales) persists as .npy after
-    # the first run; later runs memory-map it, skipping the HDF5 read and
-    # chunked dtype conversion entirely (minutes of startup at the ~58 GB
-    # adaptive scale). Composes with --mmap_features (the HDF5 is then
+    # Packed-feature cache directory ("" = off; device AND sharded data
+    # modes): the converted feature table (+ int8 scales) persists as .npy
+    # after the first run; later runs memory-map it, skipping the HDF5 read
+    # and dtype conversion entirely (minutes of startup at the ~58 GB
+    # adaptive scale). The sharded cache is keyed by dp too (the layout
+    # depends on the shard count). Composes with --mmap_features (the HDF5
     # read drops to ~64 fingerprint-sample rows on a hit) and any
     # --feature_dtype.
     packed_cache: str = ""

@@ -128,6 +128,7 @@ class ShardedDeviceStore:
         mesh,
         include_adj: bool = False,
         feature_dtype: str = "float32",
+        cache_dir: str = "",
     ):
         self._feature_dtype = feature_dtype
         self.mesh = mesh
@@ -154,24 +155,7 @@ class ShardedDeviceStore:
         v_dim = store.features.shape[-1]
         s_dim = store.normalized_bb.shape[-1]
 
-        # Per-shard tables allocated directly at the TARGET dtype and filled
-        # per image (contiguous slices — works for h5py-backed mmap sources
-        # too), so neither --feature_dtype nor --mmap_features ever stages
-        # the full table in f32: host peak RAM is the converted table + one
-        # image slice.
-        if feature_dtype == "bfloat16":
-            feats = np.zeros((self.dp, max_rows, v_dim), jnp.bfloat16)
-        elif feature_dtype == "int8":
-            feats = np.zeros((self.dp, max_rows, v_dim), np.int8)
-        elif feature_dtype == "float32":
-            feats = np.zeros((self.dp, max_rows, v_dim), np.float32)
-        else:
-            raise ValueError(f"unknown feature_dtype {feature_dtype!r}")
-        feat_scale = (
-            np.zeros((self.dp, max_rows), np.float32)
-            if feature_dtype == "int8"
-            else None
-        )
+        # Box tables + shard metadata always rebuild (cheap: 6-d/4-d rows).
         norms = np.zeros((self.dp, max_rows, s_dim), np.float32)
         bbs = np.zeros((self.dp, max_rows, 4), np.float32)
         local_start = np.zeros((self.dp, n_img), np.int32)  # per shard, by local img
@@ -186,25 +170,39 @@ class ShardedDeviceStore:
                 ln = int(img_len[img])
                 st = int(img_start[img])
                 if store.adaptive:
-                    f_img = np.asarray(store.features[st : st + ln], np.float32)
                     norms[s, off : off + ln] = store.normalized_bb[st : st + ln]
                     bbs[s, off : off + ln] = store.bb[st : st + ln]
                 else:
-                    f_img = np.asarray(store.features[img], np.float32)
                     norms[s, off : off + ln] = store.normalized_bb[img]
                     bbs[s, off : off + ln] = store.bb[img]
-                if feature_dtype == "int8":
-                    q, sc = quantize_rows(f_img)
-                    feats[s, off : off + ln] = q
-                    feat_scale[s, off : off + ln] = sc
-                else:
-                    feats[s, off : off + ln] = f_img.astype(feats.dtype)
                 local_start[s, li] = off
                 local_len[s, li] = ln
                 img_shard[img] = s
                 img_local[img] = li
                 off += ln
             n_local_imgs[s] = len(bucket)
+
+        # The feature fill is THE expensive part (full source read + dtype
+        # conversion: minutes at the real ~58 GB adaptive scale) — served
+        # from the packed cache (--packed_cache, same flag as the replicated
+        # store) when the fingerprint matches; sharded mode is where real
+        # training lands (resolve_data_mode), so repeat runs must not
+        # re-read the HDF5.
+        feats = feat_scale = None
+        if cache_dir:
+            feats, feat_scale = self._load_cached_feats(
+                dataset, cache_dir, feature_dtype, img_len, max_rows, v_dim
+            )
+        if feats is None:
+            feats, feat_scale = self._fill_feats(
+                store, buckets, img_start, img_len, local_start,
+                feature_dtype, max_rows, v_dim,
+            )
+            if cache_dir:
+                self._save_cached_feats(
+                    dataset, cache_dir, feature_dtype, img_len, feats,
+                    feat_scale,
+                )
 
         # entries per shard, padded to the max shard entry count
         entry_shard = img_shard[ent.image_index]
@@ -286,6 +284,140 @@ class ShardedDeviceStore:
             local_len[s][entry_img[s, : len(ids)]].copy()
             for s, ids in enumerate(shard_entry_ids)
         ]
+
+    # ---- packed-feature cache (sharded layout) -----------------------------
+    # Same idea as device_store._cached_features, keyed additionally by dp
+    # (the layout depends on the shard count) and by a fingerprint of the
+    # per-image box counts (they pin the greedy assignment). bf16 stored as
+    # a uint16 view (np.save drops the ml_dtypes descr).
+
+    @staticmethod
+    def _cache_paths(dataset, cache_dir, feature_dtype, dp):
+        import os
+
+        key = (
+            f"{dataset.name}-sharded{dp}-"
+            f"{'adaptive' if dataset.store.adaptive else 'fixed'}-"
+            f"{feature_dtype}"
+        )
+        return (
+            os.path.join(cache_dir, key + ".meta.json"),
+            os.path.join(cache_dir, key + ".features.npy"),
+            os.path.join(cache_dir, key + ".scale.npy"),
+        )
+
+    def _cache_sig(self, dataset, feature_dtype, img_len):
+        import hashlib
+
+        from tf_vqa_regat_tpu.data.device_store import _source_fingerprint
+
+        return {
+            "src_shape": [int(x) for x in dataset.store.features.shape],
+            "src_sha1": _source_fingerprint(dataset.store.features),
+            "img_len_sha1": hashlib.sha1(
+                np.ascontiguousarray(img_len, np.int64).tobytes()
+            ).hexdigest(),
+            "feature_dtype": feature_dtype,
+            "dp": int(self.dp),
+            "version": 1,
+        }
+
+    def _load_cached_feats(
+        self, dataset, cache_dir, feature_dtype, img_len, max_rows, v_dim
+    ):
+        import json as _json
+
+        meta_p, feat_p, scale_p = self._cache_paths(
+            dataset, cache_dir, feature_dtype, self.dp
+        )
+        try:
+            with open(meta_p) as fh:
+                if _json.load(fh) != self._cache_sig(
+                    dataset, feature_dtype, img_len
+                ):
+                    return None, None
+            feats = np.load(feat_p, mmap_mode="r")
+            if feature_dtype == "bfloat16":
+                feats = feats.view(jnp.bfloat16)
+            if feats.shape != (self.dp, max_rows, v_dim):
+                return None, None
+            scale = (
+                np.load(scale_p, mmap_mode="r")
+                if feature_dtype == "int8"
+                else None
+            )
+            return feats, scale
+        except (OSError, ValueError):
+            return None, None
+
+    def _save_cached_feats(
+        self, dataset, cache_dir, feature_dtype, img_len, feats, feat_scale
+    ):
+        import json as _json
+        import os
+
+        meta_p, feat_p, scale_p = self._cache_paths(
+            dataset, cache_dir, feature_dtype, self.dp
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+
+        def _atomic_save(path, arr):
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with open(tmp, "wb") as fh:
+                np.save(fh, arr)
+            os.replace(tmp, path)
+
+        _atomic_save(
+            feat_p,
+            feats.view(np.uint16) if feature_dtype == "bfloat16" else feats,
+        )
+        if feat_scale is not None:
+            _atomic_save(scale_p, feat_scale)
+        tmp = f"{meta_p}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(self._cache_sig(dataset, feature_dtype, img_len), fh)
+        os.replace(tmp, meta_p)  # meta last: readers only trust complete caches
+
+    @staticmethod
+    def _fill_feats(
+        store, buckets, img_start, img_len, local_start, feature_dtype,
+        max_rows, v_dim,
+    ):
+        """Per-shard feature tables allocated directly at the TARGET dtype
+        and filled per image (contiguous slices — works for h5py-backed mmap
+        sources too), so neither --feature_dtype nor --mmap_features ever
+        stages the full table in f32: host peak RAM is the converted table +
+        one image slice."""
+        dp = len(buckets)
+        if feature_dtype == "bfloat16":
+            feats = np.zeros((dp, max_rows, v_dim), jnp.bfloat16)
+        elif feature_dtype == "int8":
+            feats = np.zeros((dp, max_rows, v_dim), np.int8)
+        elif feature_dtype == "float32":
+            feats = np.zeros((dp, max_rows, v_dim), np.float32)
+        else:
+            raise ValueError(f"unknown feature_dtype {feature_dtype!r}")
+        feat_scale = (
+            np.zeros((dp, max_rows), np.float32)
+            if feature_dtype == "int8"
+            else None
+        )
+        for s, bucket in enumerate(buckets):
+            for li, img in enumerate(bucket):
+                ln = int(img_len[img])
+                st = int(img_start[img])
+                off = int(local_start[s, li])
+                if store.adaptive:
+                    f_img = np.asarray(store.features[st : st + ln], np.float32)
+                else:
+                    f_img = np.asarray(store.features[img], np.float32)
+                if feature_dtype == "int8":
+                    q, sc = quantize_rows(f_img)
+                    feats[s, off : off + ln] = q
+                    feat_scale[s, off : off + ln] = sc
+                else:
+                    feats[s, off : off + ln] = f_img.astype(feats.dtype)
+        return feats, feat_scale
 
     def _adj_local_host(self, adj_src) -> np.ndarray:
         """Host-side per-shard adjacency table in LOCAL image-slot order,

@@ -178,7 +178,9 @@ def build_sharded_ensemble_block(
     )
 
 
-def _member_sharded_arrays(val_ds: VQADataset, members, mesh, feature_dtype: str):
+def _member_sharded_arrays(
+    val_ds: VQADataset, members, mesh, feature_dtype: str, cache_dir: str = ""
+):
     """Per-member sharded array dicts SHARING the partitioned feature/box/
     question tables; each member's edge-label table (semantic/spatial when
     precomputed) is partitioned with the base store's image assignment —
@@ -188,7 +190,8 @@ def _member_sharded_arrays(val_ds: VQADataset, members, mesh, feature_dtype: str
     from tf_vqa_regat_tpu.data.sharded_store import ShardedDeviceStore
 
     base = ShardedDeviceStore(
-        _dc.replace(val_ds, relation_type="implicit"), mesh, False, feature_dtype
+        _dc.replace(val_ds, relation_type="implicit"), mesh, False,
+        feature_dtype, cache_dir,
     )
     adj_cache = {}
     arrays_tuple = []
@@ -332,7 +335,7 @@ def _run_ensemble_resident(
     ntoken = val_ds.ntoken
     if mode == "sharded":
         base, arrays_tuple = _member_sharded_arrays(
-            val_ds, members, mesh, cfg.feature_dtype
+            val_ds, members, mesh, cfg.feature_dtype, cfg.packed_cache
         )
         block_builder = build_sharded_ensemble_block
     else:

@@ -277,7 +277,8 @@ def run_prediction(
             from tf_vqa_regat_tpu.data.sharded_store import ShardedDeviceStore
 
             store = ShardedDeviceStore(
-                ds, mesh, cfg.relation_type == "semantic", cfg.feature_dtype
+                ds, mesh, cfg.relation_type == "semantic", cfg.feature_dtype,
+                cfg.packed_cache,
             )
             builder = build_sharded_store_predict_block
         else:
@@ -558,11 +559,15 @@ class _DataPath:
             # carries the precomputed table (sharded with the images)
             adj = cfg.relation_type == "semantic"
             self.train_store = (
-                ShardedDeviceStore(train_ds, mesh, adj, cfg.feature_dtype)
+                ShardedDeviceStore(
+                    train_ds, mesh, adj, cfg.feature_dtype, cfg.packed_cache
+                )
                 if train_ds is not None
                 else None
             )
-            self.eval_store = ShardedDeviceStore(val_ds, mesh, adj, cfg.feature_dtype)
+            self.eval_store = ShardedDeviceStore(
+                val_ds, mesh, adj, cfg.feature_dtype, cfg.packed_cache
+            )
             if train_ds is not None:
                 self.steps_per_epoch = self.train_store.steps_per_epoch(
                     cfg.batch_size
