@@ -177,3 +177,44 @@ def test_capacity_guard_and_int8_serving(setup):
     eng32 = InferenceEngine(CFG, ds, params, batch_sizes=(1, 4))
     got32 = eng32.infer(qs, iids)
     assert [r["answer"] for r in got] == [r["answer"] for r in got32]
+
+
+def test_serve_semantic_adjacency_matches_eval_forward():
+    """Serving a semantic-relation model: the serve step must thread the
+    precomputed adjacency table through the same edge-label path as eval
+    (serve_step's arrays['adj'] branch — previously untested)."""
+    ds = synthetic_dataset(
+        num_images=6, num_questions=18, v_dim=16, num_ans=7, semantic=True
+    )
+    cfg = CFG.replace(relation_type="semantic")
+    params = init_regat(jax.random.PRNGKey(3), cfg, ds.ntoken, 16, 7)
+    eng = InferenceEngine(cfg, ds, params, batch_sizes=(1,))
+
+    # oracle: eval-mode forward with the adjacency packed by hand
+    from tf_vqa_regat_tpu.data.dictionary import encode_question
+
+    R = cfg.resolved_num_rois()
+    i = 2
+    img_idx = int(ds.entries.image_index[i])
+    f, nb, rb = ds.store.image_slice(img_idx)
+    n = min(len(f), R)
+    adj = np.zeros((1, R, R), np.int32)
+    k = min(ds.store.semantic_adj.shape[1], R)
+    adj[0, :k, :k] = ds.store.semantic_adj[img_idx][:k, :k]
+    q_text = "what color is the cat ?"
+    batch = {
+        "features": jnp.zeros((1, R, 16)).at[0, :n].set(f[:n]),
+        "norm_bb": jnp.zeros((1, R, 6)).at[0, :n].set(nb[:n]),
+        "bb": jnp.zeros((1, R, 4)).at[0, :n].set(rb[:n]),
+        "question": jnp.asarray(
+            [encode_question(ds.dictionary, q_text, 14)], jnp.int32
+        ),
+        "num_boxes": jnp.asarray([n], jnp.int32),
+        "valid": jnp.ones((1,), bool),
+        "adj_label": jnp.asarray(adj),
+    }
+    logits = apply_regat(params, cfg, batch, ds.ntoken, train=False)
+    want = ds.label2ans[int(jnp.argmax(logits[0]))]
+
+    got = eng.infer([q_text], [int(ds.entries.image_ids[i])])
+    assert got[0]["answer"] == want

@@ -399,3 +399,31 @@ def test_sharded_packed_cache_roundtrip(tmp_path):
         np.asarray(jax.device_get(ShardedDeviceStore(ds, mesh, False, "float32").arrays["features"])),
     )
     assert json.loads(meta.read_text())["src_sha1"] != "0" * 40
+
+
+def test_sharded_store_from_mmap_matches_materialized(tmp_path):
+    """--mmap_features + --data_mode sharded: the per-image fill reads
+    contiguous slices from the live h5py dataset and must produce the exact
+    tables the fully-materialized load produces (the realistic big-split
+    configuration: lazy HDF5 -> per-shard bf16 tables)."""
+    from tf_vqa_regat_tpu.data.features import load_vqa_dataset
+    from tf_vqa_regat_tpu.data.fixtures import make_dictionary, write_fixture
+
+    root = str(tmp_path / "fix")
+    write_fixture(root, num_images=10, num_questions=30, v_dim=16,
+                  num_ans=NUM_ANS, adaptive=True, name="train", seed=6)
+    d = make_dictionary()
+    ds_mat = load_vqa_dataset("train", d, "implicit", root, adaptive=True)
+    ds_mm = load_vqa_dataset(
+        "train", d, "implicit", root, adaptive=True, mmap=True
+    )
+    assert ds_mm.store.features_lazy and not ds_mat.store.features_lazy
+    mesh = _mesh()
+    for dtype in ("float32", "bfloat16"):
+        a = ShardedDeviceStore(ds_mat, mesh, False, dtype).arrays
+        b = ShardedDeviceStore(ds_mm, mesh, False, dtype).arrays
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(jax.device_get(a[k])),
+                np.asarray(jax.device_get(b[k])), err_msg=(dtype, k),
+            )
