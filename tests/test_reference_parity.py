@@ -274,3 +274,76 @@ def test_question_self_attention_reference_bug_documented():
     want = np.einsum("bt,bth->bh", wts, q_seq)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
     assert np.abs(got - ref).max() > 1e-3  # the reference scramble differs
+
+
+def test_word_embedding_glove_tfidf_init_matches_reference(tmp_path):
+    """The GloVe + TF-IDF embedding init — an accuracy-critical one-shot
+    (SURVEY §3.5, hard-parts list) — against the reference's OWN
+    WordEmbedding.init_embedding (language_model.py:63-90): primary table
+    [glove; zero pad], second table [tfidf @ [glove; vg_rows]; pad] with
+    the trainable flip. The reference runs the sparse @ dense product in
+    tf.sparse; ours runs scipy on host — results must match to float
+    epsilon, for both the tfidf and the glove-only forms."""
+    from model.language_model import WordEmbedding  # reference
+
+    from tf_vqa_regat_tpu.data.fixtures import write_fixture, make_dictionary
+    from tf_vqa_regat_tpu.data.glove import (
+        create_glove_embedding_init,
+        extend_dictionary_from_questions,
+        load_tfidf,
+    )
+    from tf_vqa_regat_tpu.models.language import (
+        word_embedding_init,
+        word_embedding_load_glove,
+    )
+
+    root = str(tmp_path / "fix")
+    write_fixture(root, num_images=4, num_questions=12, v_dim=8, num_ans=5,
+                  adaptive=True, name="train", seed=9)
+    d = make_dictionary()
+    ntoken = d.ntoken
+    extend_dictionary_from_questions(["train"], d, root, target=["vqa"])
+    ext = len(d)
+    glove = np.load(os.path.join(root, "glove", "glove6b_init_300d.npy"))
+    tfidf = load_tfidf(root, ntoken, ext)
+    vg_weights, _ = create_glove_embedding_init(
+        d.idx2word[ntoken:], os.path.join(root, "glove", "glove.6B.300d.txt")
+    )
+
+    # ours
+    params = word_embedding_init(jax.random.PRNGKey(0), ntoken, 300, "c")
+    ours, trainable = word_embedding_load_glove(
+        params, glove, "c", tfidf, vg_weights
+    )
+    assert trainable is True
+
+    # reference: same inputs through its own tf.sparse path
+    ref = WordEmbedding(ntoken, 300, 0.0, op="c")
+    coo = tfidf.tocoo()
+    tf_sparse = tf.sparse.reorder(
+        tf.sparse.SparseTensor(
+            indices=np.stack([coo.row, coo.col], axis=1),
+            values=coo.data.astype(np.float32),
+            dense_shape=(ntoken, ext),
+        )
+    )
+    np_file = os.path.join(root, "glove", "glove6b_init_300d.npy")
+    ref.init_embedding(np_file, tf_sparse, vg_weights)
+    assert ref.emb_.trainable is True
+
+    np.testing.assert_allclose(
+        np.asarray(ours["emb"]["table"]), ref.emb.get_weights()[0], atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["emb_"]["table"]), ref.emb_.get_weights()[0],
+        atol=1e-5, rtol=1e-5,
+    )
+
+    # glove-only form: second table stays frozen, both tables = [glove; pad]
+    ours2, trainable2 = word_embedding_load_glove(params, glove, "c")
+    ref2 = WordEmbedding(ntoken, 300, 0.0, op="c")
+    ref2.init_embedding(np_file)
+    assert trainable2 is False and ref2.emb_.trainable is False
+    np.testing.assert_allclose(
+        np.asarray(ours2["emb_"]["table"]), ref2.emb_.get_weights()[0], atol=0
+    )
