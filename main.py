@@ -76,6 +76,17 @@ def build_datasets(cfg: Config):
     dictionary = Dictionary.load_from_file(
         os.path.join(cfg.data_folder, "glove", "dictionary.pkl")
     )
+    # Ensemble members span relation types: the shared store must carry
+    # EVERY member's precomputed adjacency table, not just the top-level
+    # --relation_type's (a semantic member would otherwise trace-fail on a
+    # missing adj_label — round-3 review finding; synthetic mode already
+    # special-cased this above).
+    store_rts = None
+    if cfg.mode == "ensemble_eval":
+        from tf_vqa_regat_tpu.train.ensemble import parse_members
+
+        store_rts = {rt for rt, _ in parse_members(cfg.ensemble_checkpoints)}
+        store_rts.add(cfg.relation_type)
     if cfg.mmap_features and (
         cfg.use_both or cfg.use_vg or cfg.dataset == "vqa_cp"
     ):
@@ -88,7 +99,8 @@ def build_datasets(cfg: Config):
         from tf_vqa_regat_tpu.data.compose import load_vqa_cp_dataset
 
         val = load_vqa_cp_dataset(
-            "test", dictionary, cfg.relation_type, cfg.data_folder, cfg.adaptive
+            "test", dictionary, cfg.relation_type, cfg.data_folder,
+            cfg.adaptive, store_relation_types=store_rts,
         )
         train = None
         if cfg.mode == "train":
@@ -101,7 +113,7 @@ def build_datasets(cfg: Config):
         val_split = cfg.predict_split if cfg.mode == "predict" else "val"
         val = load_vqa_dataset(
             val_split, dictionary, cfg.relation_type, cfg.data_folder,
-            cfg.adaptive, cfg.mmap_features,
+            cfg.adaptive, cfg.mmap_features, store_relation_types=store_rts,
         )
         train = None
         if cfg.mode == "train":

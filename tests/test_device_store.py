@@ -305,3 +305,36 @@ def test_packed_cache_detects_content_change(tmp_path):
         np.asarray(build_arrays(ds_b)["features"]),
     )
     assert not np.array_equal(np.asarray(a["features"]), np.asarray(b["features"]))
+
+
+def test_duplicate_labels_rejected_loudly():
+    """Round-3 review: duplicated answer labels within one entry would make
+    the device add-scatter and the host assign-scatter diverge — both paths
+    must refuse the corrupt targets instead (reference pickles are
+    duplicate-free by construction)."""
+    import dataclasses
+
+    from tf_vqa_regat_tpu.data.device_store import pack_soft_targets
+    from tf_vqa_regat_tpu.data.loader import BatchLoader
+
+    ds = synthetic_dataset(num_images=4, num_questions=10, v_dim=8, num_ans=7)
+    ent = ds.entries
+    # corrupt entry 0: duplicate its first label
+    labels = ent.labels.copy()
+    s = int(ent.label_offsets[0])
+    e = int(ent.label_offsets[1])
+    assert e - s >= 2, "fixture entry 0 needs >=2 labels for this test"
+    labels[s + 1] = labels[s]
+    bad = dataclasses.replace(ent, labels=labels)
+    with pytest.raises(ValueError, match="duplicate answer labels"):
+        pack_soft_targets(bad, ds.num_ans)
+    bad_ds = dataclasses.replace(ds, entries=bad)
+    with pytest.raises(ValueError, match="duplicate answer labels"):
+        BatchLoader(bad_ds, 4, 40, shuffle=False)
+    # the clean table passes and matches the dense oracle
+    lab, sco = pack_soft_targets(ent, ds.num_ans)
+    for i in range(len(ent)):
+        t = np.zeros(ds.num_ans, np.float32)
+        ok = lab[i] >= 0
+        t[lab[i][ok]] = sco[i][ok]
+        np.testing.assert_array_equal(t, ent.dense_target(i, ds.num_ans))

@@ -76,3 +76,56 @@ def test_device_ensemble_matches_host_ensemble(tmp_path):
     # each resident path was actually taken (log carries the data= tag)
     log = open(tmp_path / "log.txt").read()
     assert "data=device" in log and "data=sharded" in log and "data=host" in log
+
+
+def test_real_data_layer_ensemble_with_semantic_member(tmp_path):
+    """Round-3 review finding: on the REAL data layer (on-disk fixture), an
+    ensemble with a semantic member must work with the default top-level
+    --relation_type implicit — the shared store has to load every member's
+    adjacency table (store_relation_types, main.py wiring), not just the
+    top-level one's. Previously val_ds.store.semantic_adj was None and the
+    semantic member trace-failed on a missing adj_label."""
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.data.features import load_vqa_dataset
+    from tf_vqa_regat_tpu.data.fixtures import make_dictionary, write_fixture
+    from tf_vqa_regat_tpu.models.regat import init_regat
+    from tf_vqa_regat_tpu.parallel.mesh import make_mesh
+    from tf_vqa_regat_tpu.train import checkpoint as ckpt
+    from tf_vqa_regat_tpu.train.ensemble import run_ensemble_eval
+    from tf_vqa_regat_tpu.train.logging import Logger
+
+    root = str(tmp_path / "fix")
+    write_fixture(root, num_images=8, num_questions=32, v_dim=16, num_ans=7,
+                  adaptive=True, name="val", seed=5, semantic=True)
+    d = make_dictionary()
+    # the wiring main.py::build_datasets applies for --mode ensemble_eval
+    ds = load_vqa_dataset(
+        "val", d, "implicit", root, adaptive=True,
+        store_relation_types={"implicit", "semantic"},
+    )
+    assert ds.relation_type == "implicit"
+    assert ds.store.semantic_adj is not None  # the previously-missing table
+
+    base = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+        residual_connection=True, batch_size=16, adaptive=True, num_rois=40,
+        eval_batch=16, eval_block=2, data_mode="device",
+    )
+    paths = {}
+    for rt in ("implicit", "semantic"):
+        params = init_regat(
+            jax.random.PRNGKey(1), base.replace(relation_type=rt),
+            ds.ntoken, ds.v_dim, ds.num_ans,
+        )
+        paths[rt] = ckpt.save_params_only(str(tmp_path / rt), rt, "butd", params)
+    cfg = base.replace(
+        mode="ensemble_eval",
+        ensemble_checkpoints=(
+            f"implicit:{paths['implicit']},semantic:{paths['semantic']}"
+        ),
+    )
+    mesh = make_mesh()
+    logger = Logger(str(tmp_path / "log.txt"))
+    score = run_ensemble_eval(cfg, ds, mesh, "jnp", logger)
+    assert 0.0 <= score <= 100.0

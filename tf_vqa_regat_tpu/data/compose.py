@@ -112,16 +112,20 @@ def load_vqa_cp_dataset(
     dataroot: str = "data",
     adaptive: bool = False,
     max_q_len: int = 14,
+    store_relation_types=None,
 ) -> VQADataset:
-    """VQA-CP v2 split ('train' | 'test') over merged COCO train+val features."""
+    """VQA-CP v2 split ('train' | 'test') over merged COCO train+val
+    features. ``store_relation_types`` widens the loaded adjacency tables
+    (ensemble members — see load_vqa_dataset)."""
     assert name in ("train", "test")
     with open(os.path.join(dataroot, "cache", "trainval_ans2label.pkl"), "rb") as fh:
         ans2label = pickle.load(fh)
     with open(os.path.join(dataroot, "cache", "trainval_label2ans.pkl"), "rb") as fh:
         label2ans = pickle.load(fh)
 
-    store_tr = load_feature_store(dataroot, "train", adaptive, relation_type)
-    store_va = load_feature_store(dataroot, "val", adaptive, relation_type)
+    rts = store_relation_types or relation_type
+    store_tr = load_feature_store(dataroot, "train", adaptive, rts)
+    store_va = load_feature_store(dataroot, "val", adaptive, rts)
     store, offset = merge_stores(store_tr, store_va)
     id2idx_tr = load_imgid2idx(dataroot, "train", adaptive)
     id2idx_va = load_imgid2idx(dataroot, "val", adaptive)

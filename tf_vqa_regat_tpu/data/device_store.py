@@ -159,6 +159,46 @@ def _cached_features(store, feature_dtype: str, cache_dir: str, name: str):
     return feat, scale
 
 
+def pack_soft_targets(ent, num_ans: int):
+    """Ragged soft targets -> padded [N, MAX_LABELS] label/score tables
+    (label -1 = empty), via the vectorized repeat/cumsum scatter (the same
+    trick as the host loader's dense scatter — no per-entry Python loop at
+    the 440k-entry real scale). Loud, not lossy (round-2 verdict weak #4 +
+    round-3 review):
+
+      - an entry with more than MAX_LABELS answers raises (silent
+        truncation would drop score mass only on the device path);
+      - an entry with DUPLICATE answer labels raises: the device gather
+        scatters with add while the host packer assigns last-wins, so
+        duplicates would make loss/score depend on the resolved data mode.
+        Reference target pickles are duplicate-free by construction
+        (compute_softscore); anything else is corrupt input.
+    """
+    N = len(ent)
+    labels = np.full((N, MAX_LABELS), -1, np.int32)
+    scores = np.zeros((N, MAX_LABELS), np.float32)
+    if N == 0 or len(ent.labels) == 0:
+        return labels, scores
+    counts = np.diff(ent.label_offsets).astype(np.int64)
+    max_k = int(counts.max())
+    if max_k > MAX_LABELS:
+        raise ValueError(
+            f"an entry has {max_k} answer labels > MAX_LABELS={MAX_LABELS}; "
+            f"raise device_store.MAX_LABELS — truncating would silently "
+            f"drop soft-target score mass"
+        )
+    from tf_vqa_regat_tpu.data.entries import assert_unique_labels
+
+    assert_unique_labels(ent, num_ans)
+    rows = np.repeat(np.arange(N, dtype=np.int64), counts)
+    cols = np.arange(len(ent.labels), dtype=np.int64) - np.repeat(
+        ent.label_offsets[:-1].astype(np.int64), counts
+    )
+    labels[rows, cols] = ent.labels
+    scores[rows, cols] = ent.scores
+    return labels, scores
+
+
 def build_arrays(
     dataset: VQADataset, include_adj: bool = False,
     feature_dtype: str = "float32", cache_dir: str = "",
@@ -188,24 +228,7 @@ def build_arrays(
         img_start = (np.arange(n_img, dtype=np.int32)) * n_box
         img_len = np.full((n_img,), n_box, np.int32)
 
-    labels = np.full((N, MAX_LABELS), -1, np.int32)
-    scores = np.zeros((N, MAX_LABELS), np.float32)
-    # Loud, not lossy: real VQA soft targets carry <=10 answers, but a cache
-    # pickle exceeding MAX_LABELS would otherwise silently drop score mass
-    # on the device path while the host path keeps it — a device/host parity
-    # break no fixture-based test would catch (round-2 verdict weak #4).
-    max_k = int(np.diff(ent.label_offsets).max()) if N else 0
-    if max_k > MAX_LABELS:
-        raise ValueError(
-            f"an entry has {max_k} answer labels > MAX_LABELS={MAX_LABELS}; "
-            f"raise device_store.MAX_LABELS — truncating would silently "
-            f"drop soft-target score mass"
-        )
-    for i in range(N):
-        s, e = ent.label_offsets[i], ent.label_offsets[i + 1]
-        k = e - s
-        labels[i, :k] = ent.labels[s:e]
-        scores[i, :k] = ent.scores[s:e]
+    labels, scores = pack_soft_targets(ent, dataset.num_ans)
 
     arrays = {
         "features": feat,

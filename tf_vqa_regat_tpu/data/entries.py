@@ -65,6 +65,25 @@ class EntryTable:
         return t
 
 
+def assert_unique_labels(ent: "EntryTable", num_ans: int) -> None:
+    """Device/host parity guard: within an entry, answer labels must be
+    unique — the device gather scatters scores with ADD while the host
+    packer assigns last-wins, so a duplicated label would make loss/score
+    depend on which data mode resolve_data_mode picked. Reference target
+    pickles are duplicate-free by construction (compute_softscore);
+    anything else is corrupt input. Vectorized (no per-entry loop)."""
+    if len(ent.labels) == 0:
+        return
+    counts = np.diff(ent.label_offsets).astype(np.int64)
+    rows = np.repeat(np.arange(len(ent), dtype=np.int64), counts)
+    key = rows * np.int64(num_ans) + ent.labels
+    if len(np.unique(key)) != len(key):
+        raise ValueError(
+            "duplicate answer labels within an entry: add-scatter (device) "
+            "and assign-scatter (host) would diverge — fix the target cache"
+        )
+
+
 def question_path(dataroot: str, name: str) -> str:
     # reference dataset.py:119-121
     suffix = name + "2014" if name[:4] != "test" else name

@@ -59,7 +59,7 @@ class FeatureStore:
 
 
 def load_feature_store(
-    dataroot: str, name: str, adaptive: bool, relation_type: str,
+    dataroot: str, name: str, adaptive: bool, relation_type,
     mmap: bool = False,
 ) -> FeatureStore:
     """Open the split's HDF5 (reference path scheme, dataset.py:183-199).
@@ -71,7 +71,15 @@ def load_feature_store(
     then convert it chunk-by-chunk straight into the target dtype
     (device_store.build_arrays), so host peak RAM is the *converted* table
     (+ one chunk) — e.g. ~15 GB for int8 instead of ~73 GB. Box tables and
-    adjacency are small relative to features and always materialize."""
+    adjacency are small relative to features and always materialize.
+
+    ``relation_type`` may be a single type or an iterable of types: the
+    ensemble evaluates members of SEVERAL relation types over one shared
+    store, so it needs every member's adjacency table loaded regardless of
+    the top-level --relation_type (round-3 review finding)."""
+    needed = (
+        {relation_type} if isinstance(relation_type, str) else set(relation_type)
+    )
     prefix = "_36" if "test" in name else "36"
     h5_root = os.path.join(
         dataroot,
@@ -87,9 +95,9 @@ def load_feature_store(
         bb = np.asarray(hf["image_bb"], np.float32)
         semantic_adj = None
         spatial_adj = None
-        if "semantic_adj_matrix" in hf and relation_type == "semantic":
+        if "semantic_adj_matrix" in hf and "semantic" in needed:
             semantic_adj = np.asarray(hf["semantic_adj_matrix"], np.int32)
-        if "image_adj_matrix" in hf and relation_type == "spatial":
+        if "image_adj_matrix" in hf and "spatial" in needed:
             spatial_adj = np.asarray(hf["image_adj_matrix"], np.int32)
         pos_boxes = np.asarray(hf["pos_boxes"], np.int64) if adaptive else None
     except Exception:
@@ -160,14 +168,21 @@ def load_vqa_dataset(
     dataroot: str = "data",
     adaptive: bool = False,
     mmap: bool = False,
+    store_relation_types=None,
 ) -> VQADataset:
+    """``store_relation_types`` (iterable, default {relation_type}) widens
+    which precomputed adjacency tables the store loads — the ensemble needs
+    every member's table while the dataset-level relation_type stays the
+    top-level config's."""
     assert name in ("train", "val", "test-dev2015", "test2015")
     with open(os.path.join(dataroot, "cache", "trainval_ans2label.pkl"), "rb") as fh:
         ans2label = pickle.load(fh)
     with open(os.path.join(dataroot, "cache", "trainval_label2ans.pkl"), "rb") as fh:
         label2ans = pickle.load(fh)
     img_id2idx = load_imgid2idx(dataroot, name, adaptive)
-    store = load_feature_store(dataroot, name, adaptive, relation_type, mmap)
+    store = load_feature_store(
+        dataroot, name, adaptive, store_relation_types or relation_type, mmap
+    )
     entries = load_entries(dataroot, name, img_id2idx, label2ans, dictionary)
     return VQADataset(
         name=name,

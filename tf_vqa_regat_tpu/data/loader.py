@@ -50,6 +50,12 @@ class BatchLoader:
         # classifier — see device_store.DeviceStore docstring). "int8" is a
         # device-store concept (per-row quantized resident tables); its host
         # wire equivalent is the bf16 reduced format.
+        from tf_vqa_regat_tpu.data.entries import assert_unique_labels
+
+        # same guard as the device stores' pack_soft_targets: duplicate
+        # labels would make this packer's assign-scatter diverge from the
+        # device gather's add-scatter
+        assert_unique_labels(dataset.entries, dataset.num_ans)
         if feature_dtype == "int8":
             feature_dtype = "bfloat16"
         elif feature_dtype not in ("float32", "bfloat16"):

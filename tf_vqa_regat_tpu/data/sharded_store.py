@@ -215,22 +215,18 @@ class ShardedDeviceStore:
         labels = np.full((self.dp, max_entries, MAX_LABELS), -1, np.int32)
         scores = np.zeros((self.dp, max_entries, MAX_LABELS), np.float32)
         entry_img = np.zeros((self.dp, max_entries), np.int32)
-        # same loud guard as device_store.build_arrays: never silently drop
-        # soft-target score mass past MAX_LABELS
-        max_k = int(np.diff(ent.label_offsets).max()) if self.num_entries else 0
-        if max_k > MAX_LABELS:
-            raise ValueError(
-                f"an entry has {max_k} answer labels > MAX_LABELS="
-                f"{MAX_LABELS}; raise device_store.MAX_LABELS"
-            )
+        # one shared packer with the MAX_LABELS / duplicate-label guards
+        # (device_store.pack_soft_targets), gathered per shard — vectorized,
+        # no per-entry Python loop at real scale
+        from tf_vqa_regat_tpu.data.device_store import pack_soft_targets
+
+        packed_labels, packed_scores = pack_soft_targets(ent, self.num_ans)
         for s, ids in enumerate(shard_entry_ids):
-            for j, e in enumerate(ids):
-                questions[s, j] = ent.q_tokens[e]
-                so, eo = ent.label_offsets[e], ent.label_offsets[e + 1]
-                k = eo - so
-                labels[s, j, :k] = ent.labels[so:eo]
-                scores[s, j, :k] = ent.scores[so:eo]
-                entry_img[s, j] = img_local[ent.image_index[e]]
+            k = len(ids)
+            questions[s, :k] = ent.q_tokens[ids]
+            labels[s, :k] = packed_labels[ids]
+            scores[s, :k] = packed_scores[ids]
+            entry_img[s, :k] = img_local[ent.image_index[ids]]
 
         host = {
             "features": feats.reshape(self.dp * max_rows, v_dim),

@@ -62,36 +62,34 @@ def build_member_step(cfg: Config, ntoken: int, mesh, impl: str):
     )
 
 
-def build_ensemble_block(
+def _build_ensemble_block_common(
     member_cfgs: List[Config],
     ntoken: int,
     mesh,
     impl: str,
-    num_ans: int,
-    padding_idx: int,
-    block: int,
+    gather_fn,
+    arrays_sharding,
 ):
-    """ONE jitted program evaluating every ensemble member on `block` index
-    batches (device data mode): per batch, gather each member's inputs from
-    its (feature-shared) device tables, average the members' sigmoid answer
-    probabilities, and accumulate the VQA score on device. Fusing the members
-    into a single program removes the per-member dispatch round trips of the
-    host path (3 members x ~27 ms tunnel latency per batch) and lets XLA
-    schedule the members back-to-back.
+    """Shared body of the fused one-program ensemble: per batch, gather each
+    member's inputs (via `gather_fn(arrays, idx)` — replicated tables or the
+    shard_map local gather), average the members' sigmoid answer
+    probabilities, and accumulate the VQA score on device over a lax.scan of
+    `block` index batches. One builder so the device and sharded paths
+    cannot drift (round-3 review finding).
 
     Signature: (params_tuple, arrays_tuple, idx_block [K, B])
                -> {"score": sum, "n": valid count}
     Tail blocks pad with -1 index batches (n == 0), as build_store_eval_block.
     """
-    from tf_vqa_regat_tpu.data.device_store import gather_batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    R = member_cfgs[0].resolved_num_rois()
+    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
 
     def one_batch(params_tuple, arrays_tuple, idx):
         probs = None
         ref = None
         for mcfg, params, arrays in zip(member_cfgs, params_tuple, arrays_tuple):
-            batch = gather_batch(arrays, idx, R, num_ans, padding_idx)
+            batch = gather_fn(arrays, idx)
             ref = batch  # entries identical across members; keep any
             logits = apply_regat(params, mcfg, batch, ntoken, train=False, impl=impl)
             p = jax.nn.sigmoid(logits)
@@ -111,16 +109,34 @@ def build_ensemble_block(
         acc, _ = jax.lax.scan(body, zeros, idx_block)
         return acc
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
-
-    rep = replicated(mesh)
     block_sh = NamedSharding(mesh, P(None, DATA_AXIS))
     return jax.jit(
         ensemble_block,
-        in_shardings=(None, rep, block_sh),
-        out_shardings=rep,
+        in_shardings=(None, arrays_sharding, block_sh),
+        out_shardings=replicated(mesh),
+    )
+
+
+def build_ensemble_block(
+    member_cfgs: List[Config],
+    ntoken: int,
+    mesh,
+    impl: str,
+    num_ans: int,
+    padding_idx: int,
+    block: int,
+):
+    """Fused ensemble over HBM-replicated tables (device data mode): fusing
+    the members into one program removes the per-member dispatch round trips
+    of the host path (3 members x ~27 ms tunnel latency per batch) and lets
+    XLA schedule the members back-to-back."""
+    from tf_vqa_regat_tpu.data.device_store import gather_batch
+
+    R = member_cfgs[0].resolved_num_rois()
+    return _build_ensemble_block_common(
+        member_cfgs, ntoken, mesh, impl,
+        lambda arrays, idx: gather_batch(arrays, idx, R, num_ans, padding_idx),
+        replicated(mesh),
     )
 
 
@@ -144,37 +160,9 @@ def build_sharded_ensemble_block(
 
     R = member_cfgs[0].resolved_num_rois()
     gather = build_sharded_gather(mesh, R, num_ans, padding_idx)
-
-    def one_batch(params_tuple, arrays_tuple, idx):
-        probs = None
-        ref = None
-        for mcfg, params, arrays in zip(member_cfgs, params_tuple, arrays_tuple):
-            batch = gather(arrays, idx)
-            ref = batch  # entries identical across members; keep any
-            logits = apply_regat(params, mcfg, batch, ntoken, train=False, impl=impl)
-            p = jax.nn.sigmoid(logits)
-            probs = p if probs is None else probs + p
-        probs = probs / len(member_cfgs)
-        return (
-            vqa_score_sum(probs, ref["target"], ref["valid"]),
-            jnp.sum(ref["valid"].astype(jnp.float32)),
-        )
-
-    def ensemble_block(params_tuple, arrays_tuple, idx_block):
-        def body(acc, idx):
-            s, n = one_batch(params_tuple, arrays_tuple, idx)
-            return {"score": acc["score"] + s, "n": acc["n"] + n}, None
-
-        zeros = {"score": jnp.zeros(()), "n": jnp.zeros(())}
-        acc, _ = jax.lax.scan(body, zeros, idx_block)
-        return acc
-
-    dsh = NamedSharding(mesh, P(DATA_AXIS))
-    block_sh = NamedSharding(mesh, P(None, DATA_AXIS))
-    return jax.jit(
-        ensemble_block,
-        in_shardings=(None, dsh, block_sh),
-        out_shardings=replicated(mesh),
+    return _build_ensemble_block_common(
+        member_cfgs, ntoken, mesh, impl, gather,
+        NamedSharding(mesh, P(DATA_AXIS)),
     )
 
 

@@ -484,18 +484,13 @@ def _block_batches(batches, K: int, batch_size: int):
         yield R, np.stack(lst + pad)
 
 
-def blocked_eval_stream(cfg, store, mesh, eval_batch):
-    """Shared wiring for the blocked one-pass programs (predict, ensemble;
-    _DataPath.eval_iter carries the general train/eval variant): resolve the
-    roi sizes (buckets or the single static size), the per-bucket batch
-    stream, and the [K, B] block sharding spec.
+def eval_batch_stream(cfg, store, eval_batch):
+    """THE eval batch composition (shared by _DataPath.eval_iter, predict,
+    and the ensemble so they cannot disagree on which entries a batch
+    holds): resolve the roi sizes (buckets or the single static size) and
+    the in-order per-bucket (R, idx[B]) stream.
 
-    Returns (K, sizes, blkspec, stream of (R, idx_block[K, B]))."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
-
-    K = max(cfg.eval_block, 1)
+    Returns (sizes, stream of (R, idx))."""
     buckets = cfg.parsed_roi_buckets()
     sizes = buckets or [cfg.resolved_num_rois()]
     if buckets:
@@ -508,6 +503,20 @@ def blocked_eval_stream(cfg, store, mesh, eval_batch):
             (R0, idx)
             for idx in store.epoch_indices(0, eval_batch, False, cfg.seed)
         )
+    return sizes, batches
+
+
+def blocked_eval_stream(cfg, store, mesh, eval_batch):
+    """eval_batch_stream grouped into [K, B] blocks + the block sharding
+    spec (the one-pass programs: predict, ensemble).
+
+    Returns (K, sizes, blkspec, stream of (R, idx_block[K, B]))."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+
+    K = max(cfg.eval_block, 1)
+    sizes, batches = eval_batch_stream(cfg, store, eval_batch)
     blkspec = NamedSharding(mesh, P(None, DATA_AXIS))
     return K, sizes, blkspec, _block_batches(batches, K, eval_batch)
 
@@ -723,18 +732,9 @@ class _DataPath:
     def eval_iter(self):
         cfg = self.cfg
         if self.mode in ("device", "sharded"):
-            if self.buckets:
-                batches = self.eval_store.epoch_indices_bucketed(
-                    0, self.eval_batch, self.buckets, False, cfg.seed
-                )
-            else:
-                R0 = cfg.resolved_num_rois()
-                batches = (
-                    (R0, idx)
-                    for idx in self.eval_store.epoch_indices(
-                        0, self.eval_batch, False, cfg.seed
-                    )
-                )
+            # same batch composition as predict/ensemble (eval_batch_stream);
+            # K=1 keeps raw [B] batches (the non-block program contract)
+            _, batches = eval_batch_stream(cfg, self.eval_store, self.eval_batch)
             K = max(cfg.eval_block, 1)
             if K > 1:
                 items = _block_batches(batches, K, self.eval_batch)
