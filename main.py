@@ -224,9 +224,20 @@ def main(argv=None) -> None:
             params["w_emb"], emb2_trainable = word_embedding_load_glove(
                 params["w_emb"], glove, cfg.op, tfidf, tfidf_weights
             )
-        final_params, best = run_training(
-            cfg, train_ds, val_ds, init_params=params, emb2_trainable=emb2_trainable
-        )
+        from tf_vqa_regat_tpu.train.loop import Preempted
+
+        try:
+            final_params, best = run_training(
+                cfg, train_ds, val_ds, init_params=params, emb2_trainable=emb2_trainable
+            )
+        except Preempted as e:
+            # SIGTERM (TPU preemption): state is checkpointed; the final
+            # pretrained artifact is NOT written (training is unfinished).
+            print(
+                f"preempted at {e} — checkpoint saved; rerun the same "
+                f"command with --resume to continue"
+            )
+            return
         path = ckpt.save_params_only(
             cfg.output, cfg.relation_type, cfg.fusion, final_params
         )

@@ -93,6 +93,121 @@ def test_kill_and_resume_reproduces_uninterrupted_run(tmp_path):
     )
 
 
+def _run_cfg(out_dir, **kw):
+    base = dict(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+        residual_connection=True, epochs=2, batch_size=16, print_freq=100,
+        base_lr=5e-3, output=str(out_dir) + "/",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _datasets():
+    from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+
+    train = synthetic_dataset(num_images=8, num_questions=64, v_dim=24, num_ans=7)
+    val = synthetic_dataset(num_images=4, num_questions=16, v_dim=24, num_ans=7, seed=1)
+    return train, val
+
+
+def _read_metrics(out):
+    import json
+    import os
+
+    with open(os.path.join(out, "metrics.jsonl")) as fh:
+        return {rec["epoch"]: rec for rec in map(json.loads, fh)}
+
+
+def test_mid_epoch_preempt_and_resume_reproduces_uninterrupted_run(
+    tmp_path, monkeypatch
+):
+    """Fault injection mid-epoch: a simulated preemption at global step 6
+    (epoch 1, step 2 of 4) saves a step checkpoint; resuming reproduces the
+    uninterrupted run's parameters and per-epoch metrics exactly — data order
+    (seeded permutation skip), dropout stream (state step counter) and the
+    epoch metric accumulators all restore."""
+    import os
+
+    import pytest
+
+    from tf_vqa_regat_tpu.train.loop import Preempted, run_training
+
+    train, val = _datasets()
+
+    cfg_a = _run_cfg(tmp_path / "a")
+    params_a, best_a = run_training(cfg_a, train, val)
+    metrics_a = _read_metrics(cfg_a.output)
+
+    cfg_b = _run_cfg(tmp_path / "b", resume=True)  # no ckpt yet: fresh start
+    monkeypatch.setenv("REGAT_FAULT_PREEMPT_STEP", "6")
+    with pytest.raises(Preempted):
+        run_training(cfg_b, train, val)
+    meta = ckpt.restore_meta_full(cfg_b.output)
+    assert meta["epoch"] == 1 and meta["step_in_epoch"] == 2
+    assert "_step_" in meta["dir"]
+    assert set(meta["acc"]) == {"score", "loss_sum", "n"}
+
+    monkeypatch.delenv("REGAT_FAULT_PREEMPT_STEP")
+    params_b, best_b = run_training(cfg_b, train, val)
+
+    assert best_b == best_a
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        jax.device_get(params_a),
+        jax.device_get(params_b),
+    )
+    metrics_b = _read_metrics(cfg_b.output)
+    for epoch in (0, 1):
+        for key in ("train_loss", "train_score", "eval_score", "eval_loss"):
+            np.testing.assert_allclose(
+                metrics_b[epoch][key], metrics_a[epoch][key], rtol=1e-6,
+                err_msg=f"epoch {epoch} {key}",
+            )
+    # the final epoch save supersedes (prunes) every step checkpoint
+    root = os.path.join(cfg_b.output, "checkpoints")
+    assert not [d for d in os.listdir(root) if "_step_" in d]
+    assert ckpt.latest_checkpoint(cfg_b.output).endswith("epoch_0001")
+
+
+def test_checkpoint_every_steps_saves_and_prunes(tmp_path):
+    """--checkpoint_every_steps: periodic mid-epoch saves land (observable as
+    the meta sidecar pointing at a step dir mid-run is superseded) and each
+    newer save prunes the older step dirs — disk stays bounded."""
+    import os
+
+    from tf_vqa_regat_tpu.train.loop import run_training
+
+    train, val = _datasets()
+    cfg = _run_cfg(tmp_path / "c", epochs=1, checkpoint_every_steps=2)
+    run_training(cfg, train, val)
+    root = os.path.join(cfg.output, "checkpoints")
+    # step-2 save happened (pruned by the epoch save), epoch save is final
+    assert not [d for d in os.listdir(root) if "_step_" in d]
+    meta = ckpt.restore_meta_full(cfg.output)
+    assert meta["dir"] == "epoch_0000" and "step_in_epoch" not in meta
+
+
+def test_sigterm_watcher_flag_and_handler_restore():
+    """The real-signal path: SIGTERM to this process sets the watcher flag
+    (poll -> True at the next step boundary) and the previous handler is
+    restored on exit."""
+    import os
+    import signal
+
+    from tf_vqa_regat_tpu.train.loop import _PreemptWatcher
+
+    prev = signal.getsignal(signal.SIGTERM)
+    with _PreemptWatcher() as w:
+        assert not w.poll(1)
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert w.poll(2)
+    assert signal.getsignal(signal.SIGTERM) == prev
+
+
 def test_params_only_artifact(tmp_path):
     out = str(tmp_path / "m") + "/"
     mesh, state, _, _ = _setup()

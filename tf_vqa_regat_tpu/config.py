@@ -144,6 +144,17 @@ class Config:
     # main.py:145). Resume picks up the latest checkpoint in `output`.
     resume: bool = False
     save_every_epoch: bool = True
+    # Mid-epoch checkpointing: additionally save a step checkpoint every N
+    # optimizer steps (0 = per-epoch only). --resume then restarts INSIDE the
+    # interrupted epoch at the exact step — data order (seeded epoch
+    # permutation), dropout stream (state step counter) and the epoch's
+    # metric accumulators are all restored, so the resumed run reproduces the
+    # uninterrupted run exactly (tests/test_checkpoint.py). A SIGTERM during
+    # training also saves at the next step boundary and exits cleanly — the
+    # TPU-preemption contract the reference (no checkpointing at all,
+    # main.py:145) has no answer to; under multi-process the save step is
+    # agreed across hosts via JAX's preemption sync service.
+    checkpoint_every_steps: int = 0
     # Debug switches (SURVEY §5): jax_debug_nans behind a flag.
     debug_nans: bool = False
     # Profiling (SURVEY §5): trace server port (0 = off) and per-epoch

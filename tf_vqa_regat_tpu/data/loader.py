@@ -76,14 +76,17 @@ class BatchLoader:
     def num_examples(self) -> int:
         return len(self.dataset)
 
-    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch_idx: int = 0, skip: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Batches of one epoch; `skip` drops the first N batches WITHOUT
+        packing them (mid-epoch resume: the order is a seeded permutation, so
+        the remaining batches are identical to the uninterrupted epoch's)."""
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.RandomState((self.seed * 100003 + epoch_idx) % (2**31))
             order = rng.permutation(n)
         else:
             order = np.arange(n)
-        for start in range(0, n, self.batch_size):
+        for start in range(skip * self.batch_size, n, self.batch_size):
             idx = order[start : start + self.batch_size]
             yield self._pack(idx)
 

@@ -6,6 +6,18 @@ The reference saved weights-only once after the final epoch and supported no
 resume (main.py:145,155; SURVEY §2.4-T7 / §5 failure-recovery row). The
 `--checkpoint` eval flag loads either a full state dir or a params-only dir.
 
+Mid-epoch (step) checkpoints: `save_checkpoint(..., step_in_epoch=i, acc=...)`
+writes `epoch_EEEE_step_SSSSSSSS` plus the epoch's metric accumulators in the
+meta sidecar, so `--resume` restarts INSIDE the interrupted epoch: the data
+order is re-derived from the seeded epoch permutation, the dropout stream from
+the step counter inside the state (train/step.py folds base_rng by
+state["step"]), and the epoch metrics from `acc` — the resumed run reproduces
+the uninterrupted run exactly (tests/test_checkpoint.py). meta.json names the
+authoritative checkpoint via its "dir" key and is written LAST, so a crash
+mid-save leaves meta pointing at the previous complete checkpoint. Older step
+checkpoints are pruned once a newer save lands (disk stays bounded at one
+step dir + the epoch dirs).
+
 Multi-process contract (tests/test_mp_checkpoint.py): every process calls
 save/restore (Orbax saves are collective — they barrier internally), only
 process 0 writes the meta sidecar, and a barrier keeps any process from
@@ -64,34 +76,79 @@ def save_checkpoint(
     epoch: int,
     best_score: float,
     is_best: bool,
+    step_in_epoch: Optional[int] = None,
+    acc: Optional[Dict[str, float]] = None,
 ) -> None:
+    """Epoch checkpoint (step_in_epoch None: `epoch` is COMPLETED) or
+    mid-epoch step checkpoint (`epoch` in progress, `step_in_epoch` optimizer
+    steps of it done, `acc` = host values of the epoch metric accumulators)."""
     root = _ckpt_dir(output)
     os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, f"epoch_{epoch:04d}")
+    if step_in_epoch is None:
+        name = f"epoch_{epoch:04d}"
+    else:
+        name = f"epoch_{epoch:04d}_step_{step_in_epoch:08d}"
+    path = os.path.join(root, name)
     ckptr = ocp.StandardCheckpointer()
     host_state = _to_host(state)
     ckptr.save(path, host_state, force=True)
     ckptr.wait_until_finished()
-    if jax.process_index() == 0:
-        meta = {"epoch": epoch, "best_score": best_score}
-        with open(os.path.join(root, "meta.json"), "w") as fh:
-            json.dump(meta, fh)
     if is_best:
         best = os.path.join(root, "best")
         ckptr2 = ocp.StandardCheckpointer()
         ckptr2.save(best, host_state, force=True)
         ckptr2.wait_until_finished()
+    # meta last: a crash before this line leaves meta at the previous
+    # complete checkpoint (resume-from-older is always safe)
+    if jax.process_index() == 0:
+        meta: Dict[str, Any] = {
+            "epoch": epoch, "best_score": best_score, "dir": name,
+        }
+        if step_in_epoch is not None:
+            meta["step_in_epoch"] = step_in_epoch
+            meta["acc"] = acc or {}
+        tmp = os.path.join(root, "meta.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, os.path.join(root, "meta.json"))
     # no process may see a checkpoint whose meta/best is still being written
-    _sync(f"regat_ckpt_epoch_{epoch}")
+    _sync(f"regat_ckpt_{name}")
+    if jax.process_index() == 0:
+        _prune_step_checkpoints(root, keep=name)
+
+
+def _prune_step_checkpoints(root: str, keep: str) -> None:
+    """Drop step checkpoints superseded by `keep` (a newer step save within
+    the same epoch, or the epoch save that completes them)."""
+    import shutil
+
+    for d in os.listdir(root):
+        if "_step_" not in d or d == keep:
+            continue
+        if not os.path.isdir(os.path.join(root, d)):
+            continue
+        # an older step dir is superseded by any same/later-epoch save
+        if d < keep or keep == d.split("_step_")[0]:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
 def latest_checkpoint(output: str) -> Optional[str]:
+    """Path of the authoritative resume checkpoint: meta.json's "dir" when
+    present (written last, so always complete), else the newest epoch dir
+    (legacy layout; step dirs are excluded — without meta their accumulator
+    sidecar is gone, so the last COMPLETED epoch is the safe resume point)."""
     root = _ckpt_dir(output)
     if not os.path.isdir(root):
         return None
+    meta = restore_meta_full(output)
+    if meta is not None and "dir" in meta:
+        path = os.path.join(root, meta["dir"])
+        if os.path.isdir(path):
+            return path
     epochs = [
         d for d in os.listdir(root)
-        if d.startswith("epoch_") and os.path.isdir(os.path.join(root, d))
+        if d.startswith("epoch_") and "_step_" not in d
+        and os.path.isdir(os.path.join(root, d))
     ]
     if not epochs:
         return None
@@ -128,13 +185,20 @@ def restore_checkpoint(
 
 
 def restore_meta(output: str) -> Tuple[int, float]:
-    root = _ckpt_dir(output)
-    meta_path = os.path.join(root, "meta.json")
-    if not os.path.exists(meta_path):
+    meta = restore_meta_full(output)
+    if meta is None:
         return -1, -1.0
-    with open(meta_path) as fh:
-        meta = json.load(fh)
     return int(meta["epoch"]), float(meta["best_score"])
+
+
+def restore_meta_full(output: str) -> Optional[Dict[str, Any]]:
+    """The raw meta sidecar: {"epoch", "best_score", "dir", and for step
+    checkpoints "step_in_epoch" + "acc"} — or None if no checkpoint meta."""
+    meta_path = os.path.join(_ckpt_dir(output), "meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as fh:
+        return json.load(fh)
 
 
 def save_params_only(output: str, relation_type: str, fusion: str, params: Any) -> str:

@@ -36,6 +36,65 @@ from tf_vqa_regat_tpu.train.optim import make_lr_schedule, make_optimizer
 from tf_vqa_regat_tpu.train.step import build_eval_step, build_train_step, init_train_state
 
 
+class Preempted(RuntimeError):
+    """Training was interrupted (SIGTERM, or the REGAT_FAULT_PREEMPT_STEP
+    fault-injection hook) and a step checkpoint was saved. main.py catches
+    this, skips the final-artifact save, and exits cleanly — rerun the same
+    command with --resume to continue from the exact step."""
+
+
+class _PreemptWatcher:
+    """SIGTERM -> save-at-the-next-step-boundary, then exit cleanly.
+
+    Single-process: a plain signal handler sets a flag polled after every
+    optimizer step. Multi-process: a local flag would deadlock (the collective
+    Orbax save must happen at the SAME step on every process, but the signal
+    lands at different steps on different hosts), so the poll goes through
+    JAX's preemption sync service (multihost_utils.
+    reached_preemption_sync_point), which propagates the notice and agrees a
+    common safe step across hosts. ``REGAT_FAULT_PREEMPT_STEP=<global step>``
+    injects a deterministic preemption at that step — the fault-injection
+    hook tests/test_checkpoint.py uses to prove resumed == uninterrupted.
+    The reference has no preemption answer at all (it saves weights once,
+    after the final epoch — reference main.py:145)."""
+
+    def __init__(self) -> None:
+        self._flag = False
+        self._prev: Any = None
+        env = os.environ.get("REGAT_FAULT_PREEMPT_STEP", "")
+        self._fault_step = int(env) if env else -1
+        self._multi = jax.process_count() > 1
+
+    def __enter__(self) -> "_PreemptWatcher":
+        import signal
+        import threading
+
+        if not self._multi and threading.current_thread() is threading.main_thread():
+            self._prev = signal.signal(signal.SIGTERM, self._on_signal)
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        import signal
+
+        if self._prev is not None:
+            signal.signal(signal.SIGTERM, self._prev)
+
+    def _on_signal(self, signum: Any, frame: Any) -> None:
+        self._flag = True
+
+    def poll(self, global_step: int) -> bool:
+        if self._flag or global_step == self._fault_step:
+            return True
+        if self._multi:
+            from jax.experimental import multihost_utils
+
+            try:
+                return multihost_utils.reached_preemption_sync_point(global_step)
+            except RuntimeError:  # preemption service disabled on the cluster
+                return False
+        return False
+
+
 def run_training(
     cfg: Config,
     train_ds: VQADataset,
@@ -105,13 +164,21 @@ def run_training(
     state = init_train_state(params, optimizer, mesh)
 
     start_epoch = 0
+    skip_steps = 0  # optimizer steps of start_epoch already done (step ckpt)
+    acc_resume = None  # that epoch's metric accumulators at the save point
     best_score = -1.0
     if cfg.resume:
         latest = ckpt.latest_checkpoint(cfg.output)
         if latest is not None:
             state = ckpt.restore_checkpoint(latest, state)
-            last_epoch, best_score = ckpt.restore_meta(cfg.output)
-            start_epoch = last_epoch + 1
+            meta = ckpt.restore_meta_full(cfg.output) or {}
+            best_score = float(meta.get("best_score", -1.0))
+            if "step_in_epoch" in meta:
+                start_epoch = int(meta["epoch"])
+                skip_steps = int(meta["step_in_epoch"])
+                acc_resume = meta.get("acc") or None
+            else:
+                start_epoch = int(meta.get("epoch", -1)) + 1
 
     data.build_steps(ntoken, optimizer, params, impl)
     train_call, eval_call = data.train_call, data.eval_call
@@ -127,73 +194,98 @@ def run_training(
 
     N = steps_per_epoch
     prev_lr = None
-    for epoch in range(start_epoch, cfg.epochs):
-        lr_now = float(lr_fn(jnp.asarray(epoch * steps_per_epoch)))
-        if prev_lr is not None and lr_now != prev_lr:
-            logger.write(
-                f"\nEpoch: {epoch}. Reducing Learning Rate from {prev_lr} to {lr_now}"
+    with _PreemptWatcher() as preempt:
+        for epoch in range(start_epoch, cfg.epochs):
+            # skip applies only to the epoch the step checkpoint interrupted
+            skip = skip_steps if epoch == start_epoch else 0
+
+            lr_now = float(lr_fn(jnp.asarray(epoch * steps_per_epoch)))
+            if prev_lr is not None and lr_now != prev_lr:
+                logger.write(
+                    f"\nEpoch: {epoch}. Reducing Learning Rate from {prev_lr} to {lr_now}"
+                )
+            elif prev_lr is None:
+                logger.write(f"\nEpoch: {epoch}. Learning Rate {lr_now}")
+            prev_lr = lr_now
+
+            logger.write("--" * 50)
+            logger.write(f"[DEBUG] epoch {epoch}, number of steps: {N}")
+            logger.write("--" * 50)
+
+            losses = AverageMeter()
+            # on-device accumulators (async; fetched at print_freq / epoch end)
+            acc = {"score": jnp.zeros(()), "loss_sum": jnp.zeros(()), "n": jnp.zeros(())}
+            if skip and acc_resume is not None:
+                # the interrupted epoch's partial metrics, from the step
+                # checkpoint — epoch totals match the uninterrupted run
+                acc = {k: jnp.asarray(float(acc_resume.get(k, 0.0))) for k in acc}
+            start = time.time()
+
+            with trace_epoch(cfg.profile_dir, epoch):
+                for i, batch in enumerate(train_iter(epoch, skip), start=skip):
+                    state, m = train_call(state, batch, base_rng)
+                    acc["score"] = acc["score"] + m["score"]
+                    acc["loss_sum"] = acc["loss_sum"] + m["loss"] * m["n"]
+                    acc["n"] = acc["n"] + m["n"]
+                    last = m["loss"]
+                    if (i + 1) % cfg.print_freq == 0:
+                        host = jax.device_get({"last": last, **acc})
+                        losses.val = float(host["last"])
+                        losses.sum = float(host["loss_sum"])
+                        losses.count = float(host["n"])
+                        losses.avg = losses.sum / max(losses.count, 1)
+                        elapsed = time_since(start, float(i + 1) / N)
+                        logger.write(
+                            f"Epoch [{epoch+1}][{i}/{N}] Elapsed {elapsed} "
+                            f"Loss: {losses.val:.5f}({losses.avg:.5f})"
+                        )
+                    preempted = preempt.poll(epoch * N + i + 1)
+                    if preempted or (
+                        cfg.checkpoint_every_steps > 0
+                        and (i + 1) % cfg.checkpoint_every_steps == 0
+                        and (i + 1) < N  # the epoch save supersedes a full-epoch step save
+                    ):
+                        ckpt.save_checkpoint(
+                            cfg.output, state, epoch, best_score, False,
+                            step_in_epoch=i + 1,
+                            acc={k: float(v) for k, v in jax.device_get(acc).items()},
+                        )
+                        if preempted:
+                            logger.write(
+                                f"[preempt] checkpoint saved at epoch {epoch} "
+                                f"step {i + 1}; exiting — rerun with --resume"
+                            )
+                            raise Preempted(f"epoch {epoch} step {i + 1}")
+
+            host = jax.device_get(acc)
+            train_score = 100.0 * float(host["score"]) / max(float(host["n"]), 1.0)
+            train_time = time.time() - start
+
+            eval_score, eval_loss, eval_time = _run_eval(
+                eval_call, state["params"], eval_iter(), data.eval_steps,
+                eval_loader.num_examples, cfg, epoch, logger,
             )
-        elif prev_lr is None:
-            logger.write(f"\nEpoch: {epoch}. Learning Rate {lr_now}")
-        prev_lr = lr_now
+            logger.write(
+                f"[DEBUG] train_score: {train_score:.4f} eval_score: {eval_score:.4f}"
+            )
+            metrics_writer.write(
+                {
+                    "epoch": epoch,
+                    "lr": lr_now,
+                    "train_loss": float(host["loss_sum"]) / max(float(host["n"]), 1.0),
+                    "train_score": train_score,
+                    "eval_score": eval_score,
+                    "eval_loss": eval_loss,
+                    "train_time_s": train_time,
+                    "eval_time_s": eval_time,
+                    "train_qps": float(host["n"]) / max(train_time, 1e-9),
+                }
+            )
 
-        logger.write("--" * 50)
-        logger.write(f"[DEBUG] epoch {epoch}, number of steps: {N}")
-        logger.write("--" * 50)
-
-        losses = AverageMeter()
-        # on-device accumulators (async; fetched at print_freq / epoch end)
-        acc = {"score": jnp.zeros(()), "loss_sum": jnp.zeros(()), "n": jnp.zeros(())}
-        start = time.time()
-
-        with trace_epoch(cfg.profile_dir, epoch):
-            for i, batch in enumerate(train_iter(epoch)):
-                state, m = train_call(state, batch, base_rng)
-                acc["score"] = acc["score"] + m["score"]
-                acc["loss_sum"] = acc["loss_sum"] + m["loss"] * m["n"]
-                acc["n"] = acc["n"] + m["n"]
-                last = m["loss"]
-                if (i + 1) % cfg.print_freq == 0:
-                    host = jax.device_get({"last": last, **acc})
-                    losses.val = float(host["last"])
-                    losses.sum = float(host["loss_sum"])
-                    losses.count = float(host["n"])
-                    losses.avg = losses.sum / max(losses.count, 1)
-                    elapsed = time_since(start, float(i + 1) / N)
-                    logger.write(
-                        f"Epoch [{epoch+1}][{i}/{N}] Elapsed {elapsed} "
-                        f"Loss: {losses.val:.5f}({losses.avg:.5f})"
-                    )
-
-        host = jax.device_get(acc)
-        train_score = 100.0 * float(host["score"]) / max(float(host["n"]), 1.0)
-        train_time = time.time() - start
-
-        eval_score, eval_loss, eval_time = _run_eval(
-            eval_call, state["params"], eval_iter(), data.eval_steps,
-            eval_loader.num_examples, cfg, epoch, logger,
-        )
-        logger.write(
-            f"[DEBUG] train_score: {train_score:.4f} eval_score: {eval_score:.4f}"
-        )
-        metrics_writer.write(
-            {
-                "epoch": epoch,
-                "lr": lr_now,
-                "train_loss": float(host["loss_sum"]) / max(float(host["n"]), 1.0),
-                "train_score": train_score,
-                "eval_score": eval_score,
-                "eval_loss": eval_loss,
-                "train_time_s": train_time,
-                "eval_time_s": eval_time,
-                "train_qps": float(host["n"]) / max(train_time, 1e-9),
-            }
-        )
-
-        is_best = eval_score > best_score
-        best_score = max(best_score, eval_score)
-        if cfg.save_every_epoch:
-            ckpt.save_checkpoint(cfg.output, state, epoch, best_score, is_best)
+            is_best = eval_score > best_score
+            best_score = max(best_score, eval_score)
+            if cfg.save_every_epoch:
+                ckpt.save_checkpoint(cfg.output, state, epoch, best_score, is_best)
 
     return state["params"], best_score
 
@@ -712,21 +804,31 @@ class _DataPath:
                 )
             self.eval_call = build_eval_step(cfg, ntoken, mesh, impl)
 
-    def train_iter(self, epoch):
+    def train_iter(self, epoch, skip: int = 0):
+        """One epoch's train batches; `skip` drops the first N (mid-epoch
+        resume). Every mode's epoch order is a seeded permutation keyed by
+        (seed, epoch), so skipping reproduces the uninterrupted epoch's
+        remaining batches exactly — store modes skip raw index batches before
+        the host->device put; host mode skips before packing."""
+        from itertools import islice
+
         cfg = self.cfg
         if self.mode in ("device", "sharded") and self.buckets:
-            for R, idx in self.train_store.epoch_indices_bucketed(
+            it = self.train_store.epoch_indices_bucketed(
                 epoch, cfg.batch_size, self.buckets, True, cfg.seed
-            ):
+            )
+            for R, idx in islice(it, skip, None):
                 yield (R, put_global(idx, self.bspec))
         elif self.mode in ("sharded", "device"):
-            for idx in self.train_store.epoch_indices(
+            it = self.train_store.epoch_indices(
                 epoch, cfg.batch_size, True, cfg.seed
-            ):
+            )
+            for idx in islice(it, skip, None):
                 yield put_global(idx, self.bspec)
         else:
             yield from prefetch_to_device(
-                self.train_loader.epoch(epoch), self.bspec, depth=cfg.prefetch
+                self.train_loader.epoch(epoch, skip=skip), self.bspec,
+                depth=cfg.prefetch,
             )
 
     def eval_iter(self):
