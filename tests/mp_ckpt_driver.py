@@ -13,6 +13,12 @@ Phases:
   save  — train epoch 0, save a checkpoint (train/checkpoint.py), exit.
   resume — restore the latest checkpoint from <outdir>, train epoch 1,
            write epoch-1 losses + eval (must equal `full`'s epoch 1).
+  preempt — train 2 steps of epoch 0, save a MID-EPOCH step checkpoint
+           (the collective save every process must join — the preemption
+           path), exit.
+  step_resume — restore the step checkpoint, finish epoch 0 from the exact
+           step (seeded-permutation skip) + epoch 1; the concatenated
+           losses and eval must equal `full`'s.
 
 Usage: mp_ckpt_driver.py <out_json> <pid> <nproc> <port> <outdir> <phase>
 """
@@ -67,6 +73,36 @@ elif phase == "save":
     state, l0 = run_epoch(state, 0)
     ckpt.save_checkpoint(outdir, state, epoch=0, best_score=1.23, is_best=True)
     result["losses_e0"] = l0
+elif phase == "preempt":
+    K = 2  # optimizer steps of epoch 0 before the "preemption"
+    losses = []
+    for i, idx in enumerate(store.epoch_indices(0, BATCH, shuffle=True, seed=3)):
+        state, m = rig.train_step(state, store.arrays, put_global(idx, bspec), rng)
+        losses.append(float(m["loss"]))
+        if i + 1 == K:
+            ckpt.save_checkpoint(
+                outdir, state, epoch=0, best_score=-1.0, is_best=False,
+                step_in_epoch=K, acc={"score": 0.0, "loss_sum": 0.0, "n": 0.0},
+            )
+            break
+    result["losses_e0_head"] = losses
+elif phase == "step_resume":
+    from itertools import islice
+
+    latest = ckpt.latest_checkpoint(outdir)
+    assert latest is not None and "_step_" in latest, latest
+    state = ckpt.restore_checkpoint(latest, state)
+    meta = ckpt.restore_meta_full(outdir)
+    skip = int(meta["step_in_epoch"])
+    losses = []
+    it = store.epoch_indices(0, BATCH, shuffle=True, seed=3)
+    for idx in islice(it, skip, None):
+        state, m = rig.train_step(state, store.arrays, put_global(idx, bspec), rng)
+        losses.append(float(m["loss"]))
+    result["losses_e0_tail"] = losses
+    state, l1 = run_epoch(state, 1)
+    result["losses_e1"] = l1
+    result["eval_loss"] = run_eval(state["params"])
 elif phase == "resume":
     latest = ckpt.latest_checkpoint(outdir)
     assert latest is not None, f"no checkpoint found under {outdir}"

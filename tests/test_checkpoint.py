@@ -191,6 +191,63 @@ def test_checkpoint_every_steps_saves_and_prunes(tmp_path):
     assert meta["dir"] == "epoch_0000" and "step_in_epoch" not in meta
 
 
+def test_async_checkpoint_equals_blocking(tmp_path):
+    """--async_checkpoint (default): saves run on a background writer thread
+    overlapped with training; on run_training return every write has joined
+    and the resulting checkpoints/meta are identical to blocking saves."""
+    import os
+
+    from tf_vqa_regat_tpu.train.loop import run_training
+
+    train, val = _datasets()
+    cfg_a = _run_cfg(tmp_path / "async", epochs=2)  # async is the default
+    assert cfg_a.async_checkpoint
+    run_training(cfg_a, train, val)
+    cfg_b = _run_cfg(tmp_path / "block", epochs=2, async_checkpoint=False)
+    run_training(cfg_b, train, val)
+
+    for out in (cfg_a.output, cfg_b.output):
+        root = os.path.join(out, "checkpoints")
+        assert sorted(os.listdir(root)) == [
+            "best", "epoch_0000", "epoch_0001", "meta.json"
+        ], os.listdir(root)
+    assert ckpt.restore_meta_full(cfg_a.output) == ckpt.restore_meta_full(
+        cfg_b.output
+    )
+    # identical training trajectories (saves don't perturb the run) ...
+    ma, mb = _read_metrics(cfg_a.output), _read_metrics(cfg_b.output)
+    for epoch in (0, 1):
+        for key in ("train_loss", "train_score", "eval_score", "eval_loss", "lr"):
+            assert ma[epoch][key] == mb[epoch][key], (epoch, key)
+    # ... and bit-identical checkpoint contents (targetless raw restore)
+    a = ckpt.ocp.StandardCheckpointer().restore(
+        ckpt.latest_checkpoint(cfg_a.output)
+    )
+    b = ckpt.ocp.StandardCheckpointer().restore(
+        ckpt.latest_checkpoint(cfg_b.output)
+    )
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        a, b,
+    )
+
+
+def test_wait_pending_reraises_write_errors(tmp_path, monkeypatch):
+    """A failed async write must not vanish: wait_pending re-raises it."""
+    import pytest
+
+    mesh, state, _, _ = _setup()
+    out = str(tmp_path / "w") + "/"
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ckpt.ocp.StandardCheckpointer, "save", boom)
+    ckpt.save_checkpoint(out, state, 0, -1.0, False, block=False)
+    with pytest.raises(OSError, match="disk full"):
+        ckpt.wait_pending()
+
+
 def test_sigterm_watcher_flag_and_handler_restore():
     """The real-signal path: SIGTERM to this process sets the watcher flag
     (poll -> True at the next step boundary) and the previous handler is

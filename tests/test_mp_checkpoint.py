@@ -46,3 +46,18 @@ def test_multiprocess_checkpoint_resume(tmp_path):
         resumed1["losses_e1"], full["losses_e1"], rtol=1e-6
     )
     np.testing.assert_allclose(resumed1["eval_loss"], full["eval_loss"], rtol=1e-6)
+    # MID-EPOCH preemption under multi-process: every process joins the
+    # collective step save at the same step, and a fresh 2-process run
+    # resumes INSIDE epoch 0 — concatenated per-step losses and the final
+    # eval equal the uninterrupted run's (train/loop.py::_PreemptWatcher's
+    # save contract, driven at the checkpoint layer)
+    stepdir = str(tmp_path / "steprun")
+    pre = _run(2, str(tmp_path), stepdir, "preempt")
+    stepres = _run(2, str(tmp_path), stepdir, "step_resume")
+    np.testing.assert_allclose(
+        pre["losses_e0_head"] + stepres["losses_e0_tail"],
+        full["losses_e0"], rtol=1e-6,
+        err_msg="mid-epoch mp resume diverges from the uninterrupted epoch",
+    )
+    np.testing.assert_allclose(stepres["losses_e1"], full["losses_e1"], rtol=1e-6)
+    np.testing.assert_allclose(stepres["eval_loss"], full["eval_loss"], rtol=1e-6)

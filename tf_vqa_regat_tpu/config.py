@@ -155,6 +155,13 @@ class Config:
     # main.py:145) has no answer to; under multi-process the save step is
     # agreed across hosts via JAX's preemption sync service.
     checkpoint_every_steps: int = 0
+    # Async checkpoint writes (single-process only; multi-process saves are
+    # collective and stay blocking): the state is fetched to host
+    # synchronously (the train step donates device buffers) but the Orbax
+    # write + meta + prune run on a background thread, overlapped with
+    # training. Crash-safety ordering is preserved (meta written last, one
+    # write in flight). --no-async_checkpoint restores blocking saves.
+    async_checkpoint: bool = True
     # Debug switches (SURVEY §5): jax_debug_nans behind a flag.
     debug_nans: bool = False
     # Profiling (SURVEY §5): trace server port (0 = off) and per-epoch

@@ -70,6 +70,20 @@ def _to_host(state: Dict[str, Any]) -> Dict[str, Any]:
     return jax.device_get(state)
 
 
+_pending_writer: Optional[Any] = None  # at most one async write in flight
+
+
+def wait_pending() -> None:
+    """Join the in-flight async checkpoint write (no-op if none). Re-raises
+    a failed write's exception so save errors are never silently dropped."""
+    global _pending_writer
+    if _pending_writer is not None:
+        t, _pending_writer = _pending_writer, None
+        t.join()
+        if t.error is not None:
+            raise t.error
+
+
 def save_checkpoint(
     output: str,
     state: Dict[str, Any],
@@ -78,10 +92,21 @@ def save_checkpoint(
     is_best: bool,
     step_in_epoch: Optional[int] = None,
     acc: Optional[Dict[str, float]] = None,
+    block: bool = True,
 ) -> None:
     """Epoch checkpoint (step_in_epoch None: `epoch` is COMPLETED) or
     mid-epoch step checkpoint (`epoch` in progress, `step_in_epoch` optimizer
-    steps of it done, `acc` = host values of the epoch metric accumulators)."""
+    steps of it done, `acc` = host values of the epoch metric accumulators).
+
+    block=False (single-process only — collective Orbax saves and the
+    cross-process barrier must run on every process in lockstep, so
+    multi-process forces a blocking save) fetches the state to host
+    synchronously (required: the training step donates the device buffers)
+    but moves the disk write + meta + prune to a background thread; training
+    overlaps the write. At most one write is in flight — a newer save joins
+    the older one first, preserving the meta-last crash-safety ordering.
+    Call wait_pending() before reading checkpoints back or exiting."""
+    global _pending_writer
     root = _ckpt_dir(output)
     os.makedirs(root, exist_ok=True)
     if step_in_epoch is None:
@@ -89,32 +114,54 @@ def save_checkpoint(
     else:
         name = f"epoch_{epoch:04d}_step_{step_in_epoch:08d}"
     path = os.path.join(root, name)
-    ckptr = ocp.StandardCheckpointer()
+    wait_pending()  # order writes; keeps at most one state copy alive
     host_state = _to_host(state)
-    ckptr.save(path, host_state, force=True)
-    ckptr.wait_until_finished()
-    if is_best:
-        best = os.path.join(root, "best")
-        ckptr2 = ocp.StandardCheckpointer()
-        ckptr2.save(best, host_state, force=True)
-        ckptr2.wait_until_finished()
-    # meta last: a crash before this line leaves meta at the previous
-    # complete checkpoint (resume-from-older is always safe)
-    if jax.process_index() == 0:
-        meta: Dict[str, Any] = {
-            "epoch": epoch, "best_score": best_score, "dir": name,
-        }
-        if step_in_epoch is not None:
-            meta["step_in_epoch"] = step_in_epoch
-            meta["acc"] = acc or {}
-        tmp = os.path.join(root, "meta.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, os.path.join(root, "meta.json"))
-    # no process may see a checkpoint whose meta/best is still being written
-    _sync(f"regat_ckpt_{name}")
-    if jax.process_index() == 0:
-        _prune_step_checkpoints(root, keep=name)
+
+    def _write() -> None:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, host_state, force=True)
+        ckptr.wait_until_finished()
+        if is_best:
+            best = os.path.join(root, "best")
+            ckptr2 = ocp.StandardCheckpointer()
+            ckptr2.save(best, host_state, force=True)
+            ckptr2.wait_until_finished()
+        # meta last: a crash before this line leaves meta at the previous
+        # complete checkpoint (resume-from-older is always safe)
+        if jax.process_index() == 0:
+            meta: Dict[str, Any] = {
+                "epoch": epoch, "best_score": best_score, "dir": name,
+            }
+            if step_in_epoch is not None:
+                meta["step_in_epoch"] = step_in_epoch
+                meta["acc"] = acc or {}
+            tmp = os.path.join(root, "meta.json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh)
+            os.replace(tmp, os.path.join(root, "meta.json"))
+        # no process may see a checkpoint whose meta/best is still being
+        # written
+        _sync(f"regat_ckpt_{name}")
+        if jax.process_index() == 0:
+            _prune_step_checkpoints(root, keep=name)
+
+    if block or jax.process_count() > 1:
+        _write()
+        return
+
+    import threading
+
+    class _Writer(threading.Thread):
+        error: Optional[BaseException] = None
+
+        def run(self) -> None:
+            try:
+                _write()
+            except BaseException as e:  # surfaced by wait_pending()
+                self.error = e
+
+    _pending_writer = _Writer(daemon=True)
+    _pending_writer.start()
 
 
 def _prune_step_checkpoints(root: str, keep: str) -> None:

@@ -215,10 +215,12 @@ def run_training(
             losses = AverageMeter()
             # on-device accumulators (async; fetched at print_freq / epoch end)
             acc = {"score": jnp.zeros(()), "loss_sum": jnp.zeros(()), "n": jnp.zeros(())}
+            n_restored = 0.0  # examples credited to the pre-preemption run
             if skip and acc_resume is not None:
                 # the interrupted epoch's partial metrics, from the step
                 # checkpoint — epoch totals match the uninterrupted run
                 acc = {k: jnp.asarray(float(acc_resume.get(k, 0.0))) for k in acc}
+                n_restored = float(acc_resume.get("n", 0.0))
             start = time.time()
 
             with trace_epoch(cfg.profile_dir, epoch):
@@ -249,6 +251,8 @@ def run_training(
                             cfg.output, state, epoch, best_score, False,
                             step_in_epoch=i + 1,
                             acc={k: float(v) for k, v in jax.device_get(acc).items()},
+                            # a preemption save must be durable before exit
+                            block=preempted or not cfg.async_checkpoint,
                         )
                         if preempted:
                             logger.write(
@@ -278,15 +282,23 @@ def run_training(
                     "eval_loss": eval_loss,
                     "train_time_s": train_time,
                     "eval_time_s": eval_time,
-                    "train_qps": float(host["n"]) / max(train_time, 1e-9),
+                    # only the examples THIS run stepped count toward qps (a
+                    # resumed epoch's restored accumulator covers work the
+                    # pre-preemption run already timed)
+                    "train_qps": (float(host["n"]) - n_restored) / max(train_time, 1e-9),
                 }
             )
 
             is_best = eval_score > best_score
             best_score = max(best_score, eval_score)
             if cfg.save_every_epoch:
-                ckpt.save_checkpoint(cfg.output, state, epoch, best_score, is_best)
+                ckpt.save_checkpoint(
+                    cfg.output, state, epoch, best_score, is_best,
+                    block=not cfg.async_checkpoint,
+                )
 
+    # join any in-flight async write: checkpoints are durable on return
+    ckpt.wait_pending()
     return state["params"], best_score
 
 
