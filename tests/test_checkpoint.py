@@ -248,6 +248,114 @@ def test_wait_pending_reraises_write_errors(tmp_path, monkeypatch):
         ckpt.wait_pending()
 
 
+def test_pending_joined_keeps_async_write_durable_across_exception(tmp_path):
+    """An exception raised while an async write is in flight (debug_nans,
+    eval OOM, Ctrl-C) must not abandon the write: pending_joined joins it on
+    the exception path, so the issued checkpoint is complete on disk; and a
+    secondary write error never masks the primary exception."""
+    import pytest
+
+    mesh, state, _, _ = _setup()
+    out = str(tmp_path / "j") + "/"
+    with pytest.raises(FloatingPointError, match="primary"):
+        with ckpt.pending_joined():
+            ckpt.save_checkpoint(out, state, 0, 0.5, False, block=False)
+            raise FloatingPointError("primary")
+    # write joined and completed despite the exception
+    latest = ckpt.latest_checkpoint(out)
+    assert latest is not None and latest.endswith("epoch_0000")
+    _, fresh, _, _ = _setup()
+    ckpt.restore_checkpoint(latest, fresh)  # fully readable
+    assert ckpt.restore_meta(out) == (0, 0.5)
+    # a FAILED write on the exception path stays silent (primary wins) ...
+    orig_save = ckpt.ocp.StandardCheckpointer.save
+    ckpt.ocp.StandardCheckpointer.save = lambda *a, **k: (_ for _ in ()).throw(
+        OSError("disk full")
+    )
+    try:
+        with pytest.raises(FloatingPointError, match="primary"):
+            with ckpt.pending_joined():
+                ckpt.save_checkpoint(out, state, 1, 0.5, False, block=False)
+                raise FloatingPointError("primary")
+        # ... but on the clean path it surfaces
+        with pytest.raises(OSError, match="disk full"):
+            with ckpt.pending_joined():
+                ckpt.save_checkpoint(out, state, 1, 0.5, False, block=False)
+    finally:
+        ckpt.ocp.StandardCheckpointer.save = orig_save
+
+
+def test_resume_ignores_stale_step_meta(tmp_path):
+    """If meta.json names a step checkpoint that is gone from disk (partial
+    copy / manual cleanup), latest_checkpoint falls back to the newest
+    COMPLETED epoch dir — and resume must NOT apply meta's step skip to
+    params that never took those steps: it reruns the epoch in full,
+    reproducing the uninterrupted trajectory."""
+    import json
+    import os
+
+    from tf_vqa_regat_tpu.train.loop import run_training
+
+    train, val = _datasets()
+    cfg_a = _run_cfg(tmp_path / "a", epochs=2)
+    run_training(cfg_a, train, val)
+    metrics_a = _read_metrics(cfg_a.output)
+
+    cfg_b = _run_cfg(tmp_path / "b", epochs=1)
+    run_training(cfg_b, train, val)
+    # craft a stale meta: a step save of epoch 1 whose dir never made it
+    root = os.path.join(cfg_b.output, "checkpoints")
+    with open(os.path.join(root, "meta.json")) as fh:
+        meta = json.load(fh)
+    meta.update(
+        dir="epoch_0001_step_00000002", epoch=1, step_in_epoch=2,
+        acc={"score": 999.0, "loss_sum": 999.0, "n": 32.0},
+    )
+    with open(os.path.join(root, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+    cfg_b2 = _run_cfg(tmp_path / "b", epochs=2, resume=True)
+    run_training(cfg_b2, train, val)
+    metrics_b = _read_metrics(cfg_b2.output)
+    # epoch 1 ran in full from the epoch-0 state (no phantom 2-step skip,
+    # no poisoned accumulators)
+    for key in ("train_loss", "train_score", "eval_score", "eval_loss"):
+        np.testing.assert_allclose(
+            metrics_b[1][key], metrics_a[1][key], rtol=1e-6, err_msg=key
+        )
+
+
+def test_preempt_watcher_probes_sync_service_once(monkeypatch):
+    """Multi-process poll with no preemption sync service on the cluster:
+    probed ONCE (not a swallowed raise per step) and warns loudly that
+    SIGTERM handling is inert."""
+    import warnings
+
+    from jax.experimental import multihost_utils
+
+    from tf_vqa_regat_tpu.train.loop import _PreemptWatcher
+
+    calls = []
+
+    def raising(step):
+        calls.append(step)
+        raise RuntimeError("preemption sync manager is not initialized")
+
+    monkeypatch.setattr(
+        multihost_utils, "reached_preemption_sync_point", raising
+    )
+    w = _PreemptWatcher()
+    w._multi = True  # simulate process_count > 1
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert w.poll(1) is False
+        assert w.poll(2) is False
+        assert w.poll(3) is False
+    assert len(calls) == 1, "service must be probed exactly once"
+    inert = [r for r in rec if "NOT trigger" in str(r.message)]
+    assert len(inert) == 1, "exactly one loud inert-preemption warning"
+
+
 def test_sigterm_watcher_flag_and_handler_restore():
     """The real-signal path: SIGTERM to this process sets the watcher flag
     (poll -> True at the next step boundary) and the previous handler is

@@ -32,6 +32,7 @@ jax.Array-native Orbax path and is guarded with a loud error below.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 from typing import Any, Dict, Optional, Tuple
@@ -82,6 +83,25 @@ def wait_pending() -> None:
         t.join()
         if t.error is not None:
             raise t.error
+
+
+@contextlib.contextmanager
+def pending_joined() -> Any:
+    """Scope an async-saving region: on normal exit, join the in-flight write
+    (re-raising its error); on an exception, still join — an already-issued
+    checkpoint stays durable instead of the daemon writer dying mid-write at
+    process exit — but suppress any secondary write error so the primary
+    failure is never masked."""
+    try:
+        yield
+    except BaseException:
+        try:
+            wait_pending()
+        except Exception:
+            pass  # the in-flight exception is the one to surface
+        raise
+    else:
+        wait_pending()
 
 
 def save_checkpoint(

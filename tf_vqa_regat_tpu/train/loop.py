@@ -64,6 +64,7 @@ class _PreemptWatcher:
         env = os.environ.get("REGAT_FAULT_PREEMPT_STEP", "")
         self._fault_step = int(env) if env else -1
         self._multi = jax.process_count() > 1
+        self._sync_ok: Optional[bool] = None  # probed on the first poll
 
     def __enter__(self) -> "_PreemptWatcher":
         import signal
@@ -88,10 +89,28 @@ class _PreemptWatcher:
         if self._multi:
             from jax.experimental import multihost_utils
 
-            try:
-                return multihost_utils.reached_preemption_sync_point(global_step)
-            except RuntimeError:  # preemption service disabled on the cluster
+            if self._sync_ok is False:
                 return False
+            try:
+                r = multihost_utils.reached_preemption_sync_point(global_step)
+            except RuntimeError as e:
+                # probed once: the cluster's coordination service has no
+                # preemption sync manager, so SIGTERM-safe training is
+                # INERT on this run — warn loudly instead of silently
+                # swallowing the error every step
+                if self._sync_ok is None:
+                    import warnings
+
+                    warnings.warn(
+                        "preemption sync service unavailable "
+                        f"({e}); a real preemption will NOT trigger a "
+                        "mid-epoch checkpoint on this multi-process run — "
+                        "rely on --checkpoint_every_steps instead"
+                    )
+                self._sync_ok = False
+                return False
+            self._sync_ok = True
+            return r
         return False
 
 
@@ -173,12 +192,20 @@ def run_training(
             state = ckpt.restore_checkpoint(latest, state)
             meta = ckpt.restore_meta_full(cfg.output) or {}
             best_score = float(meta.get("best_score", -1.0))
-            if "step_in_epoch" in meta:
+            restored = os.path.basename(latest)
+            if "step_in_epoch" in meta and meta.get("dir") == restored:
                 start_epoch = int(meta["epoch"])
                 skip_steps = int(meta["step_in_epoch"])
                 acc_resume = meta.get("acc") or None
-            else:
+            elif meta.get("dir") == restored:
                 start_epoch = int(meta.get("epoch", -1)) + 1
+            else:
+                # meta's dir is gone from disk (partial copy/cleanup) and
+                # latest_checkpoint fell back to the newest COMPLETED epoch
+                # dir. Derive the epoch from the dir actually restored —
+                # applying meta's stale step skip would credit optimizer
+                # steps the restored params never took.
+                start_epoch = int(restored.split("_")[1]) + 1
 
     data.build_steps(ntoken, optimizer, params, impl)
     train_call, eval_call = data.train_call, data.eval_call
@@ -194,7 +221,10 @@ def run_training(
 
     N = steps_per_epoch
     prev_lr = None
-    with _PreemptWatcher() as preempt:
+    # pending_joined: an exception anywhere in the loop (debug_nans raise,
+    # eval OOM, KeyboardInterrupt) still joins an in-flight async write, so
+    # every checkpoint issued before the failure is durable on disk
+    with ckpt.pending_joined(), _PreemptWatcher() as preempt:
         for epoch in range(start_epoch, cfg.epochs):
             # skip applies only to the epoch the step checkpoint interrupted
             skip = skip_steps if epoch == start_epoch else 0
@@ -297,8 +327,6 @@ def run_training(
                     block=not cfg.async_checkpoint,
                 )
 
-    # join any in-flight async write: checkpoints are durable on return
-    ckpt.wait_pending()
     return state["params"], best_score
 
 
