@@ -325,6 +325,33 @@ def test_resume_ignores_stale_step_meta(tmp_path):
         )
 
 
+def test_mid_epoch_resume_refuses_changed_data_order(tmp_path, monkeypatch):
+    """A step checkpoint pins the run's data-order signature (batch_size,
+    seed, steps_per_epoch, roi_buckets); resuming mid-epoch under a different
+    signature would replay a RESHUFFLED remainder (repeating/skipping
+    examples), so run_training refuses loudly instead."""
+    import pytest
+
+    from tf_vqa_regat_tpu.train.loop import Preempted, run_training
+
+    train, val = _datasets()
+    cfg = _run_cfg(tmp_path / "g")
+    monkeypatch.setenv("REGAT_FAULT_PREEMPT_STEP", "2")
+    with pytest.raises(Preempted):
+        run_training(cfg, train, val)
+    assert "run" in ckpt.restore_meta_full(cfg.output)
+    monkeypatch.delenv("REGAT_FAULT_PREEMPT_STEP")
+
+    cfg2 = _run_cfg(tmp_path / "g", resume=True, batch_size=8)
+    with pytest.raises(ValueError, match="mid-epoch resume"):
+        run_training(cfg2, train, val)
+    cfg3 = _run_cfg(tmp_path / "g", resume=True, seed=7777)
+    with pytest.raises(ValueError, match="batch partitioning|mid-epoch resume"):
+        run_training(cfg3, train, val)
+    # the matching config still resumes fine
+    run_training(_run_cfg(tmp_path / "g", resume=True), train, val)
+
+
 def test_preempt_watcher_probes_sync_service_once(monkeypatch):
     """Multi-process poll with no preemption sync service on the cluster:
     probed ONCE (not a swallowed raise per step) and warns loudly that

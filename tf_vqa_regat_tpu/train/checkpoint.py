@@ -113,10 +113,18 @@ def save_checkpoint(
     step_in_epoch: Optional[int] = None,
     acc: Optional[Dict[str, float]] = None,
     block: bool = True,
+    run_sig: Optional[Dict[str, Any]] = None,
 ) -> None:
     """Epoch checkpoint (step_in_epoch None: `epoch` is COMPLETED) or
     mid-epoch step checkpoint (`epoch` in progress, `step_in_epoch` optimizer
     steps of it done, `acc` = host values of the epoch metric accumulators).
+
+    `run_sig` (step saves only): the data-order signature of the saving run
+    (batch_size, seed, steps_per_epoch, roi_buckets). A mid-epoch resume is
+    only exact when the seeded epoch permutation and its batch partitioning
+    are recreated identically, so run_training refuses to apply the step
+    skip under a different signature (loop.py resume guard) instead of
+    silently training on a reshuffled remainder.
 
     block=False (single-process only — collective Orbax saves and the
     cross-process barrier must run on every process in lockstep, so
@@ -155,6 +163,8 @@ def save_checkpoint(
             if step_in_epoch is not None:
                 meta["step_in_epoch"] = step_in_epoch
                 meta["acc"] = acc or {}
+                if run_sig:
+                    meta["run"] = run_sig
             tmp = os.path.join(root, "meta.json.tmp")
             with open(tmp, "w") as fh:
                 json.dump(meta, fh)

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -114,6 +114,18 @@ class _PreemptWatcher:
         return False
 
 
+def _run_signature(cfg: Config, steps_per_epoch: int) -> Dict[str, Any]:
+    """Everything the seeded epoch data order depends on. Saved into a step
+    checkpoint's meta and re-checked on mid-epoch resume (see
+    checkpoint.save_checkpoint's run_sig contract)."""
+    return {
+        "batch_size": int(cfg.batch_size),
+        "seed": int(cfg.seed),
+        "steps_per_epoch": int(steps_per_epoch),
+        "roi_buckets": str(cfg.roi_buckets),
+    }
+
+
 def run_training(
     cfg: Config,
     train_ds: VQADataset,
@@ -194,6 +206,24 @@ def run_training(
             best_score = float(meta.get("best_score", -1.0))
             restored = os.path.basename(latest)
             if "step_in_epoch" in meta and meta.get("dir") == restored:
+                # a mid-epoch resume replays the SAME seeded epoch
+                # permutation and batch partitioning past the saved step —
+                # under a different signature the "remainder" would be a
+                # reshuffle that repeats/skips examples, so refuse loudly
+                sig_now = _run_signature(cfg, steps_per_epoch)
+                sig_saved = meta.get("run")
+                if sig_saved is not None and sig_saved != sig_now:
+                    diffs = {
+                        k: (sig_saved.get(k), sig_now.get(k))
+                        for k in set(sig_saved) | set(sig_now)
+                        if sig_saved.get(k) != sig_now.get(k)
+                    }
+                    raise ValueError(
+                        "mid-epoch resume requires the run configuration "
+                        "that wrote the step checkpoint (saved vs current: "
+                        f"{diffs}); rerun with the original settings, or "
+                        "resume from an epoch-boundary checkpoint"
+                    )
                 start_epoch = int(meta["epoch"])
                 skip_steps = int(meta["step_in_epoch"])
                 acc_resume = meta.get("acc") or None
@@ -283,6 +313,7 @@ def run_training(
                             acc={k: float(v) for k, v in jax.device_get(acc).items()},
                             # a preemption save must be durable before exit
                             block=preempted or not cfg.async_checkpoint,
+                            run_sig=_run_signature(cfg, N),
                         )
                         if preempted:
                             logger.write(
