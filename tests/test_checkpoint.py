@@ -411,3 +411,29 @@ def test_params_only_artifact(tmp_path):
         jax.device_get(state["params"]),
         restored,
     )
+
+
+def test_keep_ckpts_retention(tmp_path):
+    """--keep_ckpts N: only the newest N epoch dirs survive; "best" and the
+    meta-referenced dir are kept, and resume still restores the newest."""
+    out = str(tmp_path / "run") + "/"
+    state = {"w": jnp.arange(4.0)}
+    for epoch in range(5):
+        state = {"w": state["w"] + 1.0}
+        ckpt.save_checkpoint(
+            out, state, epoch=epoch, best_score=2.0, is_best=(epoch == 1),
+            block=(epoch % 2 == 0), retain=2,
+        )
+    ckpt.wait_pending()
+    root = tmp_path / "run" / "checkpoints"
+    dirs = sorted(d.name for d in root.iterdir() if d.is_dir())
+    assert dirs == ["best", "epoch_0003", "epoch_0004"]
+    latest = ckpt.latest_checkpoint(out)
+    assert latest is not None and latest.endswith("epoch_0004")
+    restored = ckpt.restore_checkpoint(latest, {"w": jnp.zeros(4)})
+    np.testing.assert_array_equal(
+        np.asarray(restored["w"]), np.arange(4.0) + 5.0
+    )
+    # best (saved at epoch 1, since pruned as an epoch dir) is intact
+    best = ckpt.restore_checkpoint(str(root / "best"), {"w": jnp.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(best["w"]), np.arange(4.0) + 2.0)

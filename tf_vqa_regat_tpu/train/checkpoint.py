@@ -38,6 +38,7 @@ import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 
@@ -72,6 +73,45 @@ def _to_host(state: Dict[str, Any]) -> Dict[str, Any]:
 
 
 _pending_writer: Optional[Any] = None  # at most one async write in flight
+
+
+def _device_snapshot(state: Dict[str, Any]) -> Dict[str, Any]:
+    """Copy the state into FRESH device buffers (one jitted program, ~ms of
+    HBM bandwidth) so the donated training step can keep overwriting the
+    live buffers while a background thread fetches the snapshot to host.
+
+    Measured motivation (tools/ckpt_overlap_bench.py, v5e over the tunnel):
+    the host fetch of the 416 MB flagship TrainState takes ~10-13 s — with a
+    synchronous fetch that stall lands inside the training loop even when
+    the disk write is async. jnp.copy under jit with no donation cannot be
+    aliased to the inputs, so the outputs are guaranteed distinct buffers.
+    Costs one extra transient state copy of HBM until the fetch completes."""
+    leaves, treedef = jax.tree.flatten(state)
+    arr = [x for x in leaves if isinstance(x, jax.Array)]
+    copied = iter(_jit_copy(arr))
+    return jax.tree.unflatten(
+        treedef,
+        [next(copied) if isinstance(x, jax.Array) else x for x in leaves],
+    )
+
+
+@jax.jit
+def _jit_copy(xs):
+    return [jnp.copy(x) for x in xs]
+
+
+def _to_host_leafwise(state: Dict[str, Any]) -> Dict[str, Any]:
+    """Background-thread host fetch, one leaf at a time. jax.device_get
+    enqueues every leaf's transfer at once, which parks the training loop's
+    tiny dispatch messages behind ~400 MB of bulk data on the single-stream
+    tunnel runtime; fetching leaf-by-leaf leaves a gap after each leaf for
+    queued step dispatches to slip through (tools/ckpt_overlap_bench.py
+    measures the difference)."""
+    import numpy as np
+
+    return jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, state
+    )
 
 
 def wait_pending() -> None:
@@ -114,6 +154,7 @@ def save_checkpoint(
     acc: Optional[Dict[str, float]] = None,
     block: bool = True,
     run_sig: Optional[Dict[str, Any]] = None,
+    retain: int = 0,
 ) -> None:
     """Epoch checkpoint (step_in_epoch None: `epoch` is COMPLETED) or
     mid-epoch step checkpoint (`epoch` in progress, `step_in_epoch` optimizer
@@ -128,12 +169,20 @@ def save_checkpoint(
 
     block=False (single-process only — collective Orbax saves and the
     cross-process barrier must run on every process in lockstep, so
-    multi-process forces a blocking save) fetches the state to host
-    synchronously (required: the training step donates the device buffers)
-    but moves the disk write + meta + prune to a background thread; training
-    overlaps the write. At most one write is in flight — a newer save joins
-    the older one first, preserving the meta-last crash-safety ordering.
-    Call wait_pending() before reading checkpoints back or exiting."""
+    multi-process forces a blocking save) snapshots the state into fresh
+    device buffers (one jitted copy, ~ms — required before returning: the
+    training step donates the live buffers) and moves the HOST FETCH + disk
+    write + meta + prune to a background thread; training overlaps both the
+    ~10-13 s flagship-state fetch and the write
+    (tools/ckpt_overlap_bench.py). At most one write is in flight — a newer
+    save joins the older one first, preserving the meta-last crash-safety
+    ordering — so at most one snapshot copy of the state occupies HBM at a
+    time. Call wait_pending() before reading checkpoints back or exiting.
+
+    retain>0 (--keep_ckpts) keeps only the newest `retain` per-epoch
+    checkpoint dirs; "best" and step checkpoints are exempt, and pruning
+    runs after meta lands (a crash mid-save never leaves meta pointing at a
+    pruned dir)."""
     global _pending_writer
     root = _ckpt_dir(output)
     os.makedirs(root, exist_ok=True)
@@ -143,16 +192,24 @@ def save_checkpoint(
         name = f"epoch_{epoch:04d}_step_{step_in_epoch:08d}"
     path = os.path.join(root, name)
     wait_pending()  # order writes; keeps at most one state copy alive
-    host_state = _to_host(state)
+    do_async = not block and jax.process_count() == 1
+    if do_async:
+        # Donation-safe on-device snapshot (~ms); the 10-13 s host fetch of
+        # the flagship state moves into the background thread with the write
+        # (tools/ckpt_overlap_bench.py). Blocking saves fetch inline.
+        src = _device_snapshot(state)
+    else:
+        src = _to_host(state)
 
     def _write() -> None:
+        hs = _to_host_leafwise(src) if do_async else src
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, host_state, force=True)
+        ckptr.save(path, hs, force=True)
         ckptr.wait_until_finished()
         if is_best:
             best = os.path.join(root, "best")
             ckptr2 = ocp.StandardCheckpointer()
-            ckptr2.save(best, host_state, force=True)
+            ckptr2.save(best, hs, force=True)
             ckptr2.wait_until_finished()
         # meta last: a crash before this line leaves meta at the previous
         # complete checkpoint (resume-from-older is always safe)
@@ -174,8 +231,10 @@ def save_checkpoint(
         _sync(f"regat_ckpt_{name}")
         if jax.process_index() == 0:
             _prune_step_checkpoints(root, keep=name)
+            if retain > 0:
+                _prune_epoch_checkpoints(root, retain)
 
-    if block or jax.process_count() > 1:
+    if not do_async:
         _write()
         return
 
@@ -207,6 +266,21 @@ def _prune_step_checkpoints(root: str, keep: str) -> None:
         # an older step dir is superseded by any same/later-epoch save
         if d < keep or keep == d.split("_step_")[0]:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+def _prune_epoch_checkpoints(root: str, retain: int) -> None:
+    """Retention (--keep_ckpts): drop all but the newest `retain` per-epoch
+    checkpoint dirs. "best" and step dirs are untouched; runs after meta is
+    written, and the meta-referenced dir is always among the newest."""
+    import shutil
+
+    epochs = sorted(
+        d for d in os.listdir(root)
+        if d.startswith("epoch_") and "_step_" not in d
+        and os.path.isdir(os.path.join(root, d))
+    )
+    for d in epochs[:-retain]:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
 def latest_checkpoint(output: str) -> Optional[str]:

@@ -314,6 +314,7 @@ def run_training(
                             # a preemption save must be durable before exit
                             block=preempted or not cfg.async_checkpoint,
                             run_sig=_run_signature(cfg, N),
+                            retain=cfg.keep_ckpts,
                         )
                         if preempted:
                             logger.write(
@@ -356,6 +357,7 @@ def run_training(
                 ckpt.save_checkpoint(
                     cfg.output, state, epoch, best_score, is_best,
                     block=not cfg.async_checkpoint,
+                    retain=cfg.keep_ckpts,
                 )
 
     return state["params"], best_score
