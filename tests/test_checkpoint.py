@@ -437,3 +437,24 @@ def test_keep_ckpts_retention(tmp_path):
     # best (saved at epoch 1, since pruned as an epoch dir) is intact
     best = ckpt.restore_checkpoint(str(root / "best"), {"w": jnp.zeros(4)})
     np.testing.assert_array_equal(np.asarray(best["w"]), np.arange(4.0) + 2.0)
+
+
+def test_save_reports_backpressure_wait(tmp_path, monkeypatch):
+    """A save issued while the previous async write is still running
+    returns the seconds it blocked (loop.py logs it as back-pressure)."""
+    import time as _time
+
+    slow = ckpt._to_host_leafwise
+
+    def slow_fetch(state):
+        _time.sleep(1.5)
+        return slow(state)
+
+    monkeypatch.setattr(ckpt, "_to_host_leafwise", slow_fetch)
+    out = str(tmp_path / "run") + "/"
+    state = {"w": jnp.arange(4.0)}
+    w1 = ckpt.save_checkpoint(out, state, 0, 0.0, False, block=False)
+    assert w1 == 0.0  # nothing pending
+    w2 = ckpt.save_checkpoint(out, state, 1, 0.0, False, block=False)
+    assert w2 > 1.0  # joined the slow in-flight write
+    ckpt.wait_pending()

@@ -114,15 +114,27 @@ def _to_host_leafwise(state: Dict[str, Any]) -> Dict[str, Any]:
     )
 
 
-def wait_pending() -> None:
+def wait_pending() -> float:
     """Join the in-flight async checkpoint write (no-op if none). Re-raises
-    a failed write's exception so save errors are never silently dropped."""
+    a failed write's exception so save errors are never silently dropped.
+    Returns the seconds actually spent waiting for a still-running write
+    (0.0 if none was pending or it had already finished) — the save path
+    uses this to report back-pressure from a too-fast checkpoint cadence."""
+    import time
+
     global _pending_writer
+    waited = 0.0
     if _pending_writer is not None:
         t, _pending_writer = _pending_writer, None
-        t.join()
+        if t.is_alive():
+            t0 = time.time()
+            t.join()
+            waited = time.time() - t0
+        else:
+            t.join()
         if t.error is not None:
             raise t.error
+    return waited
 
 
 @contextlib.contextmanager
@@ -155,7 +167,7 @@ def save_checkpoint(
     block: bool = True,
     run_sig: Optional[Dict[str, Any]] = None,
     retain: int = 0,
-) -> None:
+) -> float:
     """Epoch checkpoint (step_in_epoch None: `epoch` is COMPLETED) or
     mid-epoch step checkpoint (`epoch` in progress, `step_in_epoch` optimizer
     steps of it done, `acc` = host values of the epoch metric accumulators).
@@ -182,7 +194,12 @@ def save_checkpoint(
     retain>0 (--keep_ckpts) keeps only the newest `retain` per-epoch
     checkpoint dirs; "best" and step checkpoints are exempt, and pruning
     runs after meta lands (a crash mid-save never leaves meta pointing at a
-    pruned dir)."""
+    pruned dir).
+
+    Returns the seconds this call spent blocked on the PREVIOUS async
+    write (back-pressure: the checkpoint cadence is faster than the
+    background fetch+write — the caller should log it and the user raise
+    --checkpoint_every_steps)."""
     global _pending_writer
     root = _ckpt_dir(output)
     os.makedirs(root, exist_ok=True)
@@ -191,7 +208,8 @@ def save_checkpoint(
     else:
         name = f"epoch_{epoch:04d}_step_{step_in_epoch:08d}"
     path = os.path.join(root, name)
-    wait_pending()  # order writes; keeps at most one state copy alive
+    # order writes; keeps at most one state copy alive (back-pressure wait)
+    waited = wait_pending()
     do_async = not block and jax.process_count() == 1
     if do_async:
         # Donation-safe on-device snapshot (~ms); the 10-13 s host fetch of
@@ -236,7 +254,7 @@ def save_checkpoint(
 
     if not do_async:
         _write()
-        return
+        return waited
 
     import threading
 
@@ -251,6 +269,7 @@ def save_checkpoint(
 
     _pending_writer = _Writer(daemon=True)
     _pending_writer.start()
+    return waited
 
 
 def _prune_step_checkpoints(root: str, keep: str) -> None:

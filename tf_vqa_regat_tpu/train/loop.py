@@ -307,7 +307,7 @@ def run_training(
                         and (i + 1) % cfg.checkpoint_every_steps == 0
                         and (i + 1) < N  # the epoch save supersedes a full-epoch step save
                     ):
-                        ckpt.save_checkpoint(
+                        waited = ckpt.save_checkpoint(
                             cfg.output, state, epoch, best_score, False,
                             step_in_epoch=i + 1,
                             acc={k: float(v) for k, v in jax.device_get(acc).items()},
@@ -316,6 +316,13 @@ def run_training(
                             run_sig=_run_signature(cfg, N),
                             retain=cfg.keep_ckpts,
                         )
+                        if waited > 1.0:
+                            logger.write(
+                                f"[ckpt] async save back-pressure: waited "
+                                f"{waited:.1f}s for the previous write — "
+                                f"raise --checkpoint_every_steps (background "
+                                f"fetch+write outlasts the save cadence)"
+                            )
                         if preempted:
                             logger.write(
                                 f"[preempt] checkpoint saved at epoch {epoch} "
