@@ -447,7 +447,7 @@ def test_save_reports_backpressure_wait(tmp_path, monkeypatch):
     slow = ckpt._to_host_leafwise
 
     def slow_fetch(state):
-        _time.sleep(1.5)
+        _time.sleep(2.5)
         return slow(state)
 
     monkeypatch.setattr(ckpt, "_to_host_leafwise", slow_fetch)
@@ -456,5 +456,29 @@ def test_save_reports_backpressure_wait(tmp_path, monkeypatch):
     w1 = ckpt.save_checkpoint(out, state, 0, 0.0, False, block=False)
     assert w1 == 0.0  # nothing pending
     w2 = ckpt.save_checkpoint(out, state, 1, 0.0, False, block=False)
-    assert w2 > 1.0  # joined the slow in-flight write
+    # generous margin: the sleep is 2.5 s, so even ~2 s of scheduling noise
+    # between thread start and join leaves a positive wait
+    assert w2 > 0.5  # joined the slow in-flight write
     ckpt.wait_pending()
+
+
+def test_keep_ckpts_never_deletes_fresh_save_over_stale_dirs(tmp_path):
+    """Retention prunes only dirs BELOW the just-written one: stale
+    higher-numbered epoch dirs from a previous run in the same output (and
+    Orbax tmp dirs) cannot displace the fresh, meta-referenced checkpoint."""
+    out = str(tmp_path / "run") + "/"
+    root = tmp_path / "run" / "checkpoints"
+    root.mkdir(parents=True)
+    for stale in ["epoch_0009", "epoch_0010", "epoch_0003.orbax-checkpoint-tmp-7"]:
+        (root / stale).mkdir()
+    ckpt.save_checkpoint(
+        out, {"w": jnp.arange(3.0)}, epoch=0, best_score=0.0, is_best=False,
+        block=True, retain=2,
+    )
+    dirs = sorted(d.name for d in root.iterdir() if d.is_dir())
+    assert dirs == [
+        "epoch_0000", "epoch_0003.orbax-checkpoint-tmp-7",
+        "epoch_0009", "epoch_0010",
+    ]
+    latest = ckpt.latest_checkpoint(out)
+    assert latest is not None and latest.endswith("epoch_0000")

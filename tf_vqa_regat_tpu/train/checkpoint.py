@@ -220,7 +220,11 @@ def save_checkpoint(
         src = _to_host(state)
 
     def _write() -> None:
+        nonlocal src
         hs = _to_host_leafwise(src) if do_async else src
+        # release the device snapshot now — the Orbax write below can take
+        # 15-82 s and must not pin an extra full-state copy of HBM
+        src = None
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, hs, force=True)
         ckptr.wait_until_finished()
@@ -250,7 +254,7 @@ def save_checkpoint(
         if jax.process_index() == 0:
             _prune_step_checkpoints(root, keep=name)
             if retain > 0:
-                _prune_epoch_checkpoints(root, retain)
+                _prune_epoch_checkpoints(root, retain, newest=name)
 
     if not do_async:
         _write()
@@ -287,18 +291,21 @@ def _prune_step_checkpoints(root: str, keep: str) -> None:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
-def _prune_epoch_checkpoints(root: str, retain: int) -> None:
-    """Retention (--keep_ckpts): drop all but the newest `retain` per-epoch
-    checkpoint dirs. "best" and step dirs are untouched; runs after meta is
-    written, and the meta-referenced dir is always among the newest."""
+def _prune_epoch_checkpoints(root: str, retain: int, newest: str) -> None:
+    """Retention (--keep_ckpts): keep the just-written dir (`newest`, which
+    meta references) plus the newest retain-1 epoch dirs BELOW it. "best",
+    step dirs, Orbax tmp dirs, and anything sorting >= `newest` (stale
+    leftovers of a previous, longer run in the same output dir — this run
+    never wrote them, so it never deletes them) are untouched."""
+    import re
     import shutil
 
     epochs = sorted(
         d for d in os.listdir(root)
-        if d.startswith("epoch_") and "_step_" not in d
+        if re.fullmatch(r"epoch_\d{4}", d) and d < newest
         and os.path.isdir(os.path.join(root, d))
     )
-    for d in epochs[:-retain]:
+    for d in epochs[: -(retain - 1)] if retain > 1 else epochs:
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 

@@ -316,7 +316,9 @@ def run_training(
                             run_sig=_run_signature(cfg, N),
                             retain=cfg.keep_ckpts,
                         )
-                        if waited > 1.0:
+                        # a preemption save legitimately flushes the pending
+                        # write for durability — cadence advice would mislead
+                        if waited > 1.0 and not preempted:
                             logger.write(
                                 f"[ckpt] async save back-pressure: waited "
                                 f"{waited:.1f}s for the previous write — "
@@ -361,11 +363,18 @@ def run_training(
             is_best = eval_score > best_score
             best_score = max(best_score, eval_score)
             if cfg.save_every_epoch:
-                ckpt.save_checkpoint(
+                waited = ckpt.save_checkpoint(
                     cfg.output, state, epoch, best_score, is_best,
                     block=not cfg.async_checkpoint,
                     retain=cfg.keep_ckpts,
                 )
+                if waited > 1.0:
+                    logger.write(
+                        f"[ckpt] async save back-pressure: waited "
+                        f"{waited:.1f}s for the previous epoch's write "
+                        f"(epochs finish faster than the background "
+                        f"fetch+write can drain)"
+                    )
 
     return state["params"], best_score
 
