@@ -348,6 +348,12 @@ def test_mid_epoch_resume_refuses_changed_data_order(tmp_path, monkeypatch):
     cfg3 = _run_cfg(tmp_path / "g", resume=True, seed=7777)
     with pytest.raises(ValueError, match="batch partitioning|mid-epoch resume"):
         run_training(cfg3, train, val)
+    # a data-path flip also reshuffles the order (sharded permutations are
+    # per-shard; device/host are global) — the signature pins the RESOLVED
+    # mode, so forcing a different one refuses too
+    cfg4 = _run_cfg(tmp_path / "g", resume=True, data_mode="host")
+    with pytest.raises(ValueError, match="mid-epoch resume"):
+        run_training(cfg4, train, val)
     # the matching config still resumes fine
     run_training(_run_cfg(tmp_path / "g", resume=True), train, val)
 
@@ -482,3 +488,32 @@ def test_keep_ckpts_never_deletes_fresh_save_over_stale_dirs(tmp_path):
     ]
     latest = ckpt.latest_checkpoint(out)
     assert latest is not None and latest.endswith("epoch_0000")
+
+
+def test_keep_ckpts_step_saves_do_not_consume_epoch_slots(tmp_path):
+    """Step checkpoints never count against --keep_ckpts: even at
+    keep_ckpts=1 a mid-epoch save leaves the last epoch-boundary
+    checkpoint intact (the fallback a refused mid-epoch resume needs)."""
+    out = str(tmp_path / "run") + "/"
+    state = {"w": jnp.arange(2.0)}
+    ckpt.save_checkpoint(out, state, 0, 0.0, False, block=True, retain=1)
+    ckpt.save_checkpoint(
+        out, state, 1, 0.0, False, step_in_epoch=5, acc={}, block=True,
+        retain=1,
+    )
+    root = tmp_path / "run" / "checkpoints"
+    dirs = sorted(d.name for d in root.iterdir() if d.is_dir())
+    assert dirs == ["epoch_0000", "epoch_0001_step_00000005"]
+
+
+def test_latest_checkpoint_fallback_ignores_orbax_tmp_dirs(tmp_path):
+    """Without meta, the fallback picks the newest COMPLETE epoch dir —
+    an incomplete 'epoch_NNNN.orbax-checkpoint-tmp-*' (crash mid-save)
+    sorts after the real dirs and must not be selected."""
+    out = str(tmp_path / "run") + "/"
+    ckpt.save_checkpoint(out, {"w": jnp.arange(2.0)}, 2, 0.0, False, block=True)
+    root = tmp_path / "run" / "checkpoints"
+    (root / "epoch_0005.orbax-checkpoint-tmp-3").mkdir()
+    (root / "meta.json").unlink()  # force the legacy fallback
+    latest = ckpt.latest_checkpoint(out)
+    assert latest is not None and latest.endswith("epoch_0002")

@@ -292,20 +292,25 @@ def _prune_step_checkpoints(root: str, keep: str) -> None:
 
 
 def _prune_epoch_checkpoints(root: str, retain: int, newest: str) -> None:
-    """Retention (--keep_ckpts): keep the just-written dir (`newest`, which
-    meta references) plus the newest retain-1 epoch dirs BELOW it. "best",
-    step dirs, Orbax tmp dirs, and anything sorting >= `newest` (stale
-    leftovers of a previous, longer run in the same output dir — this run
-    never wrote them, so it never deletes them) are untouched."""
+    """Retention (--keep_ckpts): keep `retain` epoch-dir slots. When
+    `newest` is itself an epoch dir it fills one slot, leaving retain-1 for
+    older dirs; when it is a mid-epoch STEP dir it fills none (step
+    checkpoints never count against --keep_ckpts, so the last
+    epoch-boundary fallback survives even at keep_ckpts=1 — a refused
+    mid-epoch resume can still fall back to it). "best", step dirs, Orbax
+    tmp dirs, and anything sorting >= `newest` (stale leftovers of a
+    previous, longer run in the same output dir — this run never wrote
+    them, so it never deletes them) are untouched."""
     import re
     import shutil
 
+    slots = retain - 1 if re.fullmatch(r"epoch_\d{4}", newest) else retain
     epochs = sorted(
         d for d in os.listdir(root)
         if re.fullmatch(r"epoch_\d{4}", d) and d < newest
         and os.path.isdir(os.path.join(root, d))
     )
-    for d in epochs[: -(retain - 1)] if retain > 1 else epochs:
+    for d in epochs[:-slots] if slots > 0 else epochs:
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
@@ -322,9 +327,14 @@ def latest_checkpoint(output: str) -> Optional[str]:
         path = os.path.join(root, meta["dir"])
         if os.path.isdir(path):
             return path
+    import re
+
+    # strict epoch-dir match: a crash mid-save can leave an incomplete
+    # 'epoch_NNNN.orbax-checkpoint-tmp-*' dir, which sorts AFTER the real
+    # epoch dirs and must never be selected as the resume point
     epochs = [
         d for d in os.listdir(root)
-        if d.startswith("epoch_") and "_step_" not in d
+        if re.fullmatch(r"epoch_\d{4}", d)
         and os.path.isdir(os.path.join(root, d))
     ]
     if not epochs:

@@ -114,15 +114,27 @@ class _PreemptWatcher:
         return False
 
 
-def _run_signature(cfg: Config, steps_per_epoch: int) -> Dict[str, Any]:
+def _run_signature(
+    cfg: Config, steps_per_epoch: int, data_mode: str, dp: int
+) -> Dict[str, Any]:
     """Everything the seeded epoch data order depends on. Saved into a step
     checkpoint's meta and re-checked on mid-epoch resume (see
-    checkpoint.save_checkpoint's run_sig contract)."""
+    checkpoint.save_checkpoint's run_sig contract).
+
+    `data_mode` is the RESOLVED mode and `dp` the data-axis size: the
+    sharded store draws per-shard permutations over per-shard entry sets
+    (data/sharded_store.py), so the same batch_size/seed/steps can yield a
+    completely different epoch order under another dp or after a
+    device<->sharded flip (e.g. a --feature_dtype change moving the 'auto'
+    resolution) — checkpoints are process-count portable, but a MID-epoch
+    resume is only exact on the topology and path that wrote it."""
     return {
         "batch_size": int(cfg.batch_size),
         "seed": int(cfg.seed),
         "steps_per_epoch": int(steps_per_epoch),
         "roi_buckets": str(cfg.roi_buckets),
+        "data_mode": str(data_mode),
+        "dp": int(dp),
     }
 
 
@@ -210,7 +222,7 @@ def run_training(
                 # permutation and batch partitioning past the saved step —
                 # under a different signature the "remainder" would be a
                 # reshuffle that repeats/skips examples, so refuse loudly
-                sig_now = _run_signature(cfg, steps_per_epoch)
+                sig_now = _run_signature(cfg, steps_per_epoch, data.mode, dp)
                 sig_saved = meta.get("run")
                 if sig_saved is not None and sig_saved != sig_now:
                     diffs = {
@@ -313,7 +325,7 @@ def run_training(
                             acc={k: float(v) for k, v in jax.device_get(acc).items()},
                             # a preemption save must be durable before exit
                             block=preempted or not cfg.async_checkpoint,
-                            run_sig=_run_signature(cfg, N),
+                            run_sig=_run_signature(cfg, N, data.mode, dp),
                             retain=cfg.keep_ckpts,
                         )
                         # a preemption save legitimately flushes the pending
