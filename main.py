@@ -96,17 +96,27 @@ def build_datasets(cfg: Config):
             "which requires materializing them); drop one or the other"
         )
     if cfg.dataset == "vqa_cp":
-        from tf_vqa_regat_tpu.data.compose import load_vqa_cp_dataset
+        from tf_vqa_regat_tpu.data.compose import (
+            load_vqa_cp_base,
+            load_vqa_cp_dataset,
+        )
 
+        # one merged COCO train+val store shared by both CP splits (each
+        # split otherwise re-merges its own copy — 2x resident RAM)
+        cp_base = load_vqa_cp_base(
+            cfg.data_folder, cfg.adaptive, store_rts or cfg.relation_type
+        )
         val = load_vqa_cp_dataset(
             "test", dictionary, cfg.relation_type, cfg.data_folder,
-            cfg.adaptive, store_relation_types=store_rts,
+            cfg.adaptive, store_relation_types=store_rts, base=cp_base,
         )
         train = None
         if cfg.mode == "train":
             train = load_vqa_cp_dataset(
-                "train", dictionary, cfg.relation_type, cfg.data_folder, cfg.adaptive
+                "train", dictionary, cfg.relation_type, cfg.data_folder,
+                cfg.adaptive, base=cp_base,
             )
+        del cp_base
     else:
         # --mode predict targets the (possibly answerless) predict_split;
         # every other mode evaluates on val (reference main.py:115).

@@ -53,9 +53,25 @@ def test_use_both_concat(dataroot):
 
 
 def test_vqa_cp_loading(dataroot):
+    from tf_vqa_regat_tpu.data.compose import load_vqa_cp_base
+
     d = _dict(dataroot)
-    cp_train = load_vqa_cp_dataset("train", d, "implicit", dataroot, adaptive=True)
-    cp_test = load_vqa_cp_dataset("test", d, "implicit", dataroot, adaptive=True)
+    # main.py builds the merged COCO base ONCE and shares it across splits
+    # (each per-split call otherwise re-merges its own full copy)
+    base = load_vqa_cp_base(dataroot, True, "implicit")
+    cp_train = load_vqa_cp_dataset(
+        "train", d, "implicit", dataroot, adaptive=True, base=base
+    )
+    cp_test = load_vqa_cp_dataset(
+        "test", d, "implicit", dataroot, adaptive=True, base=base
+    )
+    assert cp_train.store is cp_test.store  # one resident merged store
+    # and the standalone (no-base) call is equivalent
+    solo = load_vqa_cp_dataset("train", d, "implicit", dataroot, adaptive=True)
+    np.testing.assert_array_equal(
+        solo.entries.q_tokens, cp_train.entries.q_tokens
+    )
+    np.testing.assert_array_equal(solo.store.features, cp_train.store.features)
     assert len(cp_train) == 10
     assert len(cp_test) == 10
     assert cp_train.num_ans == 13
@@ -143,3 +159,20 @@ def test_merge_stores_fixed(tmp_path):
     assert offset == 3
     assert merged.features.shape[0] == 5
     np.testing.assert_array_equal(merged.image_slice(3)[0], b.store.image_slice(0)[0])
+
+
+def test_main_vqa_cp_glue(dataroot):
+    """main.py's --dataset vqa_cp branch: both splits must share ONE merged
+    COCO feature store (load_vqa_cp_base built once — round-3 review
+    finding: per-split loads doubled the resident tables)."""
+    import main as entry
+    from tf_vqa_regat_tpu.config import Config
+
+    cfg = Config(
+        mode="train", data_folder=dataroot, adaptive=True,
+        dataset="vqa_cp", relation_type="implicit",
+    )
+    train, val, _, _ = entry.build_datasets(cfg)
+    assert train.name == "cp_train" and val.name == "cp_test"
+    assert train.store is val.store
+    assert len(train) == 10 and len(val) == 10

@@ -344,3 +344,48 @@ def test_host_loader_feature_dtype_validation():
     assert next(iter(l8.epoch(0)))["features"].dtype == ml_dtypes.bfloat16
     with pytest.raises(ValueError):
         BatchLoader(ds, 8, 36, shuffle=False, feature_dtype="int4")
+
+
+def test_fixed36_test_split_fixture_matches_loader_naming(tmp_path):
+    """Fixed-layout TEST splits use an underscored '_36' file suffix
+    (reference dataset.py:190-192) while train/val use a bare '36';
+    write_fixture must emit the names load_feature_store/load_imgid2idx
+    look for (round-3 review finding: the test-split fixture was
+    unloadable)."""
+    from tf_vqa_regat_tpu.data.features import load_feature_store, load_imgid2idx
+    from tf_vqa_regat_tpu.data.fixtures import write_fixture
+
+    root = str(tmp_path)
+    write_fixture(root, name="test2015", adaptive=False, num_images=3,
+                  num_questions=6, v_dim=16, num_ans=5)
+    store = load_feature_store(root, "test2015", adaptive=False,
+                               relation_type="implicit")
+    imgid2idx = load_imgid2idx(root, "test2015", adaptive=False)
+    assert store.features.shape[:2] == (3, 36)
+    assert len(imgid2idx) == 3
+
+
+def test_prefetch_producer_exits_when_consumer_abandons():
+    """Dropping the prefetch generator mid-epoch (exception in the step
+    caught by an outer retry loop) must stop the producer thread instead of
+    leaving it blocked on the full queue pinning ~depth device batches
+    (round-3 review finding)."""
+    import time
+
+    from tf_vqa_regat_tpu.data.loader import prefetch_to_device
+
+    made = []
+
+    def gen():
+        for i in range(1000):
+            made.append(i)
+            yield {"x": np.zeros(4, np.float32)}
+
+    it = prefetch_to_device(gen(), None, depth=2)
+    next(it)
+    it.close()  # consumer abandons mid-epoch
+    time.sleep(1.0)  # > the producer's 0.5 s stop-poll interval
+    n1 = len(made)
+    time.sleep(1.0)
+    assert len(made) == n1, "producer kept drawing batches after close"
+    assert n1 < 1000

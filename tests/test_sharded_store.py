@@ -289,6 +289,29 @@ def test_estimate_sharded_nbytes_matches_built_store():
         assert est == actual, (dtype, est, actual)
 
 
+def test_estimate_sharded_nbytes_counts_adjacency_both_families():
+    """include_adj sizing must match the constructor for BOTH semantic and
+    spatial adjacency (round-3 review finding: spatial was uncounted, so
+    'auto' could promote onto a sharded store that then OOMs on upload)."""
+    import dataclasses
+
+    from tf_vqa_regat_tpu.data.sharded_store import estimate_sharded_nbytes
+
+    ds = synthetic_dataset(
+        num_images=12, num_questions=50, v_dim=16, num_ans=NUM_ANS, seed=5,
+        semantic=True,
+    )
+    mesh = _mesh()
+    spatial_ds = dataclasses.replace(ds, relation_type="spatial")
+    spatial_ds.store.spatial_adj = ds.store.semantic_adj  # any [n,100,100] int8
+    for case in (ds, spatial_ds):
+        store = ShardedDeviceStore(case, mesh, True, "float32")
+        assert store.has_adj, case.relation_type
+        actual = sum(int(a.nbytes) for a in store.arrays.values()) // 8
+        est = estimate_sharded_nbytes(case, True, "float32", 8)
+        assert est == actual, (case.relation_type, est, actual)
+
+
 def test_resolve_data_mode_matrix():
     """Round-2 verdict #1: the 'auto' policy resolution matrix. Budgets are
     derived from the dataset's own estimates so the test pins the POLICY,

@@ -41,6 +41,14 @@ def merge_stores(a: FeatureStore, b: FeatureStore) -> Tuple[FeatureStore, int]:
     """Concatenate two feature stores; returns (merged, image-index offset for
     b's images)."""
     assert a.adaptive == b.adaptive
+    # self-enforcing invariant (not just the main.py CLI check): composing a
+    # lazy (--mmap_features) store would np.concatenate over the open h5py
+    # Dataset — a silent full-table f32 materialization that defeats the
+    # mmap RAM ceiling, leaving dangling h5 handles behind
+    assert not (a.features_lazy or b.features_lazy), (
+        "merge_stores requires materialized stores; reload without "
+        "mmap_features to compose splits"
+    )
     if a.adaptive:
         box_offset = a.features.shape[0]
         pos_b = b.pos_boxes + box_offset
@@ -105,6 +113,35 @@ def concat_datasets(a: VQADataset, b: VQADataset, name: str) -> VQADataset:
 
 
 # ------------------------------------------------------------------ VQA-CP v2
+def load_vqa_cp_base(
+    dataroot: str, adaptive: bool, relation_types
+) -> Dict[str, object]:
+    """The split-independent half of VQA-CP loading: merged COCO train+val
+    feature store, image-id map, and answer vocab. Build it ONCE and pass it
+    to both load_vqa_cp_dataset calls — each call otherwise re-reads and
+    re-merges the full train+val tables (~2x the combined features resident,
+    ~3x peak during the second merge, at the real adaptive scale tens of GB
+    — round-3 review finding)."""
+    with open(os.path.join(dataroot, "cache", "trainval_ans2label.pkl"), "rb") as fh:
+        ans2label = pickle.load(fh)
+    with open(os.path.join(dataroot, "cache", "trainval_label2ans.pkl"), "rb") as fh:
+        label2ans = pickle.load(fh)
+    store_tr = load_feature_store(dataroot, "train", adaptive, relation_types)
+    store_va = load_feature_store(dataroot, "val", adaptive, relation_types)
+    store, offset = merge_stores(store_tr, store_va)
+    id2idx_tr = load_imgid2idx(dataroot, "train", adaptive)
+    id2idx_va = load_imgid2idx(dataroot, "val", adaptive)
+    img_id2idx = dict(id2idx_tr)
+    for k, v in id2idx_va.items():
+        img_id2idx.setdefault(k, v + offset)
+    return {
+        "store": store,
+        "img_id2idx": img_id2idx,
+        "ans2label": ans2label,
+        "label2ans": label2ans,
+    }
+
+
 def load_vqa_cp_dataset(
     name: str,
     dictionary: Dictionary,
@@ -113,25 +150,21 @@ def load_vqa_cp_dataset(
     adaptive: bool = False,
     max_q_len: int = 14,
     store_relation_types=None,
+    base: Dict[str, object] = None,
 ) -> VQADataset:
     """VQA-CP v2 split ('train' | 'test') over merged COCO train+val
     features. ``store_relation_types`` widens the loaded adjacency tables
-    (ensemble members — see load_vqa_dataset)."""
+    (ensemble members — see load_vqa_dataset). ``base`` shares one
+    load_vqa_cp_base result (merged store + maps) across splits."""
     assert name in ("train", "test")
-    with open(os.path.join(dataroot, "cache", "trainval_ans2label.pkl"), "rb") as fh:
-        ans2label = pickle.load(fh)
-    with open(os.path.join(dataroot, "cache", "trainval_label2ans.pkl"), "rb") as fh:
-        label2ans = pickle.load(fh)
-
-    rts = store_relation_types or relation_type
-    store_tr = load_feature_store(dataroot, "train", adaptive, rts)
-    store_va = load_feature_store(dataroot, "val", adaptive, rts)
-    store, offset = merge_stores(store_tr, store_va)
-    id2idx_tr = load_imgid2idx(dataroot, "train", adaptive)
-    id2idx_va = load_imgid2idx(dataroot, "val", adaptive)
-    img_id2idx = dict(id2idx_tr)
-    for k, v in id2idx_va.items():
-        img_id2idx.setdefault(k, v + offset)
+    if base is None:
+        base = load_vqa_cp_base(
+            dataroot, adaptive, store_relation_types or relation_type
+        )
+    store = base["store"]
+    img_id2idx = base["img_id2idx"]
+    ans2label = base["ans2label"]
+    label2ans = base["label2ans"]
 
     qpath = os.path.join(
         dataroot, "cp_v2_questions", "vqacp_v2_%s_questions.json" % name

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tf_vqa_regat_tpu.data.features import VQADataset
+from tf_vqa_regat_tpu.data.ordering import batch_shuffle_rng, epoch_perm_rng
 
 MAX_LABELS = 16  # VQA soft targets have <=10 answers; headroom for safety
 
@@ -105,13 +106,12 @@ def _cached_features(store, feature_dtype: str, cache_dir: str, name: str):
     the staleness fingerprint.
 
     Keyed by (split name, layout, dtype); a meta sidecar pins the source
-    shape so a changed dataset rebuilds. Writes are atomic (tmp + replace):
-    concurrent first runs race benignly. bf16 is stored as a uint16 view
-    (np.save drops the ml_dtypes bfloat16 descr)."""
-    import json as _json
+    shape so a changed dataset rebuilds. Write/read protocol (atomic,
+    meta-last, bf16-as-uint16): data/cache.py, shared with the sharded
+    store."""
     import os
 
-    from ml_dtypes import bfloat16 as _bf16
+    from tf_vqa_regat_tpu.data.cache import load_packed_cache, save_packed_cache
 
     key = f"{name}-{'adaptive' if store.adaptive else 'fixed'}-{feature_dtype}"
     meta_p = os.path.join(cache_dir, key + ".meta.json")
@@ -123,39 +123,12 @@ def _cached_features(store, feature_dtype: str, cache_dir: str, name: str):
         "feature_dtype": feature_dtype,
         "version": 2,
     }
-    try:
-        with open(meta_p) as fh:
-            if _json.load(fh) == sig:
-                feat = np.load(feat_p, mmap_mode="r")
-                if feature_dtype == "bfloat16":
-                    feat = feat.view(_bf16)
-                scale = (
-                    np.load(scale_p, mmap_mode="r")
-                    if feature_dtype == "int8"
-                    else None
-                )
-                return feat, scale
-    except (OSError, ValueError):
-        pass
+    feat, scale = load_packed_cache(meta_p, feat_p, scale_p, sig, feature_dtype)
+    if feat is not None:
+        return feat, scale
 
     feat, scale = _materialize_features(store.features, feature_dtype)
-    os.makedirs(cache_dir, exist_ok=True)
-
-    def _atomic_save(path, arr):
-        tmp = f"{path}.{os.getpid()}.tmp"
-        with open(tmp, "wb") as fh:
-            np.save(fh, arr)
-        os.replace(tmp, path)
-
-    _atomic_save(
-        feat_p, feat.view(np.uint16) if feature_dtype == "bfloat16" else feat
-    )
-    if scale is not None:
-        _atomic_save(scale_p, scale)
-    tmp = f"{meta_p}.{os.getpid()}.tmp"
-    with open(tmp, "w") as fh:
-        _json.dump(sig, fh)
-    os.replace(tmp, meta_p)  # meta last: readers only trust complete caches
+    save_packed_cache(meta_p, feat_p, scale_p, sig, feat, scale, feature_dtype)
     return feat, scale
 
 
@@ -337,7 +310,7 @@ class DeviceStore:
         """Host-side index batches, padded to batch_size with -1 (invalid)."""
         n = self.num_entries
         if shuffle:
-            rng = np.random.RandomState((seed * 100003 + epoch) % (2**31))
+            rng = epoch_perm_rng(seed, epoch)
             order = rng.permutation(n)
         else:
             order = np.arange(n)
@@ -371,7 +344,7 @@ class DeviceStore:
         """
         buckets = sorted(buckets)
         bucket_of = self._bucket_of(buckets)
-        rng = np.random.RandomState((seed * 100003 + epoch * 31 + 7) % (2**31))
+        rng = batch_shuffle_rng(seed, epoch)
         jobs = []  # (R, idx-batch)
         for bi, R in enumerate(buckets):
             ids = np.where(bucket_of == bi)[0].astype(np.int32)

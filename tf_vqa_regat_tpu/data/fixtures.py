@@ -88,7 +88,11 @@ def write_fixture(
 
     # features HDF5 (+ imgid2idx)
     image_ids = list(range(first_image_id, first_image_id + num_images))
-    suffix = "" if adaptive else "36"
+    # fixed-layout naming must match the loader (features.py): test splits
+    # use an underscored '_36' suffix (reference dataset.py:190-192), train/
+    # val a bare '36' (round-3 review finding: 'test201536.hdf5' was written
+    # under a name load_feature_store would never find)
+    suffix = "" if adaptive else ("_36" if "test" in name else "36")
     h5_path = os.path.join(dataroot, feat_dir, "%s%s.hdf5" % (name, suffix))
     with h5py.File(h5_path, "w") as hf:
         if adaptive:

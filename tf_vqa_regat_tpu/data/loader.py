@@ -25,6 +25,7 @@ import numpy as np
 from ml_dtypes import bfloat16 as jnp_bfloat16  # numpy-compatible bf16 scalar
 
 from tf_vqa_regat_tpu.data.features import VQADataset
+from tf_vqa_regat_tpu.data.ordering import epoch_perm_rng
 
 
 class BatchLoader:
@@ -82,7 +83,7 @@ class BatchLoader:
         the remaining batches are identical to the uninterrupted epoch's)."""
         n = len(self.dataset)
         if self.shuffle:
-            rng = np.random.RandomState((self.seed * 100003 + epoch_idx) % (2**31))
+            rng = epoch_perm_rng(self.seed, epoch_idx)
             order = rng.permutation(n)
         else:
             order = np.arange(n)
@@ -234,25 +235,46 @@ def prefetch_to_device(
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     err: list = []
+    stop = threading.Event()
+
+    def _blocking_put(item) -> bool:
+        """q.put that also watches `stop`: if the consumer abandoned the
+        generator mid-epoch (exception in the train step caught by an outer
+        retry loop / notebook), the producer must not block forever on a
+        full queue pinning ~depth packed device batches for the life of the
+        process (round-3 review finding)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for b in host_iter:
-                q.put(_put(b, sharding))
+                if not _blocking_put(_put(b, sharding)):
+                    return  # consumer gone; drop buffers and exit
         except Exception as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            q.put(sentinel)
+            _blocking_put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # runs on exhaustion AND on generator.close() (GeneratorExit when
+        # the consumer drops the iterator): unblock and end the producer
+        stop.set()
 
 
 def _put(batch: Dict[str, np.ndarray], sharding) -> Dict[str, jax.Array]:

@@ -29,6 +29,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tf_vqa_regat_tpu.data.device_store import MAX_LABELS, gather_batch, quantize_rows
 from tf_vqa_regat_tpu.data.features import VQADataset
+from tf_vqa_regat_tpu.data.ordering import (
+    batch_shuffle_rng,
+    shard_bucket_perm_rng,
+    shard_perm_rng,
+)
 from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -114,8 +119,16 @@ def estimate_sharded_nbytes(
     q_len = ent.q_tokens.shape[1]
     total += max_entries * (q_len * 4 + MAX_LABELS * (4 + 4) + 4)
 
-    if include_adj and dataset.relation_type == "semantic":
-        adj = store.semantic_adj
+    if include_adj:
+        # match the constructor (and device_store.estimate_nbytes): BOTH
+        # semantic and spatial adjacency tables are uploaded when present —
+        # counting only semantic under-estimated the spatial footprint and
+        # could promote auto-mode to a sharded store that then OOMs
+        adj = (
+            store.semantic_adj
+            if dataset.relation_type == "semantic"
+            else store.spatial_adj
+        )
         if adj is not None:
             total += max_local_imgs * adj.shape[1] * adj.shape[2]  # int8
     return int(total)
@@ -321,58 +334,30 @@ class ShardedDeviceStore:
     def _load_cached_feats(
         self, dataset, cache_dir, feature_dtype, img_len, max_rows, v_dim
     ):
-        import json as _json
+        from tf_vqa_regat_tpu.data.cache import load_packed_cache
 
         meta_p, feat_p, scale_p = self._cache_paths(
             dataset, cache_dir, feature_dtype, self.dp
         )
-        try:
-            with open(meta_p) as fh:
-                if _json.load(fh) != self._cache_sig(
-                    dataset, feature_dtype, img_len
-                ):
-                    return None, None
-            feats = np.load(feat_p, mmap_mode="r")
-            if feature_dtype == "bfloat16":
-                feats = feats.view(jnp.bfloat16)
-            if feats.shape != (self.dp, max_rows, v_dim):
-                return None, None
-            scale = (
-                np.load(scale_p, mmap_mode="r")
-                if feature_dtype == "int8"
-                else None
-            )
-            return feats, scale
-        except (OSError, ValueError):
-            return None, None
+        return load_packed_cache(
+            meta_p, feat_p, scale_p,
+            self._cache_sig(dataset, feature_dtype, img_len),
+            feature_dtype, expect_shape=(self.dp, max_rows, v_dim),
+        )
 
     def _save_cached_feats(
         self, dataset, cache_dir, feature_dtype, img_len, feats, feat_scale
     ):
-        import json as _json
-        import os
+        from tf_vqa_regat_tpu.data.cache import save_packed_cache
 
         meta_p, feat_p, scale_p = self._cache_paths(
             dataset, cache_dir, feature_dtype, self.dp
         )
-        os.makedirs(cache_dir, exist_ok=True)
-
-        def _atomic_save(path, arr):
-            tmp = f"{path}.{os.getpid()}.tmp"
-            with open(tmp, "wb") as fh:
-                np.save(fh, arr)
-            os.replace(tmp, path)
-
-        _atomic_save(
-            feat_p,
-            feats.view(np.uint16) if feature_dtype == "bfloat16" else feats,
+        save_packed_cache(
+            meta_p, feat_p, scale_p,
+            self._cache_sig(dataset, feature_dtype, img_len),
+            feats, feat_scale, feature_dtype,
         )
-        if feat_scale is not None:
-            _atomic_save(scale_p, feat_scale)
-        tmp = f"{meta_p}.{os.getpid()}.tmp"
-        with open(tmp, "w") as fh:
-            _json.dump(self._cache_sig(dataset, feature_dtype, img_len), fh)
-        os.replace(tmp, meta_p)  # meta last: readers only trust complete caches
 
     @staticmethod
     def _fill_feats(
@@ -459,9 +444,7 @@ class ShardedDeviceStore:
         for s in range(dp):
             n = int(self.local_entry_counts[s])
             if shuffle:
-                rng = np.random.RandomState(
-                    (seed * 100003 + epoch * 7919 + s) % (2**31)
-                )
+                rng = shard_perm_rng(seed, epoch, s)
                 orders.append(rng.permutation(n))
             else:
                 orders.append(np.arange(n))
@@ -512,16 +495,14 @@ class ShardedDeviceStore:
         assert batch_size % dp == 0, f"batch {batch_size} not divisible by dp={dp}"
         per = batch_size // dp
         bos = self._local_bucket_of(buckets)
-        rng = np.random.RandomState((seed * 100003 + epoch * 31 + 7) % (2**31))
+        rng = batch_shuffle_rng(seed, epoch)
         jobs = []
         for bi, R in enumerate(buckets):
             per_shard = []
             for s in range(dp):
                 ids = np.where(bos[s] == bi)[0].astype(np.int32)
                 if shuffle:
-                    srng = np.random.RandomState(
-                        (seed * 100003 + epoch * 7919 + s * 131 + bi) % (2**31)
-                    )
+                    srng = shard_bucket_perm_rng(seed, epoch, s, bi)
                     ids = ids[srng.permutation(len(ids))]
                 per_shard.append(ids)
             for blk in _padded_step_batches(per_shard, per):
