@@ -182,7 +182,9 @@ def test_checkpoint_every_steps_saves_and_prunes(tmp_path):
     from tf_vqa_regat_tpu.train.loop import run_training
 
     train, val = _datasets()
-    cfg = _run_cfg(tmp_path / "c", epochs=1, checkpoint_every_steps=2)
+    # print_freq=0 = silence step lines; also regression-covers the guard
+    # against using it as a modulus (ZeroDivisionError at step 1)
+    cfg = _run_cfg(tmp_path / "c", epochs=1, checkpoint_every_steps=2, print_freq=0)
     run_training(cfg, train, val)
     root = os.path.join(cfg.output, "checkpoints")
     # step-2 save happened (pruned by the epoch save), epoch save is final
@@ -356,6 +358,19 @@ def test_mid_epoch_resume_refuses_changed_data_order(tmp_path, monkeypatch):
         run_training(cfg4, train, val)
     # the matching config still resumes fine
     run_training(_run_cfg(tmp_path / "g", resume=True), train, val)
+
+
+def test_run_signature_normalizes_roi_buckets():
+    """The signature pins the PARSED bucket list: '100,64' and '64, 100'
+    yield the same sorted buckets, hence the same seeded epoch order — they
+    must not spuriously refuse a mid-epoch resume."""
+    from tf_vqa_regat_tpu.train.loop import _run_signature
+
+    a = _run_signature(_run_cfg("x", roi_buckets="100,64"), 4, "device", 1)
+    b = _run_signature(_run_cfg("x", roi_buckets="64, 100"), 4, "device", 1)
+    assert a == b and a["roi_buckets"] == [64, 100]
+    c = _run_signature(_run_cfg("x", roi_buckets="64"), 4, "device", 1)
+    assert a != c
 
 
 def test_preempt_watcher_probes_sync_service_once(monkeypatch):

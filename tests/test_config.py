@@ -90,3 +90,15 @@ def test_enum_flags_validated_at_construction():
     # replace() re-validates
     with pytest.raises(ValueError, match="feature_dtype"):
         Config().replace(feature_dtype="fp32")
+
+
+def test_print_freq_validated():
+    """print_freq 0 silences step lines (valid); negatives are rejected at
+    construction instead of producing a nonsense modulus mid-run."""
+    import pytest
+
+    from tf_vqa_regat_tpu.config import Config
+
+    assert Config(print_freq=0).print_freq == 0
+    with pytest.raises(ValueError, match="print_freq"):
+        Config(print_freq=-5)

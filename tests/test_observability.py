@@ -63,3 +63,26 @@ def test_debug_nans_flag_raises_on_injected_nan(tmp_path):
             run_training(cfg, train, val)
     finally:
         jax.config.update("jax_debug_nans", False)  # global flag; undo
+
+
+def test_shared_output_files_gate_to_primary_process(tmp_path, monkeypatch, capsys):
+    """Multi-process runs share one output dir: only process 0 may open
+    log.txt / metrics.jsonl / the prediction JSON (N concurrent writers
+    interleave into a corrupt file — same gating as checkpoint meta.json).
+    Non-primary Loggers still print to stdout."""
+    from tf_vqa_regat_tpu.train import logging as tlog
+
+    monkeypatch.setattr(tlog, "is_primary_process", lambda: False)
+    log = tlog.Logger(str(tmp_path / "log.txt"))
+    log.write("hello from p1")
+    assert not os.path.exists(tmp_path / "log.txt")
+    assert "hello from p1" in capsys.readouterr().out
+
+    mw = tlog.MetricsWriter(str(tmp_path / "metrics.jsonl"))
+    mw.write({"epoch": 0})
+    assert not os.path.exists(tmp_path / "metrics.jsonl")
+
+    monkeypatch.setattr(tlog, "is_primary_process", lambda: True)
+    log0 = tlog.Logger(str(tmp_path / "log.txt"))
+    log0.write("hello from p0")
+    assert "hello from p0" in open(tmp_path / "log.txt").read()

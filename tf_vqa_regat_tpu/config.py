@@ -255,6 +255,11 @@ class Config:
                 raise ValueError(
                     f"--{field} {v!r} is not one of {'|'.join(allowed)}"
                 )
+        if self.print_freq < 0:
+            raise ValueError(
+                f"--print_freq must be >= 0 (0 silences step lines), got "
+                f"{self.print_freq}"
+            )
 
     def resolved_num_rois(self) -> int:
         if self.num_rois > 0:

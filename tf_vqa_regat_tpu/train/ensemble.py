@@ -256,8 +256,14 @@ def run_ensemble_eval(
     member_params = []
     for rt, path in members:
         mcfg = cfg.replace(relation_type=rt)
-        abstract = init_regat(
-            jax.random.PRNGKey(cfg.seed), mcfg, ntoken, val_ds.v_dim, val_ds.num_ans
+        # load_params only needs shapes/dtypes as the restore target —
+        # eval_shape skips materializing a full throwaway random init per
+        # member (3x full glorot sampling on a 3-member ensemble)
+        abstract = jax.eval_shape(
+            lambda key, c=mcfg: init_regat(
+                key, c, ntoken, val_ds.v_dim, val_ds.num_ans
+            ),
+            jax.random.PRNGKey(cfg.seed),
         )
         from tf_vqa_regat_tpu.parallel.distributed import put_global_tree
 

@@ -40,25 +40,48 @@ class AverageMeter:
         self.avg = self.sum / self.count
 
 
+def is_primary_process() -> bool:
+    """True on the process that owns shared output files. Multi-process runs
+    share one output dir (checkpoints assume it — meta.json is written only
+    by process 0, checkpoint.py), so log.txt / metrics.jsonl / prediction
+    JSON writes are gated the same way: N processes appending to one file
+    interleave and corrupt it."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:  # jax not initialized yet — single-process by definition
+        return True
+
+
 class Logger:
+    """File log on process 0 only; stdout everywhere (per-process prefixed
+    console visibility is useful, one shared file of interleaved duplicate
+    lines is not)."""
+
     def __init__(self, output_name: str, reset: bool = False):
-        dirname = os.path.dirname(output_name)
-        if dirname and not os.path.exists(dirname):
-            os.makedirs(dirname, exist_ok=True)
-        mode = "a" if (os.path.exists(output_name) and not reset) else "w"
-        self.log_file = open(output_name, mode)
+        self.log_file = None
+        if is_primary_process():
+            dirname = os.path.dirname(output_name)
+            if dirname and not os.path.exists(dirname):
+                os.makedirs(dirname, exist_ok=True)
+            mode = "a" if (os.path.exists(output_name) and not reset) else "w"
+            self.log_file = open(output_name, mode)
 
     def write(self, msg: str) -> None:
-        self.log_file.write(msg + "\n")
-        self.log_file.flush()
+        if self.log_file is not None:
+            self.log_file.write(msg + "\n")
+            self.log_file.flush()
         print(msg)
 
 
 class MetricsWriter:
-    """Structured JSONL metrics alongside the text log."""
+    """Structured JSONL metrics alongside the text log (process 0 only —
+    metrics are computed from replicated on-device accumulators, so every
+    process holds the same values and one writer suffices)."""
 
     def __init__(self, path: Optional[str]):
-        self.fh = open(path, "a") if path else None
+        self.fh = open(path, "a") if (path and is_primary_process()) else None
 
     def write(self, record: dict) -> None:
         if self.fh is None:

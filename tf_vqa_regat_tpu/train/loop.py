@@ -132,10 +132,29 @@ def _run_signature(
         "batch_size": int(cfg.batch_size),
         "seed": int(cfg.seed),
         "steps_per_epoch": int(steps_per_epoch),
-        "roi_buckets": str(cfg.roi_buckets),
+        # the PARSED bucket list, not the raw flag string: '100,64' and
+        # '64, 100' sort to the same buckets and hence the same epoch order,
+        # so they must not spuriously refuse a resume
+        "roi_buckets": list(cfg.parsed_roi_buckets() or []),
         "data_mode": str(data_mode),
         "dp": int(dp),
     }
+
+
+def _log_progress(logger, losses, acc, last, epoch, i, N, start) -> None:
+    """The print_freq step line, shared by the train loop and _run_eval (one
+    device_get of the on-device accumulators, stuffed into the AverageMeter
+    fields the reference's log format reads — utils.py:23-50)."""
+    host = jax.device_get({"last": last, **acc})
+    losses.val = float(host["last"])
+    losses.sum = float(host["loss_sum"])
+    losses.count = float(host["n"])
+    losses.avg = losses.sum / max(losses.count, 1)
+    elapsed = time_since(start, float(i + 1) / N)
+    logger.write(
+        f"Epoch [{epoch+1}][{i}/{N}] Elapsed {elapsed} "
+        f"Loss: {losses.val:.5f}({losses.avg:.5f})"
+    )
 
 
 def run_training(
@@ -302,17 +321,9 @@ def run_training(
                     acc["loss_sum"] = acc["loss_sum"] + m["loss"] * m["n"]
                     acc["n"] = acc["n"] + m["n"]
                     last = m["loss"]
-                    if (i + 1) % cfg.print_freq == 0:
-                        host = jax.device_get({"last": last, **acc})
-                        losses.val = float(host["last"])
-                        losses.sum = float(host["loss_sum"])
-                        losses.count = float(host["n"])
-                        losses.avg = losses.sum / max(losses.count, 1)
-                        elapsed = time_since(start, float(i + 1) / N)
-                        logger.write(
-                            f"Epoch [{epoch+1}][{i}/{N}] Elapsed {elapsed} "
-                            f"Loss: {losses.val:.5f}({losses.avg:.5f})"
-                        )
+                    # print_freq 0 = silence the step lines (not a modulus)
+                    if cfg.print_freq > 0 and (i + 1) % cfg.print_freq == 0:
+                        _log_progress(logger, losses, acc, last, epoch, i, N, start)
                     preempted = preempt.poll(epoch * N + i + 1)
                     if preempted or (
                         cfg.checkpoint_every_steps > 0
@@ -441,7 +452,6 @@ def run_prediction(
     --data_mode sharded, host streaming otherwise."""
     import json
 
-    from tf_vqa_regat_tpu.data.device_store import DeviceStore
     from tf_vqa_regat_tpu.parallel.mesh import replicated
 
     mesh = make_mesh(cfg.dp_size, cfg.tp_size)
@@ -455,31 +465,19 @@ def run_prediction(
 
     include_adj = cfg.relation_type in ("semantic", "spatial")
     mode = resolve_data_mode(cfg, ds, None, include_adj, mesh.shape["data"])
-    if cfg.parsed_roi_buckets() and mode == "host":
-        raise ValueError(
-            f"--roi_buckets requires the device or sharded data mode "
-            f"(resolved mode: {mode!r}) — same constraint as training/eval."
-        )
+    check_roi_buckets_mode(cfg, mode)
     if mode in ("device", "sharded"):
         from tf_vqa_regat_tpu.train.step import (
             build_sharded_store_predict_block,
             build_store_predict_block,
         )
 
-        if mode == "sharded":
-            from tf_vqa_regat_tpu.data.sharded_store import ShardedDeviceStore
-
-            store = ShardedDeviceStore(
-                ds, mesh, cfg.relation_type == "semantic", cfg.feature_dtype,
-                cfg.packed_cache,
-            )
-            builder = build_sharded_store_predict_block
-        else:
-            store = DeviceStore(
-                ds, replicated(mesh), include_adj, cfg.feature_dtype,
-                cfg.packed_cache,
-            )
-            builder = build_store_predict_block
+        store = build_store(cfg, ds, mesh, mode)
+        builder = (
+            build_sharded_store_predict_block
+            if mode == "sharded"
+            else build_store_predict_block
+        )
         K, sizes, blkspec, stream = blocked_eval_stream(cfg, store, mesh, eval_batch)
         steps = {
             R: builder(
@@ -550,14 +548,21 @@ def run_prediction(
     out_path = os.path.join(
         cfg.output, f"{cfg.relation_type}-{cfg.fusion}-{ds.name}-predictions.json"
     )
-    with open(out_path, "w") as fh:
-        json.dump(
-            [
-                {"question_id": int(q), "answer": ds.label2ans[int(a)]}
-                for q, a in zip(qids, answers)
-            ],
-            fh,
-        )
+    # labels are replicated, so every process holds identical answers; only
+    # process 0 writes the shared file (concurrent mode-'w' json.dump from N
+    # processes interleaves into a corrupt file — same gating as checkpoint
+    # meta.json and the Logger)
+    from tf_vqa_regat_tpu.train.logging import is_primary_process
+
+    if is_primary_process():
+        with open(out_path, "w") as fh:
+            json.dump(
+                [
+                    {"question_id": int(q), "answer": ds.label2ans[int(a)]}
+                    for q, a in zip(qids, answers)
+                ],
+                fh,
+            )
     logger.write(f"wrote {len(qids)} predictions to {out_path}")
     return out_path
 
@@ -586,17 +591,8 @@ def _run_eval(
         acc["score"] = acc["score"] + m["score"]
         acc["loss_sum"] = acc["loss_sum"] + m["loss"] * m["n"]
         acc["n"] = acc["n"] + m["n"]
-        if (i + 1) % cfg.print_freq == 0:
-            host = jax.device_get({"last": m["loss"], **acc})
-            losses.val = float(host["last"])
-            losses.sum = float(host["loss_sum"])
-            losses.count = float(host["n"])
-            losses.avg = losses.sum / max(losses.count, 1)
-            elapsed = time_since(start, float(i + 1) / N)
-            logger.write(
-                f"Epoch [{epoch+1}][{i}/{N}] Elapsed {elapsed} "
-                f"Loss: {losses.val:.5f}({losses.avg:.5f})"
-            )
+        if cfg.print_freq > 0 and (i + 1) % cfg.print_freq == 0:
+            _log_progress(logger, losses, acc, m["loss"], epoch, i, N, start)
     host = jax.device_get(acc)
     elapsed = time.time() - start
     score = 100.0 * float(host["score"]) / max(float(host["n"]), 1.0)
@@ -660,6 +656,41 @@ def resolve_data_mode(
     ):
         return "sharded"
     return "host"
+
+
+def build_store(cfg, ds, mesh, mode: str):
+    """THE store constructor for a resolved device-resident mode (shared by
+    _DataPath and run_prediction so the construction rules cannot drift):
+    'sharded' partitions the tables over the data axis — spatial adjacency is
+    built in-jit from boxes, so only semantic ships its precomputed table
+    (sharded with the images); 'device' replicates the tables (incl. the
+    spatial table when the relation needs it)."""
+    if mode == "sharded":
+        from tf_vqa_regat_tpu.data.sharded_store import ShardedDeviceStore
+
+        return ShardedDeviceStore(
+            ds, mesh, cfg.relation_type == "semantic", cfg.feature_dtype,
+            cfg.packed_cache,
+        )
+    from tf_vqa_regat_tpu.data.device_store import DeviceStore
+    from tf_vqa_regat_tpu.parallel.mesh import replicated
+
+    include_adj = cfg.relation_type in ("semantic", "spatial")
+    return DeviceStore(
+        ds, replicated(mesh), include_adj, cfg.feature_dtype, cfg.packed_cache
+    )
+
+
+def check_roi_buckets_mode(cfg, mode: str) -> None:
+    """--roi_buckets needs device-resident tables (per-size compiled programs
+    gather on device); reject the host-streaming resolution loudly."""
+    if cfg.parsed_roi_buckets() and mode == "host":
+        raise ValueError(
+            f"--roi_buckets requires the device or sharded data mode "
+            f"(resolved mode: {mode!r}); per-size compiled programs need "
+            f"device-resident tables. Force --data_mode device/sharded "
+            f"or drop --roi_buckets."
+        )
 
 
 def _block_batches(batches, K: int, batch_size: int):
@@ -746,51 +777,20 @@ class _DataPath:
             cfg, val_ds, train_ds, self.include_adj, mesh.shape["data"]
         )
         self.mode = mode
-        if cfg.parsed_roi_buckets() and mode == "host":
-            raise ValueError(
-                f"--roi_buckets requires the device or sharded data mode "
-                f"(resolved mode: {mode!r}); per-size compiled programs need "
-                f"device-resident tables. Force --data_mode device/sharded "
-                f"or drop --roi_buckets."
-            )
+        check_roi_buckets_mode(cfg, mode)
 
-        if mode == "sharded":
-            from tf_vqa_regat_tpu.data.sharded_store import ShardedDeviceStore
-
-            # spatial adjacency is built in-jit from boxes; only semantic
-            # carries the precomputed table (sharded with the images)
-            adj = cfg.relation_type == "semantic"
+        if mode in ("device", "sharded"):
             self.train_store = (
-                ShardedDeviceStore(
-                    train_ds, mesh, adj, cfg.feature_dtype, cfg.packed_cache
-                )
+                build_store(cfg, train_ds, mesh, mode)
                 if train_ds is not None
                 else None
             )
-            self.eval_store = ShardedDeviceStore(
-                val_ds, mesh, adj, cfg.feature_dtype, cfg.packed_cache
-            )
-            if train_ds is not None:
+            self.eval_store = build_store(cfg, val_ds, mesh, mode)
+            if mode == "sharded" and train_ds is not None:
+                # ragged shards: max-over-shards batches, not ceil(total/B)
                 self.steps_per_epoch = self.train_store.steps_per_epoch(
                     cfg.batch_size
                 )
-        elif mode == "device":
-            from tf_vqa_regat_tpu.data.device_store import DeviceStore
-            from tf_vqa_regat_tpu.parallel.mesh import replicated
-
-            rep = replicated(mesh)
-            self.train_store = (
-                DeviceStore(
-                    train_ds, rep, self.include_adj, cfg.feature_dtype,
-                    cfg.packed_cache,
-                )
-                if train_ds is not None
-                else None
-            )
-            self.eval_store = DeviceStore(
-                val_ds, rep, self.include_adj, cfg.feature_dtype,
-                cfg.packed_cache,
-            )
         else:
             self.train_store = self.eval_store = None
 

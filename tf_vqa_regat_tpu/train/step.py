@@ -179,90 +179,89 @@ def build_train_step(
     )
 
 
-def build_store_train_step(
-    cfg: Config,
-    ntoken: int,
-    optimizer: optax.GradientTransformation,
-    mesh,
-    impl: str,
-    params: Any,
-    num_ans: int,
-    padding_idx: int,
-):
-    """Device-store variant: feature tables stay resident in HBM; the per-step
-    host->device transfer is just the [batch] int32 index vector, and batch
-    assembly is an on-device gather fused into the step
-    (data/device_store.py). Signature: (state, arrays, idx, base_rng)."""
+def _store_gather(cfg: Config, mesh, num_ans: int, padding_idx: int, sharded: bool):
+    """(gather(arrays, idx) -> batch, arrays-sharding) for a store mode — the
+    ONE thing that differs between the device and sharded variants of every
+    store step builder. Device mode: tables replicated, plain on-device
+    gather (data/device_store.py). Sharded mode: tables partitioned over the
+    data axis, each device gathering from its local slice inside shard_map
+    (data/sharded_store.py)."""
+    if sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tf_vqa_regat_tpu.data.sharded_store import build_sharded_gather
+        from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+
+        gather = build_sharded_gather(
+            mesh, cfg.resolved_num_rois(), num_ans, padding_idx
+        )
+        return gather, NamedSharding(mesh, P(DATA_AXIS))
     from tf_vqa_regat_tpu.data.device_store import gather_batch
 
-    state_sh = train_state_shardings(params, optimizer, mesh)
     R = cfg.resolved_num_rois()
 
+    def gather(arrays, idx):
+        return gather_batch(arrays, idx, R, num_ans, padding_idx)
+
+    return gather, replicated(mesh)
+
+
+def _block_sharding(mesh):
+    """[K, B] index blocks: the batch axis (axis 1) shards over data."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
+
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def _build_any_store_train_step(
+    cfg, ntoken, optimizer, mesh, impl, params, num_ans, padding_idx, sharded
+):
+    state_sh = train_state_shardings(params, optimizer, mesh)
+    gather, arrays_sh = _store_gather(cfg, mesh, num_ans, padding_idx, sharded)
     sp_mesh = mesh if cfg.sp_rois else None
 
     def train_step(state, arrays, idx, base_rng):
-        batch = gather_batch(arrays, idx, R, num_ans, padding_idx)
         return _train_core(
-            state, batch, base_rng, cfg, ntoken, optimizer, impl, sp_mesh
+            state, gather(arrays, idx), base_rng, cfg, ntoken, optimizer,
+            impl, sp_mesh,
         )
 
     rep = replicated(mesh)
     return jax.jit(
         train_step,
         donate_argnums=(0,),
-        in_shardings=(state_sh, rep, batch_sharding(mesh), rep),
+        in_shardings=(state_sh, arrays_sh, batch_sharding(mesh), rep),
         out_shardings=(state_sh, rep),
     )
 
 
-def build_store_eval_step(
-    cfg: Config, ntoken: int, mesh, impl: str, num_ans: int, padding_idx: int
+def _build_any_store_eval_step(
+    cfg, ntoken, mesh, impl, num_ans, padding_idx, sharded
 ):
-    from tf_vqa_regat_tpu.data.device_store import gather_batch
-
-    R = cfg.resolved_num_rois()
-
+    gather, arrays_sh = _store_gather(cfg, mesh, num_ans, padding_idx, sharded)
     sp_mesh = mesh if cfg.sp_rois else None
 
     def eval_step(params, arrays, idx):
-        batch = gather_batch(arrays, idx, R, num_ans, padding_idx)
-        return _eval_core(params, batch, cfg, ntoken, impl, sp_mesh)
+        return _eval_core(params, gather(arrays, idx), cfg, ntoken, impl, sp_mesh)
 
-    rep = replicated(mesh)
     return jax.jit(
         eval_step,
-        in_shardings=(None, rep, batch_sharding(mesh)),
-        out_shardings=rep,
+        in_shardings=(None, arrays_sh, batch_sharding(mesh)),
+        out_shardings=replicated(mesh),
     )
 
 
-def build_store_eval_block(
-    cfg: Config, ntoken: int, mesh, impl: str, num_ans: int, padding_idx: int,
-    block: int,
+def _build_any_store_eval_block(
+    cfg, ntoken, mesh, impl, num_ans, padding_idx, block, sharded
 ):
-    """Evaluate `block` index batches in ONE dispatched program via lax.scan.
-
-    Eval steps are independent programs, so unlike the donated-state train
-    chain they cannot hide the host->device dispatch round trip; over the
-    tunneled v5e that latency dominated (device-busy ~7 ms vs ~23 ms wall per
-    batch — tools/profile_step.py). Scanning K batches per program amortizes
-    the round trip K-fold and lets XLA pipeline the gathers.
-
-    Signature: (params, arrays, idx_block [K, B]) -> {"loss", "score", "n"}
-    with "score"/"n" summed over the block and "loss" the block's
-    valid-weighted mean — the same contract per item as the per-batch step,
-    so _run_eval's accumulation (loss * n) stays exact. Tail blocks pad with
-    all -1 (invalid) index batches, which contribute n=0.
-    """
-    from tf_vqa_regat_tpu.data.device_store import gather_batch
-
-    R = cfg.resolved_num_rois()
+    gather, arrays_sh = _store_gather(cfg, mesh, num_ans, padding_idx, sharded)
     sp_mesh = mesh if cfg.sp_rois else None
 
     def eval_block(params, arrays, idx_block):
         def body(acc, idx):
-            batch = gather_batch(arrays, idx, R, num_ans, padding_idx)
-            m = _eval_core(params, batch, cfg, ntoken, impl, sp_mesh)
+            m = _eval_core(params, gather(arrays, idx), cfg, ntoken, impl, sp_mesh)
             return (
                 {
                     "loss_sum": acc["loss_sum"] + m["loss"] * m["n"],
@@ -284,16 +283,88 @@ def build_store_eval_block(
             "n": acc["n"],
         }
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
-
-    rep = replicated(mesh)
-    block_sh = NamedSharding(mesh, P(None, DATA_AXIS))  # [K, B]: B data-sharded
     return jax.jit(
         eval_block,
-        in_shardings=(None, rep, block_sh),
-        out_shardings=rep,
+        in_shardings=(None, arrays_sh, _block_sharding(mesh)),
+        out_shardings=replicated(mesh),
+    )
+
+
+def _build_any_store_predict_block(
+    cfg, ntoken, mesh, impl, num_ans, padding_idx, block, sharded
+):
+    gather, arrays_sh = _store_gather(cfg, mesh, num_ans, padding_idx, sharded)
+    sp_mesh = mesh if cfg.sp_rois else None
+
+    def predict_block(params, arrays, idx_block):
+        def body(carry, idx):
+            logits = apply_regat(
+                params, cfg, gather(arrays, idx), ntoken, train=False,
+                impl=impl, sp_mesh=sp_mesh,
+            )
+            return carry, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        _, labels = jax.lax.scan(body, None, idx_block)
+        return labels  # [K, B]
+
+    # labels REPLICATED ([K, B] int32 is tiny): every process can fetch the
+    # full result under multi-process — a data-sharded output would span
+    # non-addressable devices on other hosts
+    return jax.jit(
+        predict_block,
+        in_shardings=(None, arrays_sh, _block_sharding(mesh)),
+        out_shardings=replicated(mesh),
+    )
+
+
+def build_store_train_step(
+    cfg: Config,
+    ntoken: int,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    impl: str,
+    params: Any,
+    num_ans: int,
+    padding_idx: int,
+):
+    """Device-store variant: feature tables stay resident in HBM; the per-step
+    host->device transfer is just the [batch] int32 index vector, and batch
+    assembly is an on-device gather fused into the step
+    (data/device_store.py). Signature: (state, arrays, idx, base_rng)."""
+    return _build_any_store_train_step(
+        cfg, ntoken, optimizer, mesh, impl, params, num_ans, padding_idx,
+        sharded=False,
+    )
+
+
+def build_store_eval_step(
+    cfg: Config, ntoken: int, mesh, impl: str, num_ans: int, padding_idx: int
+):
+    return _build_any_store_eval_step(
+        cfg, ntoken, mesh, impl, num_ans, padding_idx, sharded=False
+    )
+
+
+def build_store_eval_block(
+    cfg: Config, ntoken: int, mesh, impl: str, num_ans: int, padding_idx: int,
+    block: int,
+):
+    """Evaluate `block` index batches in ONE dispatched program via lax.scan.
+
+    Eval steps are independent programs, so unlike the donated-state train
+    chain they cannot hide the host->device dispatch round trip; over the
+    tunneled v5e that latency dominated (device-busy ~7 ms vs ~23 ms wall per
+    batch — tools/profile_step.py). Scanning K batches per program amortizes
+    the round trip K-fold and lets XLA pipeline the gathers.
+
+    Signature: (params, arrays, idx_block [K, B]) -> {"loss", "score", "n"}
+    with "score"/"n" summed over the block and "loss" the block's
+    valid-weighted mean — the same contract per item as the per-batch step,
+    so _run_eval's accumulation (loss * n) stays exact. Tail blocks pad with
+    all -1 (invalid) index batches, which contribute n=0.
+    """
+    return _build_any_store_eval_block(
+        cfg, ntoken, mesh, impl, num_ans, padding_idx, block, sharded=False
     )
 
 
@@ -328,54 +399,17 @@ def build_sharded_store_train_step(
     """Sharded-store variant: each device's shard of the batch is gathered
     from its *local* slice of the data-axis-partitioned tables inside a
     shard_map region (data/sharded_store.py); the model step stays GSPMD."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from tf_vqa_regat_tpu.data.sharded_store import build_sharded_gather
-    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
-
-    state_sh = train_state_shardings(params, optimizer, mesh)
-    gather = build_sharded_gather(mesh, cfg.resolved_num_rois(), num_ans, padding_idx)
-    dsh = NamedSharding(mesh, P(DATA_AXIS))
-
-    sp_mesh = mesh if cfg.sp_rois else None
-
-    def train_step(state, arrays, idx, base_rng):
-        batch = gather(arrays, idx)
-        return _train_core(
-            state, batch, base_rng, cfg, ntoken, optimizer, impl, sp_mesh
-        )
-
-    rep = replicated(mesh)
-    return jax.jit(
-        train_step,
-        donate_argnums=(0,),
-        in_shardings=(state_sh, dsh, batch_sharding(mesh), rep),
-        out_shardings=(state_sh, rep),
+    return _build_any_store_train_step(
+        cfg, ntoken, optimizer, mesh, impl, params, num_ans, padding_idx,
+        sharded=True,
     )
 
 
 def build_sharded_store_eval_step(
     cfg: Config, ntoken: int, mesh, impl: str, num_ans: int, padding_idx: int
 ):
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from tf_vqa_regat_tpu.data.sharded_store import build_sharded_gather
-    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
-
-    gather = build_sharded_gather(mesh, cfg.resolved_num_rois(), num_ans, padding_idx)
-    dsh = NamedSharding(mesh, P(DATA_AXIS))
-
-    sp_mesh = mesh if cfg.sp_rois else None
-
-    def eval_step(params, arrays, idx):
-        batch = gather(arrays, idx)
-        return _eval_core(params, batch, cfg, ntoken, impl, sp_mesh)
-
-    rep = replicated(mesh)
-    return jax.jit(
-        eval_step,
-        in_shardings=(None, dsh, batch_sharding(mesh)),
-        out_shardings=rep,
+    return _build_any_store_eval_step(
+        cfg, ntoken, mesh, impl, num_ans, padding_idx, sharded=True
     )
 
 
@@ -390,36 +424,8 @@ def build_store_predict_block(
     `--mode predict` (VQA submission files for answerless test splits —
     capability the reference lacks: its eval path needs targets,
     train.py:151-170)."""
-    from tf_vqa_regat_tpu.data.device_store import gather_batch
-
-    R = cfg.resolved_num_rois()
-    sp_mesh = mesh if cfg.sp_rois else None
-
-    def predict_block(params, arrays, idx_block):
-        def body(carry, idx):
-            batch = gather_batch(arrays, idx, R, num_ans, padding_idx)
-            logits = apply_regat(
-                params, cfg, batch, ntoken, train=False, impl=impl,
-                sp_mesh=sp_mesh,
-            )
-            return carry, jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
-        _, labels = jax.lax.scan(body, None, idx_block)
-        return labels  # [K, B]
-
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
-
-    rep = replicated(mesh)
-    block_sh = NamedSharding(mesh, P(None, DATA_AXIS))
-    # labels replicate ([K, B] int32 is tiny): every process can fetch the
-    # full result under multi-process (a data-sharded output would be
-    # non-addressable on other hosts)
-    return jax.jit(
-        predict_block,
-        in_shardings=(None, rep, block_sh),
-        out_shardings=rep,
+    return _build_any_store_predict_block(
+        cfg, ntoken, mesh, impl, num_ans, padding_idx, block, sharded=False
     )
 
 
@@ -431,46 +437,8 @@ def build_sharded_store_eval_block(
     `block` index batches, each gathered from the data-axis-partitioned
     tables inside shard_map — the dispatch-latency amortization of blocked
     eval extends to splits too large to replicate."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from tf_vqa_regat_tpu.data.sharded_store import build_sharded_gather
-    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
-
-    gather = build_sharded_gather(mesh, cfg.resolved_num_rois(), num_ans, padding_idx)
-    dsh = NamedSharding(mesh, P(DATA_AXIS))
-    sp_mesh = mesh if cfg.sp_rois else None
-
-    def eval_block(params, arrays, idx_block):
-        def body(acc, idx):
-            batch = gather(arrays, idx)
-            m = _eval_core(params, batch, cfg, ntoken, impl, sp_mesh)
-            return (
-                {
-                    "loss_sum": acc["loss_sum"] + m["loss"] * m["n"],
-                    "score": acc["score"] + m["score"],
-                    "n": acc["n"] + m["n"],
-                },
-                None,
-            )
-
-        zeros = {
-            "loss_sum": jnp.zeros(()),
-            "score": jnp.zeros(()),
-            "n": jnp.zeros(()),
-        }
-        acc, _ = jax.lax.scan(body, zeros, idx_block)
-        return {
-            "loss": acc["loss_sum"] / jnp.maximum(acc["n"], 1.0),
-            "score": acc["score"],
-            "n": acc["n"],
-        }
-
-    rep = replicated(mesh)
-    block_sh = NamedSharding(mesh, P(None, DATA_AXIS))
-    return jax.jit(
-        eval_block,
-        in_shardings=(None, dsh, block_sh),
-        out_shardings=rep,
+    return _build_any_store_eval_block(
+        cfg, ntoken, mesh, impl, num_ans, padding_idx, block, sharded=True
     )
 
 
@@ -482,33 +450,6 @@ def build_sharded_store_predict_block(
     `block` index batches, gathered from the data-axis-partitioned tables —
     `--mode predict` at too-big-to-replicate scale (the answerless adaptive
     test2015 split is the motivating case)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from tf_vqa_regat_tpu.data.sharded_store import build_sharded_gather
-    from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
-
-    gather = build_sharded_gather(mesh, cfg.resolved_num_rois(), num_ans, padding_idx)
-    dsh = NamedSharding(mesh, P(DATA_AXIS))
-    sp_mesh = mesh if cfg.sp_rois else None
-
-    def predict_block(params, arrays, idx_block):
-        def body(carry, idx):
-            batch = gather(arrays, idx)
-            logits = apply_regat(
-                params, cfg, batch, ntoken, train=False, impl=impl,
-                sp_mesh=sp_mesh,
-            )
-            return carry, jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
-        _, labels = jax.lax.scan(body, None, idx_block)
-        return labels  # [K, B]
-
-    block_sh = NamedSharding(mesh, P(None, DATA_AXIS))
-    rep = replicated(mesh)
-    # replicated labels: fetchable from every process (see the device-store
-    # predict block)
-    return jax.jit(
-        predict_block,
-        in_shardings=(None, dsh, block_sh),
-        out_shardings=rep,
+    return _build_any_store_predict_block(
+        cfg, ntoken, mesh, impl, num_ans, padding_idx, block, sharded=True
     )
