@@ -373,6 +373,26 @@ def test_run_signature_normalizes_roi_buckets():
     assert a != c
 
 
+def test_legacy_run_sig_string_buckets_still_resume():
+    """Step checkpoints written by builds that stored roi_buckets as the raw
+    flag string must still compare equal after the parsed-list change — a
+    preempted run's partial epoch must survive the upgrade."""
+    from tf_vqa_regat_tpu.train.loop import (
+        _normalize_legacy_run_sig,
+        _run_signature,
+    )
+
+    now = _run_signature(_run_cfg("x", roi_buckets="100,64"), 4, "device", 1)
+    legacy = dict(now, roi_buckets="64, 100")  # pre-change on-disk form
+    assert _normalize_legacy_run_sig(legacy) == now
+    legacy_empty = dict(now, roi_buckets="")
+    now_empty = _run_signature(_run_cfg("x"), 4, "device", 1)
+    assert _normalize_legacy_run_sig(legacy_empty) == now_empty
+    # current-form signatures pass through untouched (incl. None)
+    assert _normalize_legacy_run_sig(dict(now)) == now
+    assert _normalize_legacy_run_sig(None) is None
+
+
 def test_preempt_watcher_probes_sync_service_once(monkeypatch):
     """Multi-process poll with no preemption sync service on the cluster:
     probed ONCE (not a swallowed raise per step) and warns loudly that

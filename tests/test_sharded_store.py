@@ -290,9 +290,12 @@ def test_estimate_sharded_nbytes_matches_built_store():
 
 
 def test_estimate_sharded_nbytes_counts_adjacency_both_families():
-    """include_adj sizing must match the constructor for BOTH semantic and
-    spatial adjacency (round-3 review finding: spatial was uncounted, so
-    'auto' could promote onto a sharded store that then OOMs on upload)."""
+    """include_adj sizing must match the constructor flag-for-flag for BOTH
+    adjacency families. (The production resolve path passes include_adj only
+    for semantic — build_store never ships spatial adjacency to the sharded
+    store — but a direct construction with include_adj=True must still size
+    exactly; see test_resolve_spatial_sharded_skips_phantom_adjacency for
+    the production-policy side.)"""
     import dataclasses
 
     from tf_vqa_regat_tpu.data.sharded_store import estimate_sharded_nbytes
@@ -378,6 +381,39 @@ def test_resolve_data_mode_matrix():
         )
         == "host"
     )
+
+
+def test_resolve_spatial_sharded_skips_phantom_adjacency():
+    """A SPATIAL split must be sized for what build_store actually ships to
+    the sharded store — features only (spatial adjacency builds in-jit from
+    boxes, train/loop.py build_store) — not charged a phantom per-shard
+    adjacency table. Budget sits between the features-only slice and the
+    adjacency-inflated figure: before the resolve fix this demoted to
+    'host'; the correct resolution is 'sharded'."""
+    import dataclasses
+
+    from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
+    from tf_vqa_regat_tpu.data.sharded_store import estimate_sharded_nbytes
+    from tf_vqa_regat_tpu.train.loop import resolve_data_mode
+
+    base = synthetic_dataset(
+        num_images=12, num_questions=50, v_dim=16, num_ans=NUM_ANS, seed=7,
+        semantic=True,
+    )
+    ds = dataclasses.replace(base, relation_type="spatial")
+    ds.store.spatial_adj = base.store.semantic_adj  # any [n,100,100] int8
+
+    e_dev = estimate_nbytes(ds, True, "float32")  # replicated, incl. adj
+    e_feat = estimate_sharded_nbytes(ds, False, "float32", 8)  # shipped
+    e_adj = estimate_sharded_nbytes(ds, True, "float32", 8)  # phantom
+    assert e_feat < e_adj < e_dev  # adjacency dominates at these dims
+
+    budget = (e_feat + e_adj) // 2
+    cfg = Config(batch_size=8, adaptive=True, relation_type="spatial",
+                 device_store_budget_gb=budget / 1e9)
+    assert resolve_data_mode(cfg, ds, None, True, dp=8) == "sharded"
+    # dp=1 cannot shard: falls to host as before
+    assert resolve_data_mode(cfg, ds, None, True, dp=1) == "host"
 
 
 def test_sharded_packed_cache_roundtrip(tmp_path):

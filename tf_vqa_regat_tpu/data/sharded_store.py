@@ -120,10 +120,13 @@ def estimate_sharded_nbytes(
     total += max_entries * (q_len * 4 + MAX_LABELS * (4 + 4) + 4)
 
     if include_adj:
-        # match the constructor (and device_store.estimate_nbytes): BOTH
-        # semantic and spatial adjacency tables are uploaded when present —
-        # counting only semantic under-estimated the spatial footprint and
-        # could promote auto-mode to a sharded store that then OOMs
+        # match the constructor flag-for-flag: whichever family's table the
+        # constructor would upload under include_adj=True is what gets
+        # counted. NOTE the production resolve path (train/loop.py
+        # resolve_data_mode) passes include_adj only for SEMANTIC here,
+        # because build_store constructs the sharded store with
+        # include_adj=(relation_type == 'semantic') — spatial adjacency is
+        # built in-jit from boxes and is never resident in sharded mode.
         adj = (
             store.semantic_adj
             if dataset.relation_type == "semantic"

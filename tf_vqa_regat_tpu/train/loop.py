@@ -141,6 +141,21 @@ def _run_signature(
     }
 
 
+def _normalize_legacy_run_sig(sig):
+    """Builds prior to the parsed-list signature stored roi_buckets as the
+    RAW flag string (e.g. '100,64'); parse it with the same rule as
+    Config.parsed_roi_buckets so their step checkpoints stay mid-epoch
+    resumable instead of spuriously refusing on a representation change."""
+    if sig and isinstance(sig.get("roi_buckets"), str):
+        sig = dict(
+            sig,
+            roi_buckets=sorted(
+                int(x) for x in sig["roi_buckets"].split(",") if x.strip()
+            ),
+        )
+    return sig
+
+
 def _log_progress(logger, losses, acc, last, epoch, i, N, start) -> None:
     """The print_freq step line, shared by the train loop and _run_eval (one
     device_get of the on-device accumulators, stuffed into the AverageMeter
@@ -242,7 +257,7 @@ def run_training(
                 # under a different signature the "remainder" would be a
                 # reshuffle that repeats/skips examples, so refuse loudly
                 sig_now = _run_signature(cfg, steps_per_epoch, data.mode, dp)
-                sig_saved = meta.get("run")
+                sig_saved = _normalize_legacy_run_sig(meta.get("run"))
                 if sig_saved is not None and sig_saved != sig_now:
                     diffs = {
                         k: (sig_saved.get(k), sig_now.get(k))
@@ -563,7 +578,13 @@ def run_prediction(
                 ],
                 fh,
             )
-    logger.write(f"wrote {len(qids)} predictions to {out_path}")
+        logger.write(f"wrote {len(qids)} predictions to {out_path}")
+    else:
+        # non-primary processes did not write the file; on a per-host (non-
+        # shared) filesystem out_path exists only on process 0's host
+        logger.write(
+            f"{len(qids)} predictions computed; process 0 writes {out_path}"
+        )
     return out_path
 
 
@@ -648,8 +669,13 @@ def resolve_data_mode(
         return "device"
     if extra_bytes_sharded is None:
         extra_bytes_sharded = extra_bytes // dp
+    # The sharded leg sizes what build_store actually constructs: the
+    # sharded store ships ONLY the semantic table (spatial adjacency builds
+    # in-jit from boxes there), so a spatial split must not be charged a
+    # phantom per-shard adjacency that would spuriously demote it to host.
+    adj_sharded = include_adj and cfg.relation_type == "semantic"
     if dp > 1 and all(
-        estimate_sharded_nbytes(ds, include_adj, cfg.feature_dtype, dp)
+        estimate_sharded_nbytes(ds, adj_sharded, cfg.feature_dtype, dp)
         + extra_bytes_sharded
         <= per_store
         for ds in splits
