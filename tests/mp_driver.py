@@ -31,6 +31,9 @@ from tf_vqa_regat_tpu.parallel.distributed import put_global  # noqa: E402
 NTOKEN, NUM_ANS, BATCH = mp_common.NTOKEN, mp_common.NUM_ANS, mp_common.BATCH
 cfg, ds, store, bspec, rng = rig.cfg, rig.ds, rig.store, rig.bspec, rig.rng
 state = rig.state
+# host copy NOW, before the donated train chain can delete any buffer the
+# initial params might alias — seeds the sharded-store segment's fresh state
+params_host = jax.device_get(rig.params)
 
 losses = []
 for epoch in range(2):
@@ -104,9 +107,76 @@ for batch in loader.epoch(0):
     host_pred.extend(int(x) for x in lab[:n_real])
     pos += n_real
 
+# sharded-store path: the data mode real multi-host training lands on
+# (resolve_data_mode promotes too-big-to-replicate splits here). Tables
+# partitioned over the data axis via put_global (each process places only
+# its local shards), shard_map local gather, SPMD bucketed schedule, blocked
+# eval, and predict with the local->global entry translation — all must be
+# topology-invariant too.
+from tf_vqa_regat_tpu.data.sharded_store import ShardedDeviceStore  # noqa: E402
+from tf_vqa_regat_tpu.train.step import (  # noqa: E402
+    build_sharded_store_eval_block,
+    build_sharded_store_predict_block,
+    build_sharded_store_train_step,
+    init_train_state,
+)
+
+sstore = ShardedDeviceStore(ds, rig.mesh)
+SB = [32, 100]  # synthetic box counts span 10..100: both buckets populated
+ssteps = {
+    R: build_sharded_store_train_step(
+        cfg.replace(num_rois=R), NTOKEN, rig.optimizer, mesh, "jnp",
+        params_host, NUM_ANS, sstore.padding_idx,
+    )
+    for R in SB
+}
+dsh = NamedSharding(mesh, P("data"))
+sstate = init_train_state(params_host, rig.optimizer, mesh)
+slosses = []
+for R, idx in sstore.epoch_indices_bucketed(0, BATCH, SB, True, 5):
+    sstate, sm = ssteps[R](sstate, sstore.arrays, put_global(idx, dsh), rng)
+    slosses.append(float(sm["loss"]))
+
+seblks = {
+    R: build_sharded_store_eval_block(
+        cfg.replace(num_rois=R), NTOKEN, mesh, "jnp", NUM_ANS,
+        sstore.padding_idx, 2,
+    )
+    for R in SB
+}
+spblks = {
+    R: build_sharded_store_predict_block(
+        cfg.replace(num_rois=R), NTOKEN, mesh, "jnp", NUM_ANS,
+        sstore.padding_idx, 2,
+    )
+    for R in SB
+}
+per = BATCH // sstore.dp
+ssum = sscore = sn = 0.0
+spred = {}
+for R, blk in _block_batches(
+    sstore.epoch_indices_bucketed(0, BATCH, SB, False, 5), 2, BATCH
+):
+    gb = put_global(blk, blkspec)
+    m = seblks[R](sstate["params"], sstore.arrays, gb)
+    ssum += float(m["loss"]) * float(m["n"])
+    sscore += float(m["score"])
+    sn += float(m["n"])
+    lab = np.asarray(jax.device_get(spblks[R](sstate["params"], sstore.arrays, gb)))
+    # blk holds shard-LOCAL entry ids (segment s = positions [s*per,(s+1)*per));
+    # translate through the store's local->global table for entry identity
+    for k in range(blk.shape[0]):
+        for pos in np.where(blk[k] >= 0)[0]:
+            gid = int(sstore.local_to_global[pos // per, blk[k, pos]])
+            spred[gid] = int(lab[k, pos])
+
 result = {
     "devices": len(jax.devices()),
     "losses": losses,
+    "sharded_losses": slosses,
+    "sharded_eval_loss": ssum / sn,
+    "sharded_eval_score": sscore / sn,
+    "sharded_pred": sorted(spred.items()),
     "eval_loss": esum / en,
     "eval_score": escore / en,
     "blocked_eval_loss": bsum / bn,

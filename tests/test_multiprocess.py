@@ -48,3 +48,19 @@ def test_two_process_run_matches_single_process(tmp_path):
     assert multi["host_pred"] == single["host_pred"]
     assert len(single["host_pred"]) == 64
     assert single["host_pred"] == [l for _, l in single["pred"]]
+    # sharded store (where real multi-host training lands per
+    # resolve_data_mode): partitioned-table placement, shard_map gather,
+    # SPMD bucketed schedule, blocked eval, and the local->global predict
+    # translation are all topology-invariant
+    np.testing.assert_allclose(
+        multi["sharded_losses"], single["sharded_losses"], rtol=1e-6,
+        err_msg="sharded-store train losses diverge between 1- and 2-process runs",
+    )
+    np.testing.assert_allclose(
+        multi["sharded_eval_loss"], single["sharded_eval_loss"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        multi["sharded_eval_score"], single["sharded_eval_score"], rtol=1e-6
+    )
+    assert multi["sharded_pred"] == single["sharded_pred"]
+    assert len(single["sharded_pred"]) == 64  # every entry exactly once
