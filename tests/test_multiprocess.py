@@ -16,7 +16,9 @@ import numpy as np
 
 from mp_util import run_drivers
 
-_DRIVER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "mp_driver.py")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_DRIVER = os.path.join(_HERE, "mp_driver.py")
+_MAIN_DRIVER = os.path.join(_HERE, "mp_main_driver.py")
 
 
 def _run(nproc: int, tmpdir: str) -> dict:
@@ -64,3 +66,29 @@ def test_two_process_run_matches_single_process(tmp_path):
     )
     assert multi["sharded_pred"] == single["sharded_pred"]
     assert len(single["sharded_pred"]) == 64  # every entry exactly once
+
+
+def test_two_process_full_cli_matches_single_process(tmp_path):
+    """The PRODUCTION entrypoint end-to-end under jax.distributed: main.main()
+    with --synthetic --data_mode sharded runs the top-level loop (sharded
+    _DataPath, process-0-gated output files, collective per-epoch Orbax
+    saves, eval, final artifact) in both topologies; per-epoch metrics.jsonl
+    rows must match."""
+    single = run_drivers(
+        _MAIN_DRIVER, 1, os.path.join(str(tmp_path), "cli_1.json"),
+        os.path.join(str(tmp_path), "out_1"),
+    )
+    multi = run_drivers(
+        _MAIN_DRIVER, 2, os.path.join(str(tmp_path), "cli_2.json"),
+        os.path.join(str(tmp_path), "out_2"),
+    )
+    assert single["final_artifact"] and multi["final_artifact"]
+    assert len(single["metrics"]) == 2  # one row per epoch
+    assert [r["epoch"] for r in multi["metrics"]] == [0, 1]
+    for ms, mm in zip(single["metrics"], multi["metrics"]):
+        assert set(ms) == set(mm)
+        for k in ms:
+            np.testing.assert_allclose(
+                mm[k], ms[k], rtol=1e-6,
+                err_msg=f"metrics.jsonl field {k!r} diverges across topologies",
+            )
