@@ -37,13 +37,37 @@ regat_main.main([
     "--residual_connection", "--output", outdir,
 ])
 
+# ensemble_eval over the just-trained artifact (two implicit members),
+# still multi-process + sharded: member checkpoint loading, the fused
+# one-program member scan, and the ensemble store path under >1 process
+final = os.path.join(outdir, "implicit-butd-pretrained_model")
+ens_out = outdir + "_ens"
+regat_main.main([
+    "--synthetic", "--mode", "ensemble_eval",
+    "--ensemble_checkpoints", f"implicit:{final},implicit:{final}",
+    "--batch_size", "16", "--num_hid", "32", "--relation_dim", "48",
+    "--num_heads", "4", "--nongt_dim", "6", "--imp_pos_emb_dim", "16",
+    "--num_rois", "10", "--adaptive", "--synthetic_val_size", "32",
+    "--print_freq", "0", "--data_mode", "sharded", "--fusion", "butd",
+    "--relation_type", "implicit", "--residual_connection",
+    "--output", ens_out,
+])
+
 if pid == 0:
     with open(os.path.join(outdir, "metrics.jsonl")) as f:
         rows = [json.loads(line) for line in f if line.strip()]
     # drop wall-clock fields; everything else must be topology-invariant
     drop = {"ts", "train_time_s", "eval_time_s", "train_qps"}
     rows = [{k: v for k, v in r.items() if k not in drop} for r in rows]
-    final = os.path.join(outdir, "implicit-butd-pretrained_model")
+    with open(os.path.join(ens_out, "eval_log.txt")) as f:
+        ens_line = [l for l in f if "Final ensemble eval score" in l][-1]
     with open(out_json, "w") as f:
-        json.dump({"metrics": rows, "final_artifact": os.path.isdir(final)}, f)
+        json.dump(
+            {
+                "metrics": rows,
+                "final_artifact": os.path.isdir(final),
+                "ensemble_score": ens_line.strip().rsplit(" ", 1)[-1],
+            },
+            f,
+        )
 print(f"[p{pid}] main done devices={len(jax.devices())}", flush=True)

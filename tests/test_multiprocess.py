@@ -83,6 +83,8 @@ def test_two_process_full_cli_matches_single_process(tmp_path):
         os.path.join(str(tmp_path), "out_2"),
     )
     assert single["final_artifact"] and multi["final_artifact"]
+    # ensemble_eval (sharded, 2 members over the trained artifact) too
+    assert multi["ensemble_score"] == single["ensemble_score"]
     assert len(single["metrics"]) == 2  # one row per epoch
     assert [r["epoch"] for r in multi["metrics"]] == [0, 1]
     for ms, mm in zip(single["metrics"], multi["metrics"]):
