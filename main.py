@@ -87,8 +87,13 @@ def build_datasets(cfg: Config):
 
         store_rts = {rt for rt, _ in parse_members(cfg.ensemble_checkpoints)}
         store_rts.add(cfg.relation_type)
+    # --use_both/--use_vg only ever compose under --mode train (below);
+    # inference modes build the val split alone, so --mmap_features is fine
+    # there even when the training JSON config carries use_both. The vqa_cp
+    # merged base composes in every mode.
     if cfg.mmap_features and (
-        cfg.use_both or cfg.use_vg or cfg.dataset == "vqa_cp"
+        cfg.dataset == "vqa_cp"
+        or (cfg.mode == "train" and (cfg.use_both or cfg.use_vg))
     ):
         raise ValueError(
             "--mmap_features cannot compose splits (--use_both/--use_vg and "

@@ -389,3 +389,36 @@ def test_prefetch_producer_exits_when_consumer_abandons():
     time.sleep(1.0)
     assert len(made) == n1, "producer kept drawing batches after close"
     assert n1 < 1000
+
+
+def test_mmap_compose_guard_is_mode_dependent(tmp_path):
+    """--mmap_features + use_both/use_vg only conflict when composition
+    actually happens — under --mode train. An eval/predict/serve run whose
+    JSON config carries use_both builds the val split alone and must not be
+    rejected (round-3 review finding); vqa_cp composes in every mode and is
+    always rejected."""
+    import pytest
+
+    import main as regat_main
+    from tf_vqa_regat_tpu.config import Config
+
+    root = str(tmp_path / "fix")
+    write_fixture(root, num_images=6, num_questions=12, v_dim=16, num_ans=7,
+                  adaptive=True, name="val")
+    base = dict(data_folder=root, adaptive=True, mmap_features=True,
+                use_both=True)
+
+    # inference mode: no composition -> loads fine
+    train, val, _, _ = regat_main.build_datasets(Config(**base, mode="eval"))
+    assert train is None and val is not None and len(val.entries) == 12
+
+    # train mode composes -> loud rejection
+    with pytest.raises(ValueError, match="compose"):
+        regat_main.build_datasets(Config(**base, mode="train"))
+
+    # vqa_cp merges its base store in every mode -> rejected even for eval
+    with pytest.raises(ValueError, match="compose"):
+        regat_main.build_datasets(
+            Config(data_folder=root, adaptive=True, mmap_features=True,
+                   dataset="vqa_cp", mode="eval")
+        )

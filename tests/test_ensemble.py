@@ -129,3 +129,37 @@ def test_real_data_layer_ensemble_with_semantic_member(tmp_path):
     logger = Logger(str(tmp_path / "log.txt"))
     score = run_ensemble_eval(cfg, ds, mesh, "jnp", logger)
     assert 0.0 <= score <= 100.0
+
+
+def test_ensemble_roi_buckets_rejected_on_host_fallback(tmp_path):
+    """--roi_buckets with a host-streaming resolution must raise in
+    ensemble_eval exactly like training/eval/predict do — previously the
+    ensemble silently evaluated at the single static roi size instead
+    (round-3 review finding)."""
+    import pytest as _pytest
+
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+    from tf_vqa_regat_tpu.models.regat import init_regat
+    from tf_vqa_regat_tpu.parallel.mesh import make_mesh
+    from tf_vqa_regat_tpu.train import checkpoint as ckpt
+    from tf_vqa_regat_tpu.train.ensemble import run_ensemble_eval
+    from tf_vqa_regat_tpu.train.logging import Logger
+
+    ds = synthetic_dataset(
+        num_images=8, num_questions=30, v_dim=16, num_ans=7, adaptive=True,
+        name="val",
+    )
+    base = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+        batch_size=16, adaptive=True, num_rois=40,
+    )
+    params = init_regat(jax.random.PRNGKey(0), base, ds.ntoken, 16, 7)
+    path = ckpt.save_params_only(str(tmp_path), "implicit", "butd", params)
+    cfg = base.replace(
+        ensemble_checkpoints=f"implicit:{path}", mode="ensemble_eval",
+        data_mode="host", roi_buckets="16,40",
+    )
+    with _pytest.raises(ValueError, match="roi_buckets"):
+        run_ensemble_eval(cfg, ds, make_mesh(), "jnp", Logger(str(tmp_path / "l.txt")))

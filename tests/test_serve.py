@@ -218,3 +218,64 @@ def test_serve_semantic_adjacency_matches_eval_forward():
 
     got = eng.infer([q_text], [int(ds.entries.image_ids[i])])
     assert got[0]["answer"] == want
+
+
+def test_post_scalar_json_body_returns_400(setup):
+    """A scalar JSON body (valid JSON, not an object/array) must get the
+    documented 400, not crash the handler at len(items) (round-3 review
+    finding)."""
+    ds, params = setup
+    server, batcher = make_server(CFG, ds, params, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        for body in (b"5", b"true", b'"abc"', b"null"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict", body,
+                {"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                assert False, f"expected 400 for body {body!r}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, body
+                assert "object or array" in json.loads(e.read())["error"]
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+def test_microbatcher_close_drains_presentinel_requests():
+    """submit() documents that a request enqueued before close()'s sentinel
+    is still served. The worker loop must therefore drain the queue up to
+    the sentinel even after _stop is set — previously it re-checked _stop
+    after each batch and abandoned queued pre-sentinel requests, parking
+    their Futures until the handler's 60 s timeout (round-3 review
+    finding)."""
+    import time
+
+    from tf_vqa_regat_tpu.serve import MicroBatcher
+
+    class SlowEngine:
+        batch_sizes = (1,)  # one request per infer -> the queue backs up
+
+        def infer(self, qs, iids):
+            time.sleep(0.15)
+            return [{"answer": "a", "confidence": 0.5} for _ in qs]
+
+    b = MicroBatcher(SlowEngine(), max_delay_ms=1.0)
+    f0 = b.submit("q", 0)
+    time.sleep(0.05)  # worker is inside infer() serving f0
+    f1 = b.submit("q", 1)
+    f2 = b.submit("q", 2)
+    closer = threading.Thread(target=b.close)
+    closer.start()  # sets _stop and enqueues the sentinel AFTER f1/f2
+    assert f0.result(timeout=5)["answer"] == "a"
+    assert f1.result(timeout=5)["answer"] == "a"
+    assert f2.result(timeout=5)["answer"] == "a"
+    closer.join(timeout=5)
+    # post-close submits still fail fast
+    f3 = b.submit("q", 3)
+    with pytest.raises(RuntimeError, match="shutting down"):
+        f3.result(timeout=1)

@@ -449,3 +449,45 @@ def test_run_prediction_device_and_host_match_direct_argmax(tmp_path):
         )
         got = {d["question_id"]: d["answer"] for d in json.load(open(path))}
         assert got == want, mode
+
+
+def test_lr_banner_matches_reference_log_contract(tmp_path):
+    """The per-epoch LR banner follows reference train.py:66-77 exactly: a
+    'Reducing Learning Rate from X to Y' line at EVERY warmup epoch (0-4 —
+    including epochs 0/1 where X == Y) and at each decay epoch (5, 5+step,
+    ...), and NO line at non-decay epochs past warmup (round-3 review
+    finding: the loop previously suppressed unchanged transitions and worded
+    the first epoch differently)."""
+    import re
+
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+    from tf_vqa_regat_tpu.train.loop import run_training
+
+    cfg = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+        residual_connection=True, epochs=8, batch_size=16, print_freq=0,
+        lr_decay_step=2, base_lr=2e-3, output=str(tmp_path) + "/",
+        save_every_epoch=False, num_rois=24,
+    )
+    train = synthetic_dataset(num_images=8, num_questions=32, v_dim=16, num_ans=7)
+    val = synthetic_dataset(num_images=4, num_questions=16, v_dim=16, num_ans=7, seed=1)
+    run_training(cfg, train, val)
+
+    log = open(tmp_path / "log.txt").read()
+    lines = re.findall(
+        r"Epoch: (\d+)\. Reducing Learning Rate from (\S+) to (\S+)", log
+    )
+    got = [(int(e), float(a), float(b)) for e, a, b in lines]
+    b, r = cfg.base_lr, cfg.lr_decay_rate
+    want = [
+        (0, b, b), (1, b, b), (2, b, 1.2 * b), (3, 1.2 * b, 1.3 * b),
+        (4, 1.3 * b, 1.4 * b),                  # warmup: every epoch logs
+        (5, 1.4 * b, 1.4 * b * r),              # decay epochs: 5, 5+step
+        (7, 1.4 * b * r, 1.4 * b * r**2),       # epoch 6 logs nothing
+    ]
+    assert [e for e, _, _ in got] == [e for e, _, _ in want]
+    for (ge, ga, gb), (we, wa, wb) in zip(got, want):
+        np.testing.assert_allclose(ga, wa, rtol=1e-5, err_msg=f"epoch {we} from")
+        np.testing.assert_allclose(gb, wb, rtol=1e-5, err_msg=f"epoch {we} to")

@@ -264,7 +264,13 @@ class MicroBatcher:
         self._worker.join(timeout=5)
 
     def _run(self):
-        while not self._stop:
+        # Loop until the SENTINEL, not on _stop: submit() guarantees a
+        # request enqueued before close()'s sentinel is still served, so the
+        # worker must drain the queue up to the sentinel even after _stop is
+        # already set (checking _stop here abandoned pre-sentinel requests
+        # whose Futures then hit the handler's 60 s timeout).
+        sentinel = False
+        while not sentinel:
             item = self._q.get()
             if item is None:
                 return
@@ -282,7 +288,7 @@ class MicroBatcher:
                 except queue.Empty:
                     break
                 if nxt is None:
-                    self._stop = True
+                    sentinel = True  # serve the batch in hand, then exit
                     break
                 batch.append(nxt)
             try:
@@ -344,6 +350,12 @@ def make_server(
                 req = json.loads(self.rfile.read(length))
             except Exception:
                 return self._json(400, {"error": "invalid JSON"})
+            if not isinstance(req, (dict, list)):
+                # a scalar body (5, true, "abc") is valid JSON but not a
+                # request; without this it crashed the handler at len(items)
+                return self._json(
+                    400, {"error": "expected a JSON object or array"}
+                )
             single = isinstance(req, dict)
             items = [req] if single else req
             # Cap the client batch: every item funnels through the single

@@ -311,6 +311,11 @@ def run_ensemble_eval(
     mode = resolve_data_mode(
         cfg, val_ds, None, False, dp, adj_extra, adj_extra_sharded
     )
+    # same loud rejection as training/eval/predict: the host fallback has no
+    # bucketed programs, so --roi_buckets there would be silently ignored
+    from tf_vqa_regat_tpu.train.loop import check_roi_buckets_mode
+
+    check_roi_buckets_mode(cfg, mode)
     if mode in ("device", "sharded"):
         return _run_ensemble_resident(
             cfg, val_ds, mesh, impl, logger, members, member_params, mode

@@ -296,7 +296,6 @@ def run_training(
     )
 
     N = steps_per_epoch
-    prev_lr = None
     # pending_joined: an exception anywhere in the loop (debug_nans raise,
     # eval OOM, KeyboardInterrupt) still joins an in-flight async write, so
     # every checkpoint issued before the failure is durable on disk
@@ -306,13 +305,30 @@ def run_training(
             skip = skip_steps if epoch == start_epoch else 0
 
             lr_now = float(lr_fn(jnp.asarray(epoch * steps_per_epoch)))
-            if prev_lr is not None and lr_now != prev_lr:
+            # Reference log contract (train.py:66-77): the LR line prints at
+            # EVERY warmup epoch (0-4, even when from == to, e.g. epochs 0/1)
+            # and at each decay epoch (5, 5+step, ...), never otherwise; the
+            # from-value is the previous epoch's LR (the compiled base LR at
+            # epoch 0). Deriving both ends from lr_fn keeps a resumed run's
+            # banner identical to the uninterrupted one.
+            from tf_vqa_regat_tpu.train.optim import (
+                DECAY_START_EPOCH,
+                WARMUP_FACTORS,
+            )
+
+            lr_old = (
+                float(lr_fn(jnp.asarray((epoch - 1) * steps_per_epoch)))
+                if epoch > 0
+                else float(cfg.base_lr)
+            )
+            is_decay = (
+                epoch >= DECAY_START_EPOCH
+                and (epoch - DECAY_START_EPOCH) % cfg.lr_decay_step == 0
+            )
+            if epoch < len(WARMUP_FACTORS) or is_decay:
                 logger.write(
-                    f"\nEpoch: {epoch}. Reducing Learning Rate from {prev_lr} to {lr_now}"
+                    f"\nEpoch: {epoch}. Reducing Learning Rate from {lr_old} to {lr_now}"
                 )
-            elif prev_lr is None:
-                logger.write(f"\nEpoch: {epoch}. Learning Rate {lr_now}")
-            prev_lr = lr_now
 
             logger.write("--" * 50)
             logger.write(f"[DEBUG] epoch {epoch}, number of steps: {N}")
