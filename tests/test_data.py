@@ -422,3 +422,31 @@ def test_mmap_compose_guard_is_mode_dependent(tmp_path):
             Config(data_folder=root, adaptive=True, mmap_features=True,
                    dataset="vqa_cp", mode="eval")
         )
+
+
+def test_load_entries_empty_split_keeps_2d_q_tokens(tmp_path):
+    """A split that yields zero entries must still produce q_tokens with
+    shape (0, max_q_len) — np.asarray([]) is 1-D and broke every
+    q_tokens.shape[1] consumer far from the cause (round-3 review
+    finding)."""
+    import json
+    import os
+    import pickle
+
+    from tf_vqa_regat_tpu.data.entries import load_entries
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "Questions"))
+    os.makedirs(os.path.join(root, "cache"))
+    with open(
+        os.path.join(
+            root, "Questions", "v2_OpenEnded_mscoco_val2014_questions.json"
+        ), "w",
+    ) as fh:
+        json.dump({"questions": []}, fh)
+    with open(os.path.join(root, "cache", "val_target.pkl"), "wb") as fh:
+        pickle.dump([], fh)
+
+    ent = load_entries(root, "val", {}, ["yes"], make_dictionary())
+    assert ent.q_tokens.shape == (0, 14)
+    assert ent.label_offsets.shape == (1,)

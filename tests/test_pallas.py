@@ -195,3 +195,27 @@ def test_v3_no_pos_bias_fc_bias_none():
     got = np.asarray(_apply(params, roi, pos_mat, key_mask, "pallas", train=False))
     want = np.asarray(_apply(params, roi, pos_mat, key_mask, "jnp", train=False))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_with_label_bias_matches_jnp():
+    """pos_mat + label_bias WITHOUT adj_mask must not take the fused v3
+    branch (the kernel has no edge-label input) — previously the gate only
+    checked adj_mask and silently dropped the label bias (round-3 review
+    finding). impl='pallas' routes through the v2 kernel with the full bias
+    and must match the jnp oracle."""
+    params, roi, pos_mat, key_mask = _v3_setup(seed=4)
+    rng = np.random.RandomState(11)
+    lb = jnp.asarray(rng.randn(_B, _R, _N).astype(np.float32))
+    got = np.asarray(
+        _apply(params, roi, pos_mat, key_mask, "pallas", train=False,
+               label_bias=lb)
+    )
+    want = np.asarray(
+        _apply(params, roi, pos_mat, key_mask, "jnp", train=False,
+               label_bias=lb)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    # and the bias actually matters (the old silent-drop would produce the
+    # no-bias output instead)
+    base = np.asarray(_apply(params, roi, pos_mat, key_mask, "jnp", train=False))
+    assert np.abs(got - base).max() > 1e-4

@@ -70,3 +70,37 @@ def test_preflight_flags_missing_files(dataroot, tmp_path):
     assert r.returncode == 1
     assert "MISSING" in r.stdout
     assert "fix the inventory" in r.stdout
+
+
+def test_preflight_train_run_resolution_matches_production(dataroot):
+    """The `--mode train` table must equal the production resolution —
+    resolve_data_mode(cfg, val, train, dp) with the halved per-store budget
+    and cfg.relation_type threaded (round-3 review finding: preflight
+    previously resolved each split alone with the full budget and a
+    default-implicit config, mispredicting real training runs)."""
+    r = _run("--data_folder", dataroot, "--adaptive", "--dp", "8",
+             "--budget_gb", "0.00005", "--json")
+    assert r.returncode == 0, r.stdout + r.stderr
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    modes = rep["train_run_auto_mode"]
+    assert set(modes) == {"float32", "bfloat16", "int8"}
+
+    # oracle: production resolve_data_mode on the same fixture data
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.data.dictionary import Dictionary
+    from tf_vqa_regat_tpu.data.features import load_vqa_dataset
+    from tf_vqa_regat_tpu.train.loop import resolve_data_mode
+
+    d = Dictionary.load_from_file(
+        os.path.join(dataroot, "glove", "dictionary.pkl")
+    )
+    train = load_vqa_dataset("train", d, "implicit", dataroot, adaptive=True)
+    val = load_vqa_dataset("val", d, "implicit", dataroot, adaptive=True)
+    for dtype, got in modes.items():
+        cfg = Config(adaptive=True, feature_dtype=dtype,
+                     device_store_budget_gb=0.00005)
+        want = resolve_data_mode(cfg, val, train, False, 8)
+        assert got == want, (dtype, got, want)
+    # the halved budget must bite: at 50 KB the f32 train-run resolution is
+    # NOT device (the per-split eval-only f32 val row may still be)
+    assert modes["float32"] in ("sharded", "host")

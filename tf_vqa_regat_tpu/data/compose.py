@@ -200,7 +200,9 @@ def load_vqa_cp_dataset(
         question_ids=np.asarray(qids, np.int64),
         image_ids=np.asarray(iids, np.int64),
         image_index=np.asarray(iidx, np.int32),
-        q_tokens=np.asarray(toks, np.int32),
+        # reshape pins [n, max_q_len] even for an empty split (see
+        # entries.load_entries)
+        q_tokens=np.asarray(toks, np.int32).reshape(len(qids), max_q_len),
         label_offsets=offsets,
         labels=np.concatenate(label_list) if label_list else np.zeros(0, np.int32),
         scores=np.concatenate(score_list) if score_list else np.zeros(0, np.float32),

@@ -262,7 +262,7 @@ def estimate_nbytes(
             else store.spatial_adj
         )
         if adj is not None:
-            total += int(adj.nbytes) // adj.itemsize  # stored as int8
+            total += int(adj.size)  # stored as int8: 1 byte per element
     return total
 
 

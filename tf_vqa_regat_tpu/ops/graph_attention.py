@@ -120,7 +120,16 @@ def graph_attention_apply(
     # interpret mode so the full model path is testable without hardware.
     interpret = jax.default_backend() != "tpu"
 
-    if impl == "pallas" and pos_mat is not None and adj_mask is None:
+    # label_bias must also be absent: the fused kernel has no edge-label
+    # input, so taking this branch with one would silently drop it from the
+    # logits while impl="jnp" applies it (review finding; unreachable from
+    # models/relation.py today — adj_mask and label_bias always co-travel).
+    if (
+        impl == "pallas"
+        and pos_mat is not None
+        and adj_mask is None
+        and label_bias is None
+    ):
         # Fully-fused implicit path (kernel v3): sinusoid + dropout + pos-FC
         # + log-bias + key-mask + softmax + AV in one kernel; the position
         # embedding never touches HBM on the forward pass.

@@ -46,18 +46,22 @@ from tf_vqa_regat_tpu.train.step import (
     init_train_state,
 )
 
-BATCH, NTOKEN, NUM_ANS, V_DIM = 256, 19901, 3129, 2048
+from bench import BATCH, NTOKEN, NUM_ANS, V_DIM, flagship_cfg as _bench_flagship
 
 
 def flagship_cfg(**kw):
-    base = dict(
-        batch_size=BATCH, num_hid=768, relation_dim=1024, num_heads=16,
-        nongt_dim=20, imp_pos_emb_dim=64, dir_num=2, num_steps=1,
-        residual_connection=True, label_bias=False, dropout=0.2,
-        fusion="butd", relation_type="implicit", adaptive=True, num_rois=100,
+    """bench.py's flagship dims (single source — a dim change there must not
+    silently desynchronize this tool's recorded numbers), pinned to the
+    single R=100 bucket this experiment measures. LR/compute fields reset to
+    Config defaults: this tool predates bench's bf16/LR pinning and its
+    recorded overfit curves were run with the defaults — each variant passes
+    compute_dtype explicitly anyway."""
+    d = Config()
+    base = _bench_flagship().replace(
+        num_rois=100, compute_dtype=d.compute_dtype, base_lr=d.base_lr,
+        lr_decay_rate=d.lr_decay_rate, lr_decay_step=d.lr_decay_step,
     )
-    base.update(kw)
-    return Config(**base)
+    return base.replace(**kw) if kw else base
 
 
 def throughput(name, feature_dtype, compute_dtype):

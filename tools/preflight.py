@@ -9,8 +9,11 @@ Reports, per split:
   1. file inventory — every path the loaders will open (reference layout,
      dataset.py:119-199), with sizes and loud MISSING markers;
   2. memory-estimate table — replicated (estimate_nbytes) and per-shard
-     (estimate_sharded_nbytes at --dp) footprints for f32/bf16/int8, and
-     the data mode `--data_mode auto` would resolve for each dtype;
+     (estimate_sharded_nbytes at --dp) footprints for f32/bf16/int8, the
+     eval-only `--data_mode auto` resolution per split, and (when both
+     train and val are inventoried) the JOINT `--mode train` resolution —
+     both splits against the halved per-store budget, exactly the call
+     run_training makes;
   3. int8 quantization sanity (REALDATA.md §3 step 3) — per-row symmetric
      quantization error on a strided sample of REAL feature rows
      (quantize_rows, the exact production quantizer): relative L2 error
@@ -83,28 +86,65 @@ def inventory(dataroot: str, name: str, adaptive: bool, tfidf: bool):
     ]
 
 
-def estimate_tables(ds, dp: int, budget_gb: float, include_adj: bool):
-    """Rows of (dtype, replicated, per-shard@dp, resolved auto mode)."""
+def _cfg_for(ds, dtype: str, budget_gb: float, relation_type: str):
     from tf_vqa_regat_tpu.config import Config
+
+    # relation_type MUST be threaded through: resolve_data_mode's sharded
+    # leg keys on cfg.relation_type == "semantic" (the sharded store ships
+    # only the semantic table; spatial builds in-jit) — a default-implicit
+    # Config mispredicted semantic runs (round-3 review finding)
+    return Config(
+        batch_size=256, adaptive=ds.store.adaptive, feature_dtype=dtype,
+        device_store_budget_gb=budget_gb, relation_type=relation_type,
+    )
+
+
+def estimate_tables(ds, dp: int, budget_gb: float, relation_type: str):
+    """Rows of (dtype, replicated, per-shard@dp, eval-run auto mode).
+
+    The auto column here is the EVAL-ONLY resolution (train_ds=None — full
+    budget, what --mode eval/predict/serve resolve for this split); a
+    training run halves the budget per store and resolves both splits
+    jointly — see train_run_modes. Adjacency terms mirror what each store
+    actually ships (device: semantic OR spatial table; sharded: semantic
+    only), exactly like production resolve_data_mode/build_store."""
     from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
     from tf_vqa_regat_tpu.data.sharded_store import estimate_sharded_nbytes
     from tf_vqa_regat_tpu.train.loop import resolve_data_mode
 
+    include_adj = relation_type in ("semantic", "spatial")
     rows = []
     for dtype in ("float32", "bfloat16", "int8"):
-        cfg = Config(
-            batch_size=256, adaptive=ds.store.adaptive, feature_dtype=dtype,
-            device_store_budget_gb=budget_gb,
-        )
+        cfg = _cfg_for(ds, dtype, budget_gb, relation_type)
         rows.append(
             (
                 dtype,
                 estimate_nbytes(ds, include_adj, dtype),
-                estimate_sharded_nbytes(ds, include_adj, dtype, dp),
+                estimate_sharded_nbytes(
+                    ds, include_adj and relation_type == "semantic", dtype, dp
+                ),
                 resolve_data_mode(cfg, ds, None, include_adj, dp),
             )
         )
     return rows
+
+
+def train_run_modes(
+    train_ds, val_ds, dp: int, budget_gb: float, relation_type: str
+):
+    """(dtype -> auto mode) for an actual `--mode train` run: both splits
+    resolved JOINTLY with the budget halved per store — the exact call
+    run_training makes (train/loop.py _DataPath)."""
+    from tf_vqa_regat_tpu.train.loop import resolve_data_mode
+
+    include_adj = relation_type in ("semantic", "spatial")
+    return {
+        dtype: resolve_data_mode(
+            _cfg_for(val_ds, dtype, budget_gb, relation_type),
+            val_ds, train_ds, include_adj, dp,
+        )
+        for dtype in ("float32", "bfloat16", "int8")
+    }
 
 
 def int8_check(features, sample_rows: int):
@@ -130,9 +170,13 @@ def int8_check(features, sample_rows: int):
         hi = min(lo + BLOCK, n)
         if flat3:
             i0, i1 = lo // features.shape[1], -(-hi // features.shape[1])
+            # offset into the image-aligned block: rows [lo, hi), not the
+            # block's first hi-lo rows (which snapped every sample back to
+            # an image boundary — round-3 review finding)
+            off = lo - i0 * features.shape[1]
             chunk = np.asarray(features[i0:i1], np.float32).reshape(
                 -1, features.shape[-1]
-            )[: hi - lo]
+            )[off : off + (hi - lo)]
         else:
             chunk = np.asarray(features[lo:hi], np.float32)
         if not len(chunk):
@@ -180,6 +224,7 @@ def main() -> None:
 
     report = {"data_folder": args.data_folder, "splits": {}}
     ok = True
+    loaded = {}  # split -> VQADataset (for the joint train-run resolution)
     for name in [s.strip() for s in args.splits.split(",") if s.strip()]:
         inv = inventory(args.data_folder, name, args.adaptive, args.tfidf)
         missing = [p for p, exists, _ in inv if not exists]
@@ -231,8 +276,8 @@ def main() -> None:
             label2ans=[], dictionary=Dictionary(), relation_type=args.relation_type,
             ntoken=19901,
         )
-        include_adj = args.relation_type == "semantic"
-        rows = estimate_tables(ds, args.dp, args.budget_gb, include_adj)
+        loaded[name] = ds
+        rows = estimate_tables(ds, args.dp, args.budget_gb, args.relation_type)
         split_rep["estimates"] = [
             {
                 "feature_dtype": d, "replicated_bytes": r,
@@ -243,7 +288,7 @@ def main() -> None:
         if not args.json:
             print(f"  questions: {n_q:,}; feature rows: "
                   f"{int(np.prod(store.features.shape[:-1])):,} x {store.v_dim}")
-            print(f"  {'dtype':9s} {'replicated':>12s} {'/shard@dp%d' % args.dp:>12s}  auto->")
+            print(f"  {'dtype':9s} {'replicated':>12s} {'/shard@dp%d' % args.dp:>12s}  auto (eval-only)->")
             for d, r, s, m in rows:
                 print(f"  {d:9s} {_fmt_bytes(r):>12s} {_fmt_bytes(s):>12s}  {m}")
             if all(m == "host" for *_x, m in rows):
@@ -266,8 +311,29 @@ def main() -> None:
                 )
             else:
                 print("  int8 quantization looks safe on this split")
-        if store.h5_file is not None:
-            store.h5_file.close()
+    # The run a user is actually preparing for: `--mode train` resolves BOTH
+    # splits jointly with the budget halved per store (train/loop.py) — the
+    # per-split eval-only column above intentionally does not predict it
+    # (round-3 review finding: preflight previously used the full budget and
+    # a default-implicit config, mispredicting real training runs).
+    if "train" in loaded and "val" in loaded:
+        modes = train_run_modes(
+            loaded["train"], loaded["val"], args.dp, args.budget_gb,
+            args.relation_type,
+        )
+        report["train_run_auto_mode"] = modes
+        if not args.json:
+            print(f"== `--mode train` resolution (val+train jointly, "
+                  f"budget/2 per store, dp={args.dp}) ==")
+            for d, m in modes.items():
+                print(f"  {d:9s} auto-> {m}")
+            if all(m == "host" for m in modes.values()):
+                print("  !! the training run lands on host streaming — raise "
+                      "--budget_gb, add chips, or use int8")
+
+    for ds in loaded.values():
+        if ds.store.h5_file is not None:
+            ds.store.h5_file.close()
 
     report["ok"] = ok
     if args.json:
