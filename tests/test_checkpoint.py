@@ -552,3 +552,50 @@ def test_latest_checkpoint_fallback_ignores_orbax_tmp_dirs(tmp_path):
     (root / "meta.json").unlink()  # force the legacy fallback
     latest = ckpt.latest_checkpoint(out)
     assert latest is not None and latest.endswith("epoch_0002")
+
+
+def test_legacy_run_sig_without_data_mode_and_dp_still_resumes(tmp_path):
+    """Step checkpoints from builds BEFORE the data_mode/dp signature keys
+    must still mid-epoch-resume under the unchanged configuration: the
+    comparison covers only the keys the saving build recorded (keys it
+    never stored cannot be checked) — previously the missing keys were
+    treated as a mismatch and every legacy step checkpoint was refused
+    after an upgrade (round-3 review finding). A key the writer DID record
+    still refuses on change."""
+    import json
+    import os
+
+    import pytest
+
+    from tf_vqa_regat_tpu.train.loop import Preempted, run_training
+
+    cfg = _run_cfg(tmp_path, epochs=1)
+    train, val = _datasets()
+
+    os.environ["REGAT_FAULT_PREEMPT_STEP"] = "2"
+    try:
+        with pytest.raises(Preempted):
+            run_training(cfg, train, val)
+    finally:
+        del os.environ["REGAT_FAULT_PREEMPT_STEP"]
+
+    meta_path = tmp_path / "checkpoints" / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    assert "step_in_epoch" in meta and "run" in meta
+    # strip the new keys, emulating a pre-data_mode/dp on-disk signature
+    legacy_run = {k: v for k, v in meta["run"].items()
+                  if k not in ("data_mode", "dp")}
+
+    # a key the legacy sig DID record still refuses on change (checked
+    # first: a successful resume completes the epoch and prunes the step
+    # checkpoint)
+    meta["run"] = dict(legacy_run, batch_size=999)
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="mid-epoch resume"):
+        run_training(cfg.replace(resume=True), train, val)
+
+    # unchanged configuration: resume must be ACCEPTED and complete
+    meta["run"] = legacy_run
+    meta_path.write_text(json.dumps(meta))
+    params, best = run_training(cfg.replace(resume=True), train, val)
+    assert np.isfinite(best)

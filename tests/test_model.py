@@ -182,3 +182,39 @@ def test_forward_label_bias_enabled():
     batch = make_batch(seed=8, semantic=True)
     logits = apply_regat(params, cfg, batch, NTOKEN, train=False)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_dropout_zero_is_dropout_free_for_every_fusion():
+    """--dropout 0 must make the train-mode forward rng-invariant for EVERY
+    fusion. MuTAN's hardcoded Tucker-block input dropout (the PyTorch block
+    fusion's dropout_input=0.1) previously ignored drop_rate and kept
+    training stochastic at --dropout 0 — breaking determinism harnesses
+    built on it (round-3 review finding); it now gates on drop_rate > 0
+    like the other hardcoded reference rates (gatt_net/implicit encoder)."""
+    import jax
+
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+    from tf_vqa_regat_tpu.data.loader import BatchLoader
+    from tf_vqa_regat_tpu.models.regat import apply_regat, init_regat
+
+    ds = synthetic_dataset(num_images=4, num_questions=16, v_dim=24, num_ans=9)
+    ntoken = ds.dictionary.ntoken
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in next(iter(BatchLoader(ds, 16, 12, shuffle=False).epoch(0))).items()
+    }
+    for fusion in ("butd", "ban", "mutan"):
+        cfg = Config(
+            num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+            imp_pos_emb_dim=16, fusion=fusion, relation_type="implicit",
+            residual_connection=True, ban_glimpse=2, mutan_rank=3,
+            mutan_gamma=2, dropout=0.0,
+        )
+        params = init_regat(jax.random.PRNGKey(0), cfg, ntoken, 24, 9)
+        a = apply_regat(params, cfg, batch, ntoken, train=True,
+                        rng=jax.random.PRNGKey(1))
+        b = apply_regat(params, cfg, batch, ntoken, train=True,
+                        rng=jax.random.PRNGKey(2))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=fusion)

@@ -95,3 +95,28 @@ def test_sp_rois_sharding_matches_single_device():
     jax.tree.map(
         lambda x, y: np.testing.assert_allclose(x, y, rtol=2e-3, atol=1e-4), p1, psp
     )
+
+
+def test_sp_rois_host_eval_matches_single_device():
+    """build_eval_step (host-streaming eval) must honor --sp_rois like the
+    train step and the store-mode eval builders — previously it evaluated
+    fully replicated over 'model' (tp x the train step's per-device
+    activation memory; round-3 review finding). Sharding is a layout
+    change: metrics must match the single-device eval exactly."""
+    from tf_vqa_regat_tpu.train.step import build_eval_step
+
+    assert len(jax.devices()) >= 8
+    ds = synthetic_dataset(num_images=8, num_questions=64, v_dim=32, num_ans=9)
+    ntoken = ds.dictionary.ntoken
+    params = init_regat(jax.random.PRNGKey(0), CFG, ntoken, 32, 9)
+    batch = next(iter(BatchLoader(ds, 16, 12, shuffle=False).epoch(0)))
+
+    m1 = make_mesh(dp_size=1, tp_size=1, devices=jax.devices()[:1])
+    e1 = build_eval_step(CFG, ntoken, m1, "jnp")
+    want = jax.device_get(e1(params, jax.device_put(batch, batch_sharding(m1))))
+
+    msp = make_mesh(dp_size=4, tp_size=2)
+    esp = build_eval_step(CFG.replace(sp_rois=True), ntoken, msp, "jnp")
+    got = jax.device_get(esp(params, jax.device_put(batch, batch_sharding(msp))))
+    for k in ("loss", "score", "n"):
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, err_msg=k)

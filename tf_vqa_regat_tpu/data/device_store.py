@@ -425,11 +425,18 @@ def gather_batch(
         "valid": valid,
     }
     if "adj" in arrays:
-        k = min(arrays["adj"].shape[1], num_rois)
-        adj = jnp.zeros((B, num_rois, num_rois), jnp.int32)
-        adj = adj.at[:, :k, :k].set(arrays["adj"][img][:, :k, :k].astype(jnp.int32))
-        batch["adj_label"] = adj
+        batch["adj_label"] = gather_adj(arrays, img, num_rois)
     return batch
+
+
+def gather_adj(arrays, img: jax.Array, num_rois: int) -> jax.Array:
+    """[B, num_rois, num_rois] int32 adjacency labels gathered from the
+    store's [n_img, A, A] int8 table, clamped/zero-padded to num_rois.
+    Shared by gather_batch and serve.serve_step so on-device batch assembly
+    cannot drift between training/eval and serving (review finding)."""
+    k = min(arrays["adj"].shape[1], num_rois)
+    adj = jnp.zeros((img.shape[0], num_rois, num_rois), jnp.int32)
+    return adj.at[:, :k, :k].set(arrays["adj"][img][:, :k, :k].astype(jnp.int32))
 
 
 def gather_image_features(

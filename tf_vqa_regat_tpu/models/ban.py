@@ -69,9 +69,6 @@ def ban_init(key: jax.Array, v_dim: int, q_dim: int, glimpse: int) -> Dict[str, 
     return params
 
 
-def _wn_tensor(p):
-    v = p["v"]
-    return v * (p["g"] * jax.lax.rsqrt(jnp.sum(jnp.square(v)) + 1e-12))
 
 
 def ban_apply(
@@ -92,7 +89,7 @@ def ban_apply(
     v_ = wn.fcnet_apply(params["att_v_net"], visual, "relu", drop_rate, train, rngs, compute_dtype)
     v_ = nn.dropout(v_, drop_rate, train, rngs)  # BCNet drops v_ again in forward
     q_ = wn.fcnet_apply(params["att_q_net"], q_seq, "relu", drop_rate, train, rngs, compute_dtype)
-    h_mat = _wn_tensor(params["h_mat"]).astype(compute_dtype)  # [g, h*K]
+    h_mat = wn.wn_kernel(params["h_mat"], compute_dtype)  # [g, h*K]
     logits = jnp.einsum(
         "gk,bvk,bqk->bgvq",
         h_mat,

@@ -117,7 +117,8 @@ def mutan_apply(
     # question enters [b, 1, q_dim]: its side of the Tucker block broadcasts
     # over rois (see _mutan_block_apply — exact, and 2x fewer eval FLOPs)
     alpha = _mutan_block_apply(
-        params["att_fusion"], question[:, None, :], visual, rank, 0.1, train,
+        params["att_fusion"], question[:, None, :], visual, rank,
+        0.1 if drop_rate > 0 else 0.0, train,
         rngs, compute_dtype,
     )  # [b, R, ATT_DIM]
     alpha = wn.fcnet_apply(params["att_linear0"], alpha, None, 0.0, train, rngs, compute_dtype)
@@ -136,6 +137,7 @@ def mutan_apply(
     ).reshape(b, -1)
 
     logits = _mutan_block_apply(
-        params["out_fusion"], question, v_out, rank, 0.1, train, rngs, compute_dtype
+        params["out_fusion"], question, v_out, rank,
+        0.1 if drop_rate > 0 else 0.0, train, rngs, compute_dtype,
     )
     return logits, alpha

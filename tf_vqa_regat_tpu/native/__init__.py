@@ -87,6 +87,10 @@ def gather_rows(
     # future callers (negligible cost next to the copy itself)
     if len(rows) and int(rows.max()) >= tab.shape[0]:
         return False
+    # the write side needs the same distrust: more rows than `out` holds
+    # would memcpy past its buffer (an OOB WRITE — worse than the read)
+    if len(rows) > out.shape[0]:
+        return False
     if n_threads <= 0:
         n_threads = min(8, os.cpu_count() or 1)
     lib.regat_gather_rows(

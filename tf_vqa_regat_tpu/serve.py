@@ -127,14 +127,9 @@ class InferenceEngine:
                 "valid": valid,
             }
             if "adj" in arrays:
-                k = min(arrays["adj"].shape[1], num_rois)
-                adj = jnp.zeros(
-                    (img.shape[0], num_rois, num_rois), jnp.int32
-                )
-                adj = adj.at[:, :k, :k].set(
-                    arrays["adj"][img][:, :k, :k].astype(jnp.int32)
-                )
-                batch["adj_label"] = adj
+                from tf_vqa_regat_tpu.data.device_store import gather_adj
+
+                batch["adj_label"] = gather_adj(arrays, img, num_rois)
             logits = apply_regat(
                 params, cfg, batch, ds.ntoken, train=False, impl=impl
             )

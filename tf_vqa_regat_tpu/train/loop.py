@@ -258,12 +258,17 @@ def run_training(
                 # reshuffle that repeats/skips examples, so refuse loudly
                 sig_now = _run_signature(cfg, steps_per_epoch, data.mode, dp)
                 sig_saved = _normalize_legacy_run_sig(meta.get("run"))
-                if sig_saved is not None and sig_saved != sig_now:
-                    diffs = {
-                        k: (sig_saved.get(k), sig_now.get(k))
-                        for k in set(sig_saved) | set(sig_now)
-                        if sig_saved.get(k) != sig_now.get(k)
-                    }
+                # compare only the keys the SAVING build recorded: older
+                # signatures lack data_mode/dp (added later), and a key the
+                # writer never stored cannot be checked — requiring it would
+                # spuriously refuse every legacy step checkpoint after an
+                # upgrade (the exact failure normalization exists to avoid)
+                diffs = {
+                    k: (sig_saved.get(k), sig_now.get(k))
+                    for k in (sig_saved or {})
+                    if sig_saved.get(k) != sig_now.get(k)
+                }
+                if sig_saved is not None and diffs:
                     raise ValueError(
                         "mid-epoch resume requires the run configuration "
                         "that wrote the step checkpoint (saved vs current: "
@@ -552,7 +557,10 @@ def run_prediction(
 
         def predict(params, batch):
             logits = apply_regat(
-                params, cfg, batch, ds.ntoken, train=False, impl=impl
+                params, cfg, batch, ds.ntoken, train=False, impl=impl,
+                # --sp_rois shards the roi axis here too (same gap as
+                # build_eval_step — review finding)
+                sp_mesh=mesh if cfg.sp_rois else None,
             )
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -854,8 +862,10 @@ class _DataPath:
                 self.eval_steps = self.eval_store.bucketed_steps_per_epoch(
                     self.eval_batch, self.buckets
                 )
-            if max(cfg.eval_block, 1) > 1:
-                self.eval_steps = self._eval_block_count()
+            # unconditional: at K=1 this also fixes the sharded store's
+            # ragged (max-over-shards) batch count, which len(eval_loader)
+            # = ceil(total/B) undercounts (logging/ETA only; review finding)
+            self.eval_steps = self._eval_block_count()
 
     def _eval_block_count(self) -> int:
         """Number of (R, [K, B]) blocks eval_iter will yield (for logging)."""

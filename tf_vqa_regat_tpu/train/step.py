@@ -371,13 +371,14 @@ def build_store_eval_block(
 def build_eval_step(
     cfg: Config, ntoken: int, mesh, impl: str
 ) -> Callable[[Any, Dict[str, jax.Array]], Dict[str, jax.Array]]:
+    # _eval_core carries sp_mesh so --sp_rois shards the roi axis in eval
+    # exactly like the train step and the store-mode eval builders do
+    # (previously this host path evaluated fully replicated over 'model' —
+    # tp x the train step's per-device activation memory; review finding)
+    sp_mesh = mesh if cfg.sp_rois else None
+
     def eval_step(params, batch):
-        logits = apply_regat(params, cfg, batch, ntoken, train=False, impl=impl)
-        return {
-            "loss": bce_with_logits_sum(logits, batch["target"], batch["valid"]),
-            "score": vqa_score_sum(logits, batch["target"], batch["valid"]),
-            "n": jnp.sum(batch["valid"].astype(jnp.float32)),
-        }
+        return _eval_core(params, batch, cfg, ntoken, impl, sp_mesh)
 
     rep = replicated(mesh)
     return jax.jit(
