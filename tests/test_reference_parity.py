@@ -347,3 +347,73 @@ def test_word_embedding_glove_tfidf_init_matches_reference(tmp_path):
     np.testing.assert_allclose(
         np.asarray(ours2["emb_"]["table"]), ref2.emb_.get_weights()[0], atol=0
     )
+
+
+# ------------------------------------------------------- tokenizer (live fuzz)
+def _fuzz_sentences(n=400, seed=7):
+    """Question-like strings over an adversarial alphabet: punctuation the
+    tokenizer strips (',', '?'), the possessive split ("'s"), lookalikes it
+    must NOT touch (curly quote, "s'", mid-word commas producing joins),
+    digits, unicode, and arbitrary whitespace (str.split handles all of it)."""
+    rng = np.random.RandomState(seed)
+    frags = [
+        "what", "is", "the", "man's", "mans'", "it's", "'s", "s'", "dog,s",
+        "how many", "number of", "number of the", "amount of", "count of",
+        "red?", "?,?", "What?", "CAFÉ", "naïve", "2", "10", "11,000",
+        "a,b,c", "x?y", "don't", "l'eau", "it’s", "été",
+        "bebe", "", " ", "\t", "\n", "word", "WORD", "WoRd,?",
+    ]
+    out = []
+    for _ in range(n):
+        k = rng.randint(1, 9)
+        sep = rng.choice([" ", "  ", "\t", " ? ", ", "])
+        out.append(sep.join(rng.choice(frags) for _ in range(k)))
+    return out
+
+
+def test_tokenizer_differential_vs_reference():
+    """Fuzz our Dictionary against the reference's own class (dataset.py:46-97)
+    live — build-phase add_word growth AND lookup-phase OOV mapping must agree
+    token-for-token (the tokenizer is accuracy-critical: SURVEY §7)."""
+    import dataset as ref_dataset  # /root/reference (sys.path above)
+
+    from tf_vqa_regat_tpu.data.dictionary import Dictionary
+
+    ours, ref = Dictionary(), ref_dataset.Dictionary()
+    build = _fuzz_sentences(300, seed=7)
+    for q in build:
+        assert ours.tokenize(q, True) == ref.tokenize(q, True), q
+    assert ours.word2idx == ref.word2idx
+    assert ours.idx2word == ref.idx2word
+    assert (ours.ntoken, ours.padding_idx) == (ref.ntoken, ref.padding_idx)
+
+    # lookup phase: fresh sentences, some words OOV -> padding_idx - 1
+    lookup = _fuzz_sentences(300, seed=99) + ["zzz unseen-word q?"]
+    for q in lookup:
+        got, want = ours.tokenize(q, False), ref.tokenize(q, False)
+        assert got == want, q
+    assert ours.ntoken == ref.ntoken  # lookup must not grow the vocab
+
+
+def test_counting_filter_differential_vs_reference():
+    """is_howmany/answer_filter vs the reference's own functions
+    (dataset.py:26-43) over a question x answer grid."""
+    import dataset as ref_dataset
+
+    from tf_vqa_regat_tpu.data import entries as ours
+
+    label2ans = ["2", "blue", "10", "11", "dog", "0", "many", "003"]
+    questions = [
+        "How many dogs?", "the number of cars", "the number of the cars",
+        "amount of water", "count of sheep", "what color is it?",
+        "HOW MANY?", "a discount offer",  # 'count of' substring trap
+        "the amount officially",
+    ]
+    answers = [None] + [
+        {"labels": [i], "scores": [1.0]} for i in range(len(label2ans))
+    ] + [{"labels": [1, 3], "scores": [0.5, 0.5]}, {"labels": [], "scores": []}]
+    for q in questions:
+        for a in answers:
+            got = ours.is_howmany(q, a, label2ans)
+            want = ref_dataset.is_howmany(q, a, label2ans)
+            assert got == want, (q, a)
