@@ -417,3 +417,174 @@ def test_counting_filter_differential_vs_reference():
             got = ours.is_howmany(q, a, label2ans)
             want = ref_dataset.is_howmany(q, a, label2ans)
             assert got == want, (q, a)
+
+
+# --------------------------------------------------- entry loading (live diff)
+def _write_split(tmp_path, name, questions, answers):
+    """Materialize a reference-shaped dataroot split: Questions JSON (named per
+    dataset.py:119-121) + cache/<name>_target.pkl."""
+    import json
+    import pickle
+
+    qdir = tmp_path / "Questions"
+    qdir.mkdir(exist_ok=True)
+    suffix = name + "2014" if name[:4] != "test" else name
+    with open(qdir / ("v2_OpenEnded_mscoco_%s_questions.json" % suffix), "w") as fh:
+        json.dump({"questions": questions}, fh)
+    if answers is not None:
+        cdir = tmp_path / "cache"
+        cdir.mkdir(exist_ok=True)
+        with open(cdir / ("%s_target.pkl" % name), "wb") as fh:
+            pickle.dump(answers, fh)
+
+
+def _entry_fixture():
+    """Deliberately unsorted questions/answers (sorting is part of the
+    contract), counting and non-counting questions, empty-label entries."""
+    rng = np.random.RandomState(3)
+    label2ans = ["2", "blue", "10", "dog", "0", "many"]
+    texts = [
+        "How many dogs are there?",
+        "What color is the man's shirt?",
+        "the number of cars?",
+        "Is it raining?",
+        "amount of water left?",
+        "What is the count of sheep?",
+        "a discount offer?",
+    ]
+    questions, answers = [], []
+    for qid in [31, 7, 19, 2, 55, 40, 13]:
+        img = int(rng.choice([100, 200, 300]))
+        questions.append(
+            {"question_id": qid, "image_id": img, "question": texts[qid % 7]}
+        )
+        k = int(rng.randint(0, 3))
+        labels = rng.choice(len(label2ans), size=k, replace=False)
+        answers.append(
+            {
+                "question_id": qid,
+                "image_id": img,
+                "labels": [int(l) for l in labels],
+                "scores": [float(s) for s in rng.uniform(0.3, 1.0, size=k)],
+            }
+        )
+    img_id2val = {100: 0, 200: 1, 300: 2}
+    return questions, answers, img_id2val, label2ans
+
+
+def _assert_entries_match_reference(table, ref_entries, img_id2val, dictionary):
+    """Field-for-field: order, ids, feature index, soft targets, and q_tokens
+    vs the reference's tokenize-then-pad-back flow (dataset.py:250-264)."""
+    assert len(table) == len(ref_entries)
+    for i, ref_e in enumerate(ref_entries):
+        assert int(table.question_ids[i]) == ref_e["question_id"]
+        assert int(table.image_ids[i]) == ref_e["image_id"]
+        assert int(table.image_index[i]) == ref_e["image"]
+        s, e = table.label_offsets[i], table.label_offsets[i + 1]
+        if ref_e["answer"] is None:
+            assert e == s
+        else:
+            assert list(table.labels[s:e]) == list(ref_e["answer"]["labels"])
+            np.testing.assert_allclose(
+                table.scores[s:e], np.asarray(ref_e["answer"]["scores"], np.float32)
+            )
+        toks = dictionary.tokenize(ref_e["question"], False)[:14]
+        toks = toks + [dictionary.padding_idx] * (14 - len(toks))
+        assert list(table.q_tokens[i]) == toks
+
+
+def test_load_entries_differential_vs_reference(tmp_path, monkeypatch):
+    """Our load_entries vs the reference's own _load_dataset (dataset.py:100-151)
+    on the same on-disk dataroot: train split (join+sort+asserts), test2015
+    split (no answers), and both with COUNTING_ONLY=True (filter-in-the-join)."""
+    import dataset as ref_dataset
+
+    from tf_vqa_regat_tpu.data import entries
+
+    questions, answers, img_id2val, label2ans = _entry_fixture()
+    _write_split(tmp_path, "train", questions, answers)
+    test_qs = [dict(q, question_id=q["question_id"] + 1000) for q in questions]
+    _write_split(tmp_path, "test2015", test_qs, None)
+
+    d = entries.Dictionary()
+    for q in questions:
+        d.tokenize(q["question"], True)
+
+    for counting in (False, True):
+        monkeypatch.setattr(ref_dataset, "COUNTING_ONLY", counting)
+        monkeypatch.setattr(entries, "COUNTING_ONLY", counting)
+        for name in ("train", "test2015"):
+            ref_entries = ref_dataset._load_dataset(
+                str(tmp_path), name, img_id2val, label2ans
+            )
+            table = entries.load_entries(
+                str(tmp_path), name, img_id2val, label2ans, d
+            )
+            assert table.has_answers == (name == "train")
+            _assert_entries_match_reference(table, ref_entries, img_id2val, d)
+        # the filter must actually drop the non-counting questions
+        if counting:
+            assert len(ref_entries) < len(test_qs)
+
+
+# ------------------------------------------------------ loss / score (live diff)
+def test_loss_and_score_differential_vs_reference():
+    """Our on-device loss/score vs the reference's own functions + reduction
+    (train.py:20-39 and the loss_avg = mean * num_answers contract at
+    train.py:107-108), including the padded-final-batch valid mask: our masked
+    padded batch must equal the reference on the unpadded sub-batch."""
+    import train as ref_train
+
+    from tf_vqa_regat_tpu.train.loss import bce_with_logits_sum, vqa_score_sum
+
+    rng = np.random.RandomState(11)
+    b, a = 16, 32
+    logits = rng.randn(b, a).astype(np.float32) * 3.0
+    targets = (rng.uniform(size=(b, a)) < 0.1).astype(np.float32) * rng.uniform(
+        0.3, 1.0, size=(b, a)
+    ).astype(np.float32)
+    # a deliberate argmax tie (both frameworks must take the FIRST max)
+    logits[3, :] = 0.0
+    targets[3, 5] = 0.7
+
+    ref_loss = ref_train.instance_bce_with_logits(
+        tf.constant(logits), tf.constant(targets)
+    )
+    ref_loss_avg = float(tf.reduce_mean(ref_loss)) * a
+    ref_score = float(
+        ref_train.compute_score_with_logits(tf.constant(logits), tf.constant(targets))
+    )
+
+    valid = jnp.ones((b,), bool)
+    ours_loss = float(bce_with_logits_sum(jnp.asarray(logits), jnp.asarray(targets), valid))
+    ours_score = float(vqa_score_sum(jnp.asarray(logits), jnp.asarray(targets), valid))
+    np.testing.assert_allclose(ours_loss, ref_loss_avg, rtol=1e-5)
+    np.testing.assert_allclose(ours_score, ref_score, rtol=1e-6)
+
+    # padded final batch: reference sees only the valid rows; we see the padded
+    # batch with a mask — loss (mean over valid) and score (sum) must agree
+    n_valid = 11
+    ref_loss_part = (
+        float(
+            tf.reduce_mean(
+                ref_train.instance_bce_with_logits(
+                    tf.constant(logits[:n_valid]), tf.constant(targets[:n_valid])
+                )
+            )
+        )
+        * a
+    )
+    ref_score_part = float(
+        ref_train.compute_score_with_logits(
+            tf.constant(logits[:n_valid]), tf.constant(targets[:n_valid])
+        )
+    )
+    mask = jnp.arange(b) < n_valid
+    ours_loss_part = float(
+        bce_with_logits_sum(jnp.asarray(logits), jnp.asarray(targets), mask)
+    )
+    ours_score_part = float(
+        vqa_score_sum(jnp.asarray(logits), jnp.asarray(targets), mask)
+    )
+    np.testing.assert_allclose(ours_loss_part, ref_loss_part, rtol=1e-5)
+    np.testing.assert_allclose(ours_score_part, ref_score_part, rtol=1e-6)
