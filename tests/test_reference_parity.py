@@ -663,3 +663,117 @@ def test_full_data_path_differential_vs_reference(tmp_path):
             )
             k += 1
     assert k == 23
+
+
+# ------------------------------------------------------ spatial graph (live)
+def test_spatial_graph_differential_vs_reference_live():
+    """Fuzz our vectorized in-jit spatial graph builder against the
+    reference's OWN build_graph python loops (position_emb.py:23-90) — 20
+    random box layouts incl. padded (all-zero) boxes, nested boxes, and
+    high-overlap pairs, label-exact away from decision boundaries.
+    (test_graph_attention.py keeps the numpy transcription oracle; this one
+    runs the real reference code.)
+
+    Pairs whose f64 angle sits within 1e-3 of a pi/4 sector edge are excluded:
+    the reference runs python-f64 trig, ours runs on-device f32 — a center
+    alignment within ~1e-4 rad (e.g. seed 4: sin=-1.6e-4, the two directions
+    straddle the pi boundary at labels 7/8) legitimately rounds to the edge in
+    f32. Measure-zero on real boxes; everything else must match exactly."""
+    from model.position_emb import build_graph as ref_build_graph
+
+    from tf_vqa_regat_tpu.ops.spatial_graph import build_spatial_graph
+
+    def _fragile_pairs(bb, norm_bb):
+        """Boolean [R, R] mask of pairs too close to a classification boundary
+        to compare across f32/f64 (sector edges; the distance and IoU gates).
+        Replicates the reference's gate sequence so only pairs that actually
+        reach a given branch can be flagged fragile by it."""
+        R = bb.shape[0]
+        frag = np.zeros((R, R), bool)
+        b = bb.astype(np.float64)
+        sp = norm_bb.astype(np.float64)
+        cx, cy = 0.5 * (b[:, 0] + b[:, 2]), 0.5 * (b[:, 1] + b[:, 3])
+        bw, bh = b[:, 2] - b[:, 0] + 1.0, b[:, 3] - b[:, 1] + 1.0
+        img_diag = np.hypot(bh[0] / sp[0, -1], bw[0] / sp[0, -2])
+
+        def _iou(a, c):
+            ix1, iy1 = max(a[0], c[0]), max(a[1], c[1])
+            ix2, iy2 = min(a[2], c[2]), min(a[3], c[3])
+            inter = max(0.0, ix2 - ix1 + 1) * max(0.0, iy2 - iy1 + 1)
+            A = (a[2] - a[0] + 1) * (a[3] - a[1] + 1)
+            B = (c[2] - c[0] + 1) * (c[3] - c[1] + 1)
+            return inter / (A + B - inter)
+
+        for i in range(R):
+            for j in range(i + 1, R):
+                if b[i].sum() == 0 or b[j].sum() == 0:
+                    continue
+                nested_ij = (
+                    b[i, 0] < b[j, 0] and b[i, 2] > b[j, 2]
+                    and b[i, 1] < b[j, 1] and b[i, 3] > b[j, 3]
+                )
+                nested_ji = (
+                    b[j, 0] < b[i, 0] and b[j, 2] > b[i, 2]
+                    and b[j, 1] < b[i, 1] and b[j, 3] > b[i, 3]
+                )
+                if nested_ij or nested_ji:
+                    continue  # strict f32 comparisons, exact in both
+                iou = _iou(b[i], b[j])
+                if abs(iou - 0.5) < 1e-6:
+                    frag[i, j] = frag[j, i] = True
+                    continue
+                if iou >= 0.5:
+                    continue  # class 3, exact
+                yd, xd = cy[i] - cy[j], cx[i] - cx[j]
+                dist = np.hypot(yd, xd)
+                if abs(dist - 0.5 * img_diag) < 1e-5 * img_diag:
+                    frag[i, j] = frag[j, i] = True
+                    continue
+                if dist >= 0.5 * img_diag:
+                    continue  # label 0 both sides, exact
+                if dist == 0.0:
+                    frag[i, j] = frag[j, i] = True
+                    continue
+                s, c = yd / dist, xd / dist
+                # branch flips at s=0 / c=0 are discontinuous (the reference's
+                # fourth branch takes arccos of the SIN, position_emb.py:84)
+                if abs(s) < 1e-3 or abs(c) < 1e-3:
+                    frag[i, j] = frag[j, i] = True
+                    continue
+                if s >= 0 and c >= 0:
+                    li = np.arcsin(s)
+                elif s < 0 and c >= 0:
+                    li = np.arcsin(s) + 2 * np.pi
+                elif s >= 0 and c < 0:
+                    li = np.arccos(c)
+                else:
+                    li = -np.arccos(s) + 2 * np.pi
+                for ang in (li, 2 * np.pi - li if li <= np.pi else li - np.pi):
+                    f = ang / (np.pi / 4)
+                    if abs(f - round(f)) < 1e-3:
+                        frag[i, j] = frag[j, i] = True
+        return frag
+
+    W, H = 640.0, 480.0
+    for seed in range(20):
+        rng = np.random.RandomState(seed)
+        R = int(rng.choice([6, 12, 18]))  # few distinct shapes: bound jit compiles
+        xy = rng.rand(R, 2) * [W * 0.6, H * 0.6]
+        wh = rng.rand(R, 2) * [W * 0.4, H * 0.4] + 5.0
+        bb = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+        if R > 2:
+            # force a nested pair (classes 1/2) and a near-duplicate (class 3)
+            bb[1] = bb[0] + [5.0, 5.0, -5.0, -5.0]
+            bb[2] = bb[0] + [1.0, 1.0, 1.0, 1.0]
+        if rng.rand() < 0.5:  # padded tail boxes
+            bb[-2:] = 0.0
+        norm_bb = np.zeros((R, 6), np.float32)
+        norm_bb[:, -2] = (bb[:, 2] - bb[:, 0] + 1) / W
+        norm_bb[:, -1] = (bb[:, 3] - bb[:, 1] + 1) / H
+        want = ref_build_graph(bb.astype(np.float64), norm_bb.astype(np.float64))
+        got = np.asarray(build_spatial_graph(jnp.asarray(bb), jnp.asarray(norm_bb)))
+        frag = _fragile_pairs(bb, norm_bb)
+        assert frag.mean() < 0.05, f"seed={seed}: fragile mask lost its teeth"
+        np.testing.assert_array_equal(
+            np.where(frag, 0, got), np.where(frag, 0, want), err_msg=f"seed={seed}"
+        )
