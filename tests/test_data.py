@@ -116,7 +116,6 @@ def test_semantic_adj_in_batch():
 # ------------------------------------------------------------- glove / tfidf
 def test_glove_tfidf_init(tmp_path):
     import jax
-    import jax.numpy as jnp
 
     from tf_vqa_regat_tpu.data.glove import tfidf_from_questions
     from tf_vqa_regat_tpu.models.language import (

@@ -2,7 +2,6 @@
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import pytest
 
 from tf_vqa_regat_tpu.train.ensemble import parse_members

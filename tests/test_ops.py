@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tf_vqa_regat_tpu import nn
 from tf_vqa_regat_tpu.ops import weight_norm as wn

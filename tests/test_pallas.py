@@ -87,7 +87,6 @@ def test_broadcast_bias():
 # Validated against the jnp oracle path of graph_attention_apply, which is
 # itself numpy-golden-tested in tests/test_graph_attention.py.
 # --------------------------------------------------------------------------
-from tf_vqa_regat_tpu import nn  # noqa: E402
 from tf_vqa_regat_tpu.ops import weight_norm as wn  # noqa: E402
 from tf_vqa_regat_tpu.ops.graph_attention import (  # noqa: E402
     graph_attention_apply,

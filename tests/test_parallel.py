@@ -5,7 +5,6 @@ sharding are layout changes, not math changes."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tf_vqa_regat_tpu.config import Config
 from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset

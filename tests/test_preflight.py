@@ -7,7 +7,6 @@ import os
 import subprocess
 import sys
 
-import numpy as np
 import pytest
 
 from tf_vqa_regat_tpu.data.fixtures import write_fixture

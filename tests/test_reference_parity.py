@@ -27,7 +27,6 @@ import pytest
 
 tf = pytest.importorskip("tensorflow")
 
-from tf_vqa_regat_tpu import nn
 from tf_vqa_regat_tpu.ops import weight_norm as wn
 from tf_vqa_regat_tpu.ops.embedding import embedding_apply
 from tf_vqa_regat_tpu.ops.graph_attention import graph_attention_apply

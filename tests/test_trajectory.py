@@ -24,7 +24,6 @@ os.environ["TF_USE_LEGACY_KERAS"] = "1"
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
 sys.path.insert(0, "/root/reference")
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

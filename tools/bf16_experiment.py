@@ -31,7 +31,6 @@ import jax
 
 jax.config.update("jax_default_prng_impl", "rbg")
 jax.config.update("jax_compilation_cache_dir", os.path.join(_HERE, ".jax_cache"))
-import numpy as np
 
 from tf_vqa_regat_tpu.config import Config
 from tf_vqa_regat_tpu.data.device_store import DeviceStore

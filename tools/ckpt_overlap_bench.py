@@ -41,7 +41,6 @@ import jax
 jax.config.update("jax_default_prng_impl", "rbg")
 jax.config.update("jax_compilation_cache_dir", os.path.join(_HERE, ".jax_cache"))
 
-import numpy as np
 
 from bench import BATCH, NTOKEN, NUM_ANS, V_DIM, flagship_cfg
 from tf_vqa_regat_tpu.data.device_store import DeviceStore
