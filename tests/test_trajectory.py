@@ -7,8 +7,8 @@ model), same batches, matched Adamax / per-tensor clip / LR -> the per-step
 LOSS trajectories must agree. Measured behavior on THIS test's fixture (TF
 global seed 1234, 50 steps): bit-identical losses for the first ~14 steps,
 then fp32 chaotic drift growing to ~2e-3 relative by step 50. TRAJECTORY.md
-§1 reports a DIFFERENT instance of the same experiment (the tool's unseeded
-TF init, 100 steps): max drift 1.09e-3 at step 30 there — the magnitude of
+§1 reports a DIFFERENT instance of the same experiment (the tool's pinned
+seeds, 100 steps): max drift 2.97e-04 at step 88 there — the magnitude of
 fp32 chaos is init-dependent; the envelope (<2e-2 asserted below) is what
 both must satisfy. The drift is non-monotonic in both, which is the
 signature of rounding divergence rather than a semantic mismatch.
