@@ -370,7 +370,7 @@ def _fuzz_sentences(n=400, seed=7):
     return out
 
 
-def test_tokenizer_differential_vs_reference():
+def test_tokenizer_differential_vs_reference(tmp_path):
     """Fuzz our Dictionary against the reference's own class (dataset.py:46-97)
     live — build-phase add_word growth AND lookup-phase OOV mapping must agree
     token-for-token (the tokenizer is accuracy-critical: SURVEY §7)."""
@@ -392,6 +392,14 @@ def test_tokenizer_differential_vs_reference():
         got, want = ours.tokenize(q, False), ref.tokenize(q, False)
         assert got == want, q
     assert ours.ntoken == ref.ntoken  # lookup must not grow the vocab
+
+    # pickle cross-compatibility, reference -> ours (ours -> reference is
+    # exercised by test_full_data_path_differential_vs_reference, which loads
+    # our fixture-dumped pkl with the reference's load_from_file)
+    ref.dump_to_file(str(tmp_path / "ref_dict.pkl"))
+    reloaded = Dictionary.load_from_file(str(tmp_path / "ref_dict.pkl"))
+    assert reloaded.word2idx == ours.word2idx
+    assert reloaded.idx2word == ours.idx2word
 
 
 def test_counting_filter_differential_vs_reference():
