@@ -86,3 +86,15 @@ def test_shared_output_files_gate_to_primary_process(tmp_path, monkeypatch, caps
     log0 = tlog.Logger(str(tmp_path / "log.txt"))
     log0.write("hello from p0")
     assert "hello from p0" in open(tmp_path / "log.txt").read()
+
+
+def test_training_epoch_leaks_no_tracers(tmp_path):
+    """jax.checking_leaks over a full tiny training run (SURVEY §5 race-
+    detection row): any tracer escaping a jitted step (the classic functional-
+    transform bug class) raises instead of silently capturing stale state."""
+    cfg = _tiny_cfg(tmp_path)
+    train = synthetic_dataset(num_images=8, num_questions=32, v_dim=24, num_ans=7)
+    val = synthetic_dataset(num_images=4, num_questions=16, v_dim=24, num_ans=7, seed=1)
+    with jax.checking_leaks():
+        params, best = run_training(cfg, train, val)
+    assert np.isfinite(best)
