@@ -92,11 +92,8 @@ def np_position_embedding(bb, n, dim):
     return emb.reshape(*pm.shape[:3], dim)
 
 
-def np_forward(params, cfg, batch):
-    q_ids = np.asarray(batch["question"])
-    roi_mask = np.arange(R)[None, :] < np.asarray(batch["num_boxes"])[:, None]
-
-    # language stack
+def np_language(params, q_ids):
+    """Language stack: dual embedding, GRU, corrected q-attention pooling."""
     w1 = np_embedding(params["w_emb"]["emb"], q_ids, NTOKEN)
     w2 = np_embedding(params["w_emb"]["emb_"], q_ids, NTOKEN)
     w_emb = np.concatenate([w1, w2], -1)
@@ -105,6 +102,28 @@ def np_forward(params, cfg, batch):
     a = np.tanh(np_fc(params["q_att"]["linear1"], q_seq))
     logits = np_fc(params["q_att"]["linear2"], a)[..., 0]
     q_vec = np.einsum("bt,bth->bh", np_softmax(logits, -1), q_seq)
+    return q_last, q_vec
+
+
+def np_butd_classifier(params, v_emb, q_last, roi_mask):
+    """BUTD fusion (masked roi softmax) + two-layer classifier."""
+    je = params["joint_emb"]
+    v_att = np_fc(je["v2attention"], v_emb)
+    q_att2 = np_fc(je["q2attention"], q_last)[:, None, :]
+    lg = np_fc(je["linear"], v_att * q_att2)
+    lg = np.where(roi_mask[..., None], lg, -1e9)
+    wts = np_softmax(lg, 1)
+    wv = (wts * v_emb).sum(1)
+    joint = np_fc(je["visual_embed"], wv) * np_fc(je["question_embed"], q_last)
+    c = params["classifier"]
+    h1 = np.maximum(joint @ np_wn(c["fc1"]) + np.asarray(c["fc1"]["b"], np.float64), 0)
+    return h1 @ np_wn(c["fc2"]) + np.asarray(c["fc2"]["b"], np.float64)
+
+
+def np_forward(params, cfg, batch):
+    q_ids = np.asarray(batch["question"])
+    roi_mask = np.arange(R)[None, :] < np.asarray(batch["num_boxes"])[:, None]
+    q_last, q_vec = np_language(params, q_ids)
 
     # implicit relation encoder
     visual = np_fc(params["v_relation"]["v2out"], np.asarray(batch["features"], np.float64), "relu")
@@ -137,20 +156,7 @@ def np_forward(params, cfg, batch):
     v_emb = np.maximum(out, 0.0)
     v_emb = visual + v_emb  # residual
 
-    # BUTD fusion (masked softmax over rois)
-    je = params["joint_emb"]
-    v_att = np_fc(je["v2attention"], v_emb)
-    q_att2 = np_fc(je["q2attention"], q_last)[:, None, :]
-    lg = np_fc(je["linear"], v_att * q_att2)
-    lg = np.where(roi_mask[..., None], lg, -1e9)
-    wts = np_softmax(lg, 1)
-    wv = (wts * v_emb).sum(1)
-    joint = np_fc(je["visual_embed"], wv) * np_fc(je["question_embed"], q_last)
-
-    # classifier
-    c = params["classifier"]
-    h1 = np.maximum(joint @ np_wn(c["fc1"]) + np.asarray(c["fc1"]["b"], np.float64), 0)
-    return h1 @ np_wn(c["fc2"]) + np.asarray(c["fc2"]["b"], np.float64)
+    return np_butd_classifier(params, v_emb, q_last, roi_mask)
 
 
 def test_full_model_matches_numpy_oracle():
@@ -177,4 +183,130 @@ def test_full_model_matches_numpy_oracle():
     }
     got = np.asarray(apply_regat(params, CFG, batch, NTOKEN, train=False))
     want = np_forward(params, CFG, batch)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
+
+
+# ------------------------------------------------------------- spatial golden
+CFG_SPATIAL = Config(
+    num_hid=24,
+    relation_dim=32,
+    num_heads=4,
+    nongt_dim=5,
+    imp_pos_emb_dim=16,
+    dir_num=2,
+    num_steps=2,  # exercise the propagation loop
+    residual_connection=True,
+    label_bias=True,  # exercise the per-edge-label bias FC
+    dropout=0.2,  # eval mode: inert
+    fusion="butd",
+    relation_type="spatial",
+    op="c",
+)
+
+
+def np_onehot_labels(adj, label_num):
+    """[b,R,R] int labels -> [b,R,R,L] one-hot; 1..L map to slices 0..L-1,
+    label 0 (no edge) and the self-loop 12 produce all-zero rows
+    (ops/spatial_graph.py::broadcast_adj_labels contract)."""
+    classes = np.arange(1, label_num + 1)
+    return (adj[..., None] == classes).astype(np.float64)
+
+
+def np_gatt_explicit(gatt, v_cat_q, adj_onehot, roi_mask, n, H):
+    """GraphAttentionNetwork, explicit path: per-direction edge masking
+    (-9e15 closed edges), label bias FC, key masking, dual direction via the
+    transposed adjacency (reference graph_att_net.py:53-83 semantics with the
+    validity mask addition)."""
+    NEG = -9e15
+    self_feat = np_fc(gatt["self_weights"], v_cat_q)
+    Bq, Rq, D = self_feat.shape
+    dh = D // H
+    key_mask = roi_mask[:, :n]
+    out = self_feat.copy()
+    for d in range(len(gatt["neighbor"])):
+        adj_d = adj_onehot if d == 0 else adj_onehot.transpose(0, 2, 1, 3)
+        input_adj = adj_d[:, :, :n, :]  # [b, R, n, L]
+        adj_mask = input_adj.sum(-1)  # [b, R, n]
+        lb = np_fc(gatt["bias"], input_adj)[..., 0]  # [b, R, n]
+        pn = gatt["neighbor"][d]
+        q_ = np_fc(pn["query"], self_feat).reshape(Bq, Rq, H, dh)
+        k_ = np_fc(pn["key"], self_feat[:, :n]).reshape(Bq, n, H, dh)
+        aff = np.einsum("brhd,bnhd->brhn", q_, k_) / np.sqrt(dh)
+        bias = np.broadcast_to(lb[:, :, None, :], aff.shape).copy()
+        bias = np.where((adj_mask > 0)[:, :, None, :], bias, NEG)
+        bias = bias + np.where(key_mask[:, None, None, :], 0.0, NEG)
+        w = np_softmax(aff + bias, -1)
+        vproj = np.asarray(pn["out"]["v"], np.float64)
+        vproj = float(pn["out"]["g"]) * vproj / np.linalg.norm(vproj.ravel())
+        vw = np.einsum("bnD,hDo->bnho", self_feat[:, :n], vproj)
+        neigh = np.einsum("brhn,bnho->brho", w, vw).reshape(Bq, Rq, D)
+        out = out + neigh + np.asarray(pn["out"]["b"], np.float64)
+    return np.maximum(out, 0.0)
+
+
+def np_forward_spatial(params, cfg, batch):
+    from test_graph_attention import _np_build_graph  # the loop transcription
+
+    q_ids = np.asarray(batch["question"])
+    roi_mask = np.arange(R)[None, :] < np.asarray(batch["num_boxes"])[:, None]
+    q_last, q_vec = np_language(params, q_ids)
+
+    bb = np.asarray(batch["bb"], np.float64)
+    norm_bb = np.asarray(batch["norm_bb"], np.float64)
+    adj = np.stack([_np_build_graph(bb[i], norm_bb[i]) for i in range(B)])
+    adj_onehot = np_onehot_labels(adj, cfg.spa_label_num)
+
+    # explicit relation encoder: v2out (relu), then num_steps propagation
+    visual = np_fc(params["v_relation"]["v2out"], np.asarray(batch["features"], np.float64), "relu")
+    n = cfg.nongt_dim
+    for _ in range(cfg.num_steps):
+        qb = np.where(
+            roi_mask[..., None],
+            np.broadcast_to(q_vec[:, None, :], (B, R, q_vec.shape[-1])),
+            0.0,
+        )
+        v_cat_q = np.concatenate([visual, qb], -1)
+        rel = np_gatt_explicit(
+            params["v_relation"]["gatt"], v_cat_q, adj_onehot, roi_mask, n,
+            cfg.num_heads,
+        )
+        visual = visual + rel  # residual_connection
+
+    return np_butd_classifier(params, visual, q_last, roi_mask)
+
+
+def test_full_model_spatial_matches_numpy_oracle():
+    """Spatial (explicit) full network vs the numpy oracle: in-jit spatial
+    graph build -> one-hot -> dual-direction masked attention with label bias
+    -> 2-step propagation -> BUTD -> classifier. The reference cannot run
+    this family at all (relation_encoder.py:98-104 NameError), so the oracle
+    is the acceptance record for the composition."""
+    rng = np.random.RandomState(2)
+    params = init_regat(jax.random.PRNGKey(5), CFG_SPATIAL, NTOKEN, V_DIM, NUM_ANS)
+    W, H_img = 640.0, 480.0
+    xy = rng.rand(B, R, 2).astype(np.float32) * [W * 0.6, H_img * 0.6]
+    wh = rng.rand(B, R, 2).astype(np.float32) * [W * 0.35, H_img * 0.35] + 5
+    num_boxes = np.array([R, R - 3], np.int32)
+    bb = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    feats = rng.randn(B, R, V_DIM).astype(np.float32)
+    norm_bb = np.zeros((B, R, 6), np.float32)
+    norm_bb[..., -2] = (bb[..., 2] - bb[..., 0] + 1) / W
+    norm_bb[..., -1] = (bb[..., 3] - bb[..., 1] + 1) / H_img
+    for i, nb in enumerate(num_boxes):
+        bb[i, nb:] = 0
+        feats[i, nb:] = 0
+        norm_bb[i, nb:] = 0
+    q = rng.randint(0, NTOKEN, (B, 14)).astype(np.int32)
+    q[:, 10:] = NTOKEN
+    batch = {
+        "features": jnp.asarray(feats),
+        "norm_bb": jnp.asarray(norm_bb),
+        "question": jnp.asarray(q),
+        "bb": jnp.asarray(bb),
+        "target": jnp.zeros((B, NUM_ANS)),
+        "num_boxes": jnp.asarray(num_boxes),
+        "valid": jnp.ones((B,), bool),
+    }
+    got = np.asarray(apply_regat(params, CFG_SPATIAL, batch, NTOKEN, train=False))
+    want = np_forward_spatial(params, CFG_SPATIAL, batch)
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
