@@ -310,3 +310,50 @@ def test_full_model_spatial_matches_numpy_oracle():
     got = np.asarray(apply_regat(params, CFG_SPATIAL, batch, NTOKEN, train=False))
     want = np_forward_spatial(params, CFG_SPATIAL, batch)
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
+
+
+def test_full_model_semantic_matches_numpy_oracle():
+    """Semantic (explicit) full network vs the numpy oracle: batch-carried
+    adjacency labels (sem_label_num=15), dual direction, label bias. Shares
+    np_gatt_explicit with the spatial golden; only the adjacency source and
+    label space differ (models/regat.py:194-202)."""
+    cfg = CFG_SPATIAL.replace(relation_type="semantic", num_steps=1)
+    rng = np.random.RandomState(4)
+    params = init_regat(jax.random.PRNGKey(6), cfg, NTOKEN, V_DIM, NUM_ANS)
+    num_boxes = np.array([R, R - 2], np.int32)
+    feats = rng.randn(B, R, V_DIM).astype(np.float32)
+    # labels 0..16: 0 = no edge; 16 > sem_label_num lands in the zero row
+    adj = rng.randint(0, 17, size=(B, R, R)).astype(np.int32)
+    for i, nb in enumerate(num_boxes):
+        feats[i, nb:] = 0
+        adj[i, nb:, :] = 0
+        adj[i, :, nb:] = 0
+    q = rng.randint(0, NTOKEN, (B, 14)).astype(np.int32)
+    q[:, 8:] = NTOKEN
+    batch = {
+        "features": jnp.asarray(feats),
+        "norm_bb": jnp.zeros((B, R, 6)),
+        "question": jnp.asarray(q),
+        "bb": jnp.zeros((B, R, 4)),
+        "target": jnp.zeros((B, NUM_ANS)),
+        "num_boxes": jnp.asarray(num_boxes),
+        "valid": jnp.ones((B,), bool),
+        "adj_label": jnp.asarray(adj),
+    }
+    got = np.asarray(apply_regat(params, cfg, batch, NTOKEN, train=False))
+
+    roi_mask = np.arange(R)[None, :] < num_boxes[:, None]
+    q_last, q_vec = np_language(params, np.asarray(q))
+    adj_onehot = np_onehot_labels(adj, cfg.sem_label_num)
+    visual = np_fc(params["v_relation"]["v2out"], feats.astype(np.float64), "relu")
+    qb = np.where(
+        roi_mask[..., None],
+        np.broadcast_to(q_vec[:, None, :], (B, R, q_vec.shape[-1])),
+        0.0,
+    )
+    rel = np_gatt_explicit(
+        params["v_relation"]["gatt"], np.concatenate([visual, qb], -1),
+        adj_onehot, roi_mask, cfg.nongt_dim, cfg.num_heads,
+    )
+    want = np_butd_classifier(params, visual + rel, q_last, roi_mask)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
