@@ -1,6 +1,9 @@
 """Golden full-model parity (SURVEY §4 item 5): a pure-numpy transcription of
 the forward equations, assembled independently of the jnp code, must match
-apply_regat end-to-end (eval mode, implicit + BUTD)."""
+apply_regat end-to-end (eval mode) — implicit, spatial, and semantic relation
+families, all over BUTD fusion. For the two explicit families the reference
+itself cannot run (relation_encoder.py:98-104 NameError), these oracles are
+the acceptance record for the full composition."""
 
 import jax
 import jax.numpy as jnp
