@@ -1,9 +1,10 @@
 """Golden full-model parity (SURVEY §4 item 5): a pure-numpy transcription of
 the forward equations, assembled independently of the jnp code, must match
-apply_regat end-to-end (eval mode) — implicit, spatial, and semantic relation
-families, all over BUTD fusion. For the two explicit families the reference
-itself cannot run (relation_encoder.py:98-104 NameError), these oracles are
-the acceptance record for the full composition."""
+apply_regat end-to-end (eval mode) — all three relation families (implicit,
+spatial, semantic) and all three fusions (BUTD, BAN, MuTAN). For the two
+explicit families the reference itself cannot run (relation_encoder.py:98-104 NameError), these oracles are
+the acceptance record for the full composition; likewise for BAN/MuTAN,
+which the reference flags but never implements (main.py:51-52)."""
 
 import jax
 import jax.numpy as jnp
@@ -105,7 +106,12 @@ def np_language(params, q_ids):
     a = np.tanh(np_fc(params["q_att"]["linear1"], q_seq))
     logits = np_fc(params["q_att"]["linear2"], a)[..., 0]
     q_vec = np.einsum("bt,bth->bh", np_softmax(logits, -1), q_seq)
-    return q_last, q_vec
+    return q_seq, q_last, q_vec
+
+
+def np_classifier(c, joint):
+    h1 = np.maximum(joint @ np_wn(c["fc1"]) + np.asarray(c["fc1"]["b"], np.float64), 0)
+    return h1 @ np_wn(c["fc2"]) + np.asarray(c["fc2"]["b"], np.float64)
 
 
 def np_butd_classifier(params, v_emb, q_last, roi_mask):
@@ -118,47 +124,16 @@ def np_butd_classifier(params, v_emb, q_last, roi_mask):
     wts = np_softmax(lg, 1)
     wv = (wts * v_emb).sum(1)
     joint = np_fc(je["visual_embed"], wv) * np_fc(je["question_embed"], q_last)
-    c = params["classifier"]
-    h1 = np.maximum(joint @ np_wn(c["fc1"]) + np.asarray(c["fc1"]["b"], np.float64), 0)
-    return h1 @ np_wn(c["fc2"]) + np.asarray(c["fc2"]["b"], np.float64)
+    return np_classifier(params["classifier"], joint)
 
 
 def np_forward(params, cfg, batch):
     q_ids = np.asarray(batch["question"])
     roi_mask = np.arange(R)[None, :] < np.asarray(batch["num_boxes"])[:, None]
-    q_last, q_vec = np_language(params, q_ids)
-
-    # implicit relation encoder
-    visual = np_fc(params["v_relation"]["v2out"], np.asarray(batch["features"], np.float64), "relu")
-    pos_emb = np_position_embedding(np.asarray(batch["bb"], np.float64), CFG.nongt_dim, CFG.imp_pos_emb_dim)
-    qb = np.where(roi_mask[..., None], np.broadcast_to(q_vec[:, None, :], (B, R, q_vec.shape[-1])), 0.0)
-    v_cat_q = np.concatenate([visual, qb], -1)
-
-    gatt = params["v_relation"]["gatt"]
-    self_feat = np_fc(gatt["self_weights"], v_cat_q)
-    D = self_feat.shape[-1]
-    H = CFG.num_heads
-    dh = D // H
-    n = CFG.nongt_dim
-    out = self_feat.copy()
-    key_mask = roi_mask[:, :n]
-    for d in range(CFG.dir_num):
-        pn = gatt["neighbor"][d]
-        q_ = np_fc(pn["query"], self_feat).reshape(B, R, H, dh)
-        k_ = np_fc(pn["key"], self_feat[:, :n]).reshape(B, n, H, dh)
-        aff = np.einsum("brhd,bnhd->brhn", q_, k_) / np.sqrt(dh)
-        pw = np.maximum(np_fc(pn["pair_pos_fc"], pos_emb), 0.0)  # [B,R,n,H]
-        aff = aff + np.log(np.maximum(pw, 1e-6)).transpose(0, 1, 3, 2)
-        aff = np.where(key_mask[:, None, None, :], aff, -9e15)
-        w = np_softmax(aff, -1)
-        vproj = np.asarray(pn["out"]["v"], np.float64)
-        vproj = float(pn["out"]["g"]) * vproj / np.linalg.norm(vproj.ravel())
-        vw = np.einsum("bnD,hDo->bnho", self_feat[:, :n], vproj)
-        neigh = np.einsum("brhn,bnho->brho", w, vw).reshape(B, R, D)
-        out = out + neigh + np.asarray(pn["out"]["b"], np.float64)
-    v_emb = np.maximum(out, 0.0)
-    v_emb = visual + v_emb  # residual
-
+    _, q_last, q_vec = np_language(params, q_ids)
+    # implicit relation encoder (v2out relu, geometry log-bias attention,
+    # dual direction, residual) — _np_implicit_vemb below
+    v_emb = _np_implicit_vemb(params, cfg, batch, q_vec, roi_mask)
     return np_butd_classifier(params, v_emb, q_last, roi_mask)
 
 
@@ -252,7 +227,7 @@ def np_forward_spatial(params, cfg, batch):
 
     q_ids = np.asarray(batch["question"])
     roi_mask = np.arange(R)[None, :] < np.asarray(batch["num_boxes"])[:, None]
-    q_last, q_vec = np_language(params, q_ids)
+    _, q_last, q_vec = np_language(params, q_ids)
 
     bb = np.asarray(batch["bb"], np.float64)
     norm_bb = np.asarray(batch["norm_bb"], np.float64)
@@ -346,7 +321,7 @@ def test_full_model_semantic_matches_numpy_oracle():
     got = np.asarray(apply_regat(params, cfg, batch, NTOKEN, train=False))
 
     roi_mask = np.arange(R)[None, :] < num_boxes[:, None]
-    q_last, q_vec = np_language(params, np.asarray(q))
+    _, q_last, q_vec = np_language(params, np.asarray(q))
     adj_onehot = np_onehot_labels(adj, cfg.sem_label_num)
     visual = np_fc(params["v_relation"]["v2out"], feats.astype(np.float64), "relu")
     qb = np.where(
@@ -359,4 +334,133 @@ def test_full_model_semantic_matches_numpy_oracle():
         adj_onehot, roi_mask, cfg.nongt_dim, cfg.num_heads,
     )
     want = np_butd_classifier(params, visual + rel, q_last, roi_mask)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------- BAN/MuTAN goldens
+def np_ban(je, v_emb, q_seq, roi_mask):
+    """BAN fusion (models/ban.py; net-new family, no reference code): rank-3
+    bilinear attention over (roi x token) pairs, per-glimpse BCNet pooling
+    with residual question updates, summed over tokens."""
+    glimpse = len(je["q_prj"])
+    v_ = np_fc(je["att_v_net"], v_emb, "relu")
+    q_ = np_fc(je["att_q_net"], q_seq, "relu")
+    h_mat = np_wn(je["h_mat"])  # [g, h*K]
+    logits = (
+        np.einsum("gk,bvk,bqk->bgvq", h_mat, v_, q_)
+        + np.asarray(je["h_bias"], np.float64)[None, :, None, None]
+    )
+    logits = np.where(roi_mask[:, None, :, None], logits, -1e9)
+    b, g, Rr, T = logits.shape
+    att = np_softmax(logits.reshape(b, g, Rr * T), -1).reshape(b, g, Rr, T)
+    q_seq = q_seq.copy()
+    for gi in range(glimpse):
+        v1 = np_fc(je["b_v_net"][gi], v_emb, "relu")
+        q1 = np_fc(je["b_q_net"][gi], q_seq, "relu")
+        b_emb = np.einsum("bvk,bvq,bqk->bk", v1, att[:, gi], q1)
+        q_seq = q_seq + np_fc(je["q_prj"][gi], b_emb)[:, None, :]
+    return q_seq.sum(1)
+
+
+def np_linear(p, x):
+    return x @ np.asarray(p["w"], np.float64) + np.asarray(p["b"], np.float64)
+
+
+def np_mutan_block(p, x0, x1, rank, mm_dim):
+    h0, h1 = np_linear(p["linear0"], x0), np_linear(p["linear1"], x1)
+    m = np_linear(p["merge0"], h0) * np_linear(p["merge1"], h1)
+    z = m.reshape(*m.shape[:-1], rank, mm_dim).sum(-2)
+    return np_linear(p["linear_out"], z)
+
+
+def np_mutan(je, v_emb, q_last, roi_mask, rank):
+    """MuTAN fusion (models/mutan.py): Tucker attention block over rois (the
+    question side broadcasting over the roi axis), glimpse-weighted visual
+    sums, and a second Tucker block scoring answers directly."""
+    from tf_vqa_regat_tpu.models.mutan import MM_DIM
+
+    alpha = np_mutan_block(je["att_fusion"], q_last[:, None, :], v_emb, rank, MM_DIM)
+    alpha = np_fc(je["att_linear1"], np_fc(je["att_linear0"], alpha))
+    alpha = np.where(roi_mask[..., None], alpha, -1e9)
+    alpha = np_softmax(alpha, 1)  # [b, R, glimpse]
+    v_out = np.einsum("brg,brd->bgd", alpha, v_emb).reshape(v_emb.shape[0], -1)
+    return np_mutan_block(je["out_fusion"], q_last, v_out, rank, MM_DIM)
+
+
+def _implicit_batch_and_vemb(cfg, params, seed):
+    """Shared fixture: random batch + the numpy implicit relation encoding
+    (reuses np_forward's transcription by slicing it off before the fusion)."""
+    rng = np.random.RandomState(seed)
+    xy = rng.rand(B, R, 2).astype(np.float32) * 200
+    wh = rng.rand(B, R, 2).astype(np.float32) * 80 + 4
+    num_boxes = np.array([R, R - 4], np.int32)
+    bb = np.concatenate([xy, xy + wh], -1)
+    feats = rng.randn(B, R, V_DIM).astype(np.float32)
+    for i, nb in enumerate(num_boxes):
+        bb[i, nb:] = 0
+        feats[i, nb:] = 0
+    q = rng.randint(0, NTOKEN, (B, 14)).astype(np.int32)
+    q[:, 9:] = NTOKEN
+    batch = {
+        "features": jnp.asarray(feats),
+        "norm_bb": jnp.zeros((B, R, 6)),
+        "question": jnp.asarray(q),
+        "bb": jnp.asarray(bb),
+        "target": jnp.zeros((B, NUM_ANS)),
+        "num_boxes": jnp.asarray(num_boxes),
+        "valid": jnp.ones((B,), bool),
+    }
+    return batch
+
+
+def _np_implicit_vemb(params, cfg, batch, q_vec, roi_mask):
+    visual = np_fc(params["v_relation"]["v2out"], np.asarray(batch["features"], np.float64), "relu")
+    pos_emb = np_position_embedding(np.asarray(batch["bb"], np.float64), cfg.nongt_dim, cfg.imp_pos_emb_dim)
+    qb = np.where(roi_mask[..., None], np.broadcast_to(q_vec[:, None, :], (B, R, q_vec.shape[-1])), 0.0)
+    v_cat_q = np.concatenate([visual, qb], -1)
+    gatt = params["v_relation"]["gatt"]
+    self_feat = np_fc(gatt["self_weights"], v_cat_q)
+    D, H, n = self_feat.shape[-1], cfg.num_heads, cfg.nongt_dim
+    dh = D // H
+    out = self_feat.copy()
+    key_mask = roi_mask[:, :n]
+    for d in range(cfg.dir_num):
+        pn = gatt["neighbor"][d]
+        q_ = np_fc(pn["query"], self_feat).reshape(B, R, H, dh)
+        k_ = np_fc(pn["key"], self_feat[:, :n]).reshape(B, n, H, dh)
+        aff = np.einsum("brhd,bnhd->brhn", q_, k_) / np.sqrt(dh)
+        pw = np.maximum(np_fc(pn["pair_pos_fc"], pos_emb), 0.0)
+        aff = aff + np.log(np.maximum(pw, 1e-6)).transpose(0, 1, 3, 2)
+        aff = np.where(key_mask[:, None, None, :], aff, -9e15)
+        w = np_softmax(aff, -1)
+        vproj = np.asarray(pn["out"]["v"], np.float64)
+        vproj = float(pn["out"]["g"]) * vproj / np.linalg.norm(vproj.ravel())
+        vw = np.einsum("bnD,hDo->bnho", self_feat[:, :n], vproj)
+        neigh = np.einsum("brhn,bnho->brho", w, vw).reshape(B, R, D)
+        out = out + neigh + np.asarray(pn["out"]["b"], np.float64)
+    return visual + np.maximum(out, 0.0)
+
+
+def test_full_model_ban_matches_numpy_oracle():
+    cfg = CFG.replace(fusion="ban", ban_glimpse=2)
+    params = init_regat(jax.random.PRNGKey(7), cfg, NTOKEN, V_DIM, NUM_ANS)
+    batch = _implicit_batch_and_vemb(cfg, params, seed=8)
+    got = np.asarray(apply_regat(params, cfg, batch, NTOKEN, train=False))
+    roi_mask = np.arange(R)[None, :] < np.asarray(batch["num_boxes"])[:, None]
+    q_seq, _, q_vec = np_language(params, np.asarray(batch["question"]))
+    v_emb = _np_implicit_vemb(params, cfg, batch, q_vec, roi_mask)
+    joint = np_ban(params["joint_emb"], v_emb, q_seq, roi_mask)
+    want = np_classifier(params["classifier"], joint)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
+
+
+def test_full_model_mutan_matches_numpy_oracle():
+    cfg = CFG.replace(fusion="mutan", mutan_rank=3, mutan_gamma=2)
+    params = init_regat(jax.random.PRNGKey(9), cfg, NTOKEN, V_DIM, NUM_ANS)
+    batch = _implicit_batch_and_vemb(cfg, params, seed=10)
+    got = np.asarray(apply_regat(params, cfg, batch, NTOKEN, train=False))
+    roi_mask = np.arange(R)[None, :] < np.asarray(batch["num_boxes"])[:, None]
+    _, q_last, q_vec = np_language(params, np.asarray(batch["question"]))
+    v_emb = _np_implicit_vemb(params, cfg, batch, q_vec, roi_mask)
+    want = np_mutan(params["joint_emb"], v_emb, q_last, roi_mask, cfg.mutan_rank)
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
