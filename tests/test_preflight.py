@@ -103,3 +103,31 @@ def test_preflight_train_run_resolution_matches_production(dataroot):
     # the halved budget must bite: at 50 KB the f32 train-run resolution is
     # NOT device (the per-split eval-only f32 val row may still be)
     assert modes["float32"] in ("sharded", "host")
+
+
+def test_int8_check_fires_on_heavy_tailed_features():
+    """The negative case REALDATA.md's dtype policy depends on: a table with
+    BUTD-like outlier structure (one huge spike per row) must push rel_err
+    and the p99 outlier ratio past the warning thresholds preflight prints
+    (rel_err_max > 0.05 or outlier_ratio_p99 > 20), while the Gaussian
+    fixture stays well under them."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(_TOOL))
+    from preflight import int8_check
+
+    # BUTD dimensionality matters: rowmax/row-RMS is bounded by sqrt(dim),
+    # so the >20 threshold is only reachable at real feature widths (2048;
+    # bound ~45) — at the tiny fixture dims it saturates near 8.
+    dim = 2048
+    rng = np.random.RandomState(0)
+    gaussian = rng.randn(256, dim).astype(np.float32)
+    ok = int8_check(gaussian, sample_rows=256)
+    assert ok["rel_err_max"] <= 0.05 and ok["outlier_ratio_p99"] <= 20
+
+    spiky = rng.randn(256, dim).astype(np.float32) * 0.5
+    spiky[np.arange(256), rng.randint(0, dim, 256)] = 50.0  # per-row outlier
+    bad = int8_check(spiky, sample_rows=256)
+    assert bad["outlier_ratio_p99"] > 20
+    assert bad["rel_err_max"] > 0.05
+    assert bad["rel_err_max"] > ok["rel_err_max"] * 5
