@@ -176,3 +176,24 @@ def test_main_vqa_cp_glue(dataroot):
     assert train.name == "cp_train" and val.name == "cp_test"
     assert train.store is val.store
     assert len(train) == 10 and len(val) == 10
+
+
+def test_vg_preprocess_answer_normalization():
+    """The standard VQA answer normalization applied to VG answers before the
+    vocab lookup (compose.py::preprocess_answer — review finding: bare
+    lower/strip dropped 'A dog.', 'Two.', '11,000' style answers)."""
+    from tf_vqa_regat_tpu.data.compose import preprocess_answer
+
+    cases = {
+        "A Dog.": "dog",
+        "Two.": "2",
+        "two. ": "2",
+        "11,000": "11000",
+        "the red car": "red car",
+        "It's sunny!": "it's sunny",
+        "dont": "don't",
+        "NONE": "0",
+        "blue": "blue",
+    }
+    for raw, want in cases.items():
+        assert preprocess_answer(raw) == want, raw

@@ -48,6 +48,27 @@ def test_gather_semantic_adj():
     np.testing.assert_array_equal(db["adj_label"], hb["adj_label"])
 
 
+def test_gather_semantic_adj_partial_batch_matches_host():
+    """Padded rows of a partial final batch must carry ALL-ZERO adjacency
+    like the host packer, not image 0's real labels (safe_idx=0 artifact —
+    review finding; the original parity fixture had no partial batch)."""
+    ds = synthetic_dataset(
+        num_images=4, num_questions=10, v_dim=8, num_ans=5, semantic=True
+    )
+    R = 30
+    store = DeviceStore(ds, include_adj=True)
+    loader = BatchLoader(ds, 4, R, shuffle=False, include_adj=True)
+    hbs = list(loader.epoch(0))
+    idxs = list(store.epoch_indices(0, 4, False, 0))
+    assert (idxs[-1] == -1).sum() == 2  # 10 = 4 + 4 + 2: real partial batch
+    for hb, idx in zip(hbs, idxs):
+        db = jax.device_get(
+            gather_batch(store.arrays, jnp.asarray(idx), R, 5, store.padding_idx)
+        )
+        np.testing.assert_array_equal(db["adj_label"], hb["adj_label"])
+    assert np.abs(db["adj_label"][-2:]).sum() == 0  # the padded rows
+
+
 def test_epoch_indices_shuffle_matches_loader():
     ds = synthetic_dataset(num_images=4, num_questions=33, v_dim=8, num_ans=5)
     store = DeviceStore(ds)
@@ -338,3 +359,37 @@ def test_duplicate_labels_rejected_loudly():
         ok = lab[i] >= 0
         t[lab[i][ok]] = sco[i][ok]
         np.testing.assert_array_equal(t, ent.dense_target(i, ds.num_ans))
+
+
+def test_shared_store_datasets_share_device_tables():
+    """Two datasets over ONE FeatureStore (the VQA-CP shape: train/test on
+    the merged COCO table) must share a single upload of the image-level
+    tables — same jax array objects, no second conversion (review finding:
+    2x startup + 2x HBM) — while entry-level tables stay per-split."""
+    ds_a = synthetic_dataset(
+        num_images=4, num_questions=8, v_dim=8, num_ans=5, semantic=True
+    )
+    ds_b = synthetic_dataset(
+        num_images=4, num_questions=6, v_dim=8, num_ans=5, semantic=True, seed=1
+    )
+    ds_b.store = ds_a.store  # the CP sharing pattern (load_vqa_cp_base)
+    sa = DeviceStore(ds_a, include_adj=True)
+    sb = DeviceStore(ds_b, include_adj=True)
+    for k in ("features", "norm_bb", "bb", "img_start", "img_len", "adj"):
+        assert sa.arrays[k] is sb.arrays[k], k
+    assert sa.arrays["questions"] is not sb.arrays["questions"]
+    assert sb.arrays["questions"].shape[0] == 6
+
+    # a different dtype must NOT hit the memo
+    sc = DeviceStore(ds_b, include_adj=True, feature_dtype="int8")
+    assert sc.arrays["features"] is not sa.arrays["features"]
+
+    # batches from the shared tables still match the host packer
+    loader = BatchLoader(ds_b, 4, 20, shuffle=False, include_adj=True)
+    hb = next(iter(loader.epoch(0)))
+    idx = next(iter(sb.epoch_indices(0, 4, False, 0)))
+    db = jax.device_get(
+        gather_batch(sb.arrays, jnp.asarray(idx), 20, 5, sb.padding_idx)
+    )
+    for k in ("features", "target", "question", "adj_label", "num_boxes"):
+        np.testing.assert_allclose(db[k], hb[k], err_msg=k)

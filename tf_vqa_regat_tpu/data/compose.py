@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import re as _re
 from typing import Dict, Tuple
 
 import numpy as np
@@ -220,6 +221,79 @@ def load_vqa_cp_dataset(
 
 
 # -------------------------------------------------------------- Visual Genome
+# Standard VQA answer normalization (the official VQA eval code's rules, used
+# by every BUTD-family repo's compute_softscore to build the 3,129-answer
+# vocab; the PyTorch original runs it as preprocess_answer on VG answers
+# before the vocab lookup). Implemented from the well-known spec — the
+# original's file is not vendored here — so a handful of rare contraction
+# entries may differ; any divergence only drops an out-of-vocab VG pair
+# (score-1.0 augmentation data), never corrupts a kept one. A bare
+# lower/strip was measurably wrong the common way: "A dog." / "Two." /
+# "11,000" all failed the vocab lookup and were silently dropped
+# (review finding).
+_VG_ARTICLES = {"a", "an", "the"}
+_VG_MANUAL_MAP = {
+    "none": "0", "zero": "0", "one": "1", "two": "2", "three": "3",
+    "four": "4", "five": "5", "six": "6", "seven": "7", "eight": "8",
+    "nine": "9", "ten": "10",
+}
+_VG_CONTRACTIONS = {
+    "aint": "ain't", "arent": "aren't", "cant": "can't", "couldve": "could've",
+    "couldnt": "couldn't", "didnt": "didn't", "doesnt": "doesn't",
+    "dont": "don't", "hadnt": "hadn't", "hasnt": "hasn't", "havent": "haven't",
+    "hed": "he'd", "hes": "he's", "howd": "how'd", "howll": "how'll",
+    "hows": "how's", "im": "i'm", "ive": "i've", "isnt": "isn't",
+    "itd": "it'd", "itll": "it'll", "lets": "let's", "maam": "ma'am",
+    "mightve": "might've", "mustve": "must've", "shant": "shan't",
+    "shed": "she'd", "shes": "she's", "shouldve": "should've",
+    "shouldnt": "shouldn't", "thats": "that's", "thered": "there'd",
+    "therere": "there're", "theres": "there's", "theyd": "they'd",
+    "theyll": "they'll", "theyre": "they're", "theyve": "they've",
+    "twas": "'twas", "wasnt": "wasn't", "wed": "we'd", "weve": "we've",
+    "werent": "weren't", "whatll": "what'll", "whatre": "what're",
+    "whats": "what's", "whatve": "what've", "whens": "when's",
+    "whered": "where'd", "wheres": "where's", "whereve": "where've",
+    "whod": "who'd", "wholl": "who'll", "whos": "who's", "whove": "who've",
+    "whyll": "why'll", "whyre": "why're", "whys": "why's", "wont": "won't",
+    "wouldve": "would've", "wouldnt": "wouldn't", "yall": "y'all",
+    "youd": "you'd", "youll": "you'll", "youre": "you're", "youve": "you've",
+}
+_VG_PUNCT = [
+    ";", "/", "[", "]", '"', "{", "}", "(", ")", "=", "+", "\\", "_", "-",
+    ">", "<", "@", "`", ",", "?", "!",
+]
+_VG_PERIOD = _re.compile(r"(?!<=\d)(\.)(?!\d)")
+_VG_COMMA_DIGITS = _re.compile(r"(\d)(\,)(\d)")
+
+
+def _vg_process_punctuation(text: str) -> str:
+    out = text
+    for p in _VG_PUNCT:
+        if (p + " " in text or " " + p in text) or (
+            _VG_COMMA_DIGITS.search(text) is not None
+        ):
+            out = out.replace(p, "")
+        else:
+            out = out.replace(p, " ")
+    return _VG_PERIOD.sub("", out)
+
+
+def _vg_process_digit_article(text: str) -> str:
+    words = []
+    for word in text.lower().split():
+        word = _VG_MANUAL_MAP.get(word, word)
+        if word not in _VG_ARTICLES:
+            words.append(word)
+    return " ".join(_VG_CONTRACTIONS.get(w, w) for w in words)
+
+
+def preprocess_answer(answer: str) -> str:
+    """lowercase, punctuation rules, article/digit-word normalization,
+    contractions — then drop remaining commas."""
+    answer = _vg_process_digit_article(_vg_process_punctuation(answer.lower()))
+    return answer.replace(",", "")
+
+
 def load_visual_genome_entries(
     dataroot: str,
     dictionary: Dictionary,
@@ -247,7 +321,7 @@ def load_visual_genome_entries(
         if coco_id is None or coco_id not in img_id2idx:
             continue
         for qa in vg["qas"]:
-            answer = qa["answer"].lower().strip(".").strip()
+            answer = preprocess_answer(qa["answer"])
             if answer not in ans2label:
                 continue
             qids.append(qa["qa_id"])

@@ -21,7 +21,7 @@ on-device.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +31,20 @@ from tf_vqa_regat_tpu.data.features import VQADataset
 from tf_vqa_regat_tpu.data.ordering import batch_shuffle_rng, epoch_perm_rng
 
 MAX_LABELS = 16  # VQA soft targets have <=10 answers; headroom for safety
+
+# image-level (entry-independent) device tables, shareable across splits
+# built on one FeatureStore (see DeviceStore.__init__'s memo)
+_IMAGE_KEYS = ("features", "feat_scale", "norm_bb", "bb", "img_start", "img_len", "adj")
+
+
+class _ImageTableHolder:
+    """Weakref-able handle bundling one upload of the image-level device
+    tables; every DeviceStore sharing them holds a strong reference."""
+
+    __slots__ = ("arrays", "__weakref__")
+
+    def __init__(self, arrays):
+        self.arrays = arrays
 
 
 CHUNK_ROWS = 262144  # rows per conversion chunk (~2 GB f32 at 2048-d)
@@ -96,7 +110,7 @@ def _source_fingerprint(src) -> str:
     return h.hexdigest()
 
 
-def _cached_features(store, feature_dtype: str, cache_dir: str, name: str):
+def _cached_features(store, feature_dtype: str, cache_dir: str):
     """Packed-feature cache (--packed_cache): the converted flat [T, v] table
     (+ int8 scales) persisted as .npy so repeat runs memory-map it instead of
     re-reading and re-converting the HDF5 source — at the real ~58 GB
@@ -105,21 +119,25 @@ def _cached_features(store, feature_dtype: str, cache_dir: str, name: str):
     with --mmap_features the HDF5 read shrinks to the ~64 sampled rows of
     the staleness fingerprint.
 
-    Keyed by (split name, layout, dtype); a meta sidecar pins the source
-    shape so a changed dataset rebuilds. Write/read protocol (atomic,
-    meta-last, bf16-as-uint16): data/cache.py, shared with the sharded
-    store."""
+    Keyed by CONTENT (source fingerprint + layout + dtype), not split name:
+    the VQA-CP train/test splits share one merged feature table, and a
+    name key would convert and persist the identical multi-GB table twice
+    (review finding). The meta sidecar still pins the full signature so a
+    same-prefix collision (vanishingly unlikely) rebuilds rather than
+    serving wrong data. Write/read protocol (atomic, meta-last,
+    bf16-as-uint16): data/cache.py, shared with the sharded store."""
     import os
 
     from tf_vqa_regat_tpu.data.cache import load_packed_cache, save_packed_cache
 
-    key = f"{name}-{'adaptive' if store.adaptive else 'fixed'}-{feature_dtype}"
+    sha = _source_fingerprint(store.features)
+    key = f"feat-{sha[:16]}-{'adaptive' if store.adaptive else 'fixed'}-{feature_dtype}"
     meta_p = os.path.join(cache_dir, key + ".meta.json")
     feat_p = os.path.join(cache_dir, key + ".features.npy")
     scale_p = os.path.join(cache_dir, key + ".scale.npy")
     sig = {
         "src_shape": [int(x) for x in store.features.shape],
-        "src_sha1": _source_fingerprint(store.features),
+        "src_sha1": sha,
         "feature_dtype": feature_dtype,
         "version": 2,
     }
@@ -172,21 +190,18 @@ def pack_soft_targets(ent, num_ans: int):
     return labels, scores
 
 
-def build_arrays(
+def build_image_arrays(
     dataset: VQADataset, include_adj: bool = False,
     feature_dtype: str = "float32", cache_dir: str = "",
 ) -> Dict[str, np.ndarray]:
-    """Host-side column tables ready for one device_put; the feature table
-    is materialized at `feature_dtype` (chunked — mmap-safe), or mapped from
-    the packed cache when `cache_dir` is set."""
-    ent = dataset.entries
+    """The image-level (entry-independent) tables: features (materialized at
+    `feature_dtype`, chunked — mmap-safe, or mapped from the packed cache
+    when `cache_dir` is set), boxes, image offsets, adjacency. For datasets
+    sharing one FeatureStore (VQA-CP train/test over the merged COCO table)
+    these are split-independent — see DeviceStore's device-array memo."""
     store = dataset.store
-    N = len(ent)
-
     if cache_dir:
-        feat, feat_scale = _cached_features(
-            store, feature_dtype, cache_dir, dataset.name
-        )
+        feat, feat_scale = _cached_features(store, feature_dtype, cache_dir)
     else:
         feat, feat_scale = _materialize_features(store.features, feature_dtype)
     if store.adaptive:
@@ -200,19 +215,12 @@ def build_arrays(
         bb = store.bb.reshape(n_img * n_box, -1)
         img_start = (np.arange(n_img, dtype=np.int32)) * n_box
         img_len = np.full((n_img,), n_box, np.int32)
-
-    labels, scores = pack_soft_targets(ent, dataset.num_ans)
-
     arrays = {
         "features": feat,
         "norm_bb": norm_bb,
         "bb": bb,
         "img_start": img_start,
         "img_len": img_len,
-        "entry_img": ent.image_index.astype(np.int32),
-        "questions": ent.q_tokens.astype(np.int32),
-        "labels": labels,
-        "scores": scores,
     }
     if include_adj:
         adj = (
@@ -224,6 +232,28 @@ def build_arrays(
             arrays["adj"] = adj.astype(np.int8)
     if feat_scale is not None:
         arrays["feat_scale"] = feat_scale
+    return arrays
+
+
+def build_entry_arrays(dataset: VQADataset) -> Dict[str, np.ndarray]:
+    """The per-entry tables (differ per split even over a shared store)."""
+    ent = dataset.entries
+    labels, scores = pack_soft_targets(ent, dataset.num_ans)
+    return {
+        "entry_img": ent.image_index.astype(np.int32),
+        "questions": ent.q_tokens.astype(np.int32),
+        "labels": labels,
+        "scores": scores,
+    }
+
+
+def build_arrays(
+    dataset: VQADataset, include_adj: bool = False,
+    feature_dtype: str = "float32", cache_dir: str = "",
+) -> Dict[str, np.ndarray]:
+    """Host-side column tables ready for one device_put."""
+    arrays = build_image_arrays(dataset, include_adj, feature_dtype, cache_dir)
+    arrays.update(build_entry_arrays(dataset))
     return arrays
 
 
@@ -292,19 +322,52 @@ class DeviceStore:
         # the single-chip enabler for the full ~58 GB adaptive train table
         # (f32 and bf16 both exceed one v5e's 16 GB HBM; int8+scales is
         # ~14.7 GB). Training dynamics under int8 validated in PERF_NOTES.md.
-        host = build_arrays(dataset, include_adj, feature_dtype, cache_dir)
+        from tf_vqa_regat_tpu.parallel.distributed import put_global_tree
+
+        # Datasets sharing ONE FeatureStore (VQA-CP train/test over the
+        # merged COCO table) would otherwise convert AND upload the identical
+        # image-level tables once per split — 2x startup and, decisively, 2x
+        # HBM (review finding). The memo lives on the source store, weakly:
+        # alive exactly while some DeviceStore still holds the tables, so a
+        # dropped store frees its HBM. (resolve_data_mode's budget estimate
+        # stays per-split — conservative for the shared-store case.)
+        import weakref
+
+        key = (
+            feature_dtype,
+            include_adj and dataset.relation_type,
+            sharding,
+        )
+        memo = getattr(dataset.store, "_device_img_memo", None)
+        holder = memo.get(key) and memo[key]() if memo else None
+        if holder is not None:
+            self.arrays = put_global_tree(build_entry_arrays(dataset), sharding)
+            self.arrays.update(holder.arrays)
+        else:
+            host = build_arrays(dataset, include_adj, feature_dtype, cache_dir)
+            # Multi-process aware placement (each process feeds its local
+            # devices).
+            self.arrays = put_global_tree(host, sharding)
+            holder = _ImageTableHolder(
+                {k: v for k, v in self.arrays.items() if k in _IMAGE_KEYS}
+            )
+            if memo is None:
+                memo = {}
+                dataset.store._device_img_memo = memo
+            memo[key] = weakref.ref(holder)
+        self._img_holder = holder  # keeps the shared tables (and memo) alive
+
         self.num_entries = len(dataset.entries)
         self.num_ans = dataset.num_ans
         self.padding_idx = dataset.padding_idx
-        self.has_adj = "adj" in host
+        self.has_adj = "adj" in self.arrays
         # per-entry box counts, for roi bucketing (host-side sampler)
-        self.entry_nbox = np.asarray(host["img_len"])[
-            np.asarray(host["entry_img"])
-        ].astype(np.int32)
-        from tf_vqa_regat_tpu.parallel.distributed import put_global_tree
-
-        # Multi-process aware placement (each process feeds its local devices).
-        self.arrays = put_global_tree(host, sharding)
+        store = dataset.store
+        if store.adaptive:
+            img_len = (store.pos_boxes[:, 1] - store.pos_boxes[:, 0]).astype(np.int32)
+        else:
+            img_len = np.full(store.features.shape[0], store.features.shape[1], np.int32)
+        self.entry_nbox = img_len[dataset.entries.image_index].astype(np.int32)
 
     def epoch_indices(self, epoch: int, batch_size: int, shuffle: bool, seed: int) -> Iterator[np.ndarray]:
         """Host-side index batches, padded to batch_size with -1 (invalid)."""
@@ -425,18 +488,29 @@ def gather_batch(
         "valid": valid,
     }
     if "adj" in arrays:
-        batch["adj_label"] = gather_adj(arrays, img, num_rois)
+        batch["adj_label"] = gather_adj(arrays, img, num_rois, valid)
     return batch
 
 
-def gather_adj(arrays, img: jax.Array, num_rois: int) -> jax.Array:
+def gather_adj(
+    arrays, img: jax.Array, num_rois: int, valid: Optional[jax.Array] = None
+) -> jax.Array:
     """[B, num_rois, num_rois] int32 adjacency labels gathered from the
     store's [n_img, A, A] int8 table, clamped/zero-padded to num_rois.
     Shared by gather_batch and serve.serve_step so on-device batch assembly
-    cannot drift between training/eval and serving (review finding)."""
+    cannot drift between training/eval and serving (review finding).
+
+    `valid` masks padded batch rows to ALL-ZERO labels: their safe index is
+    0, so without the mask they would carry image 0's real adjacency while
+    the host packer ships zeros — a device/host batch-parity break on every
+    partial final batch (review finding; downstream attention already
+    ignores those rows via key_mask, this pins the store contract itself)."""
     k = min(arrays["adj"].shape[1], num_rois)
     adj = jnp.zeros((img.shape[0], num_rois, num_rois), jnp.int32)
-    return adj.at[:, :k, :k].set(arrays["adj"][img][:, :k, :k].astype(jnp.int32))
+    adj = adj.at[:, :k, :k].set(arrays["adj"][img][:, :k, :k].astype(jnp.int32))
+    if valid is not None:
+        adj = jnp.where(valid[:, None, None], adj, 0)
+    return adj
 
 
 def gather_image_features(

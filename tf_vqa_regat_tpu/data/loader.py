@@ -107,10 +107,17 @@ class BatchLoader:
             pos = store.pos_boxes
             counts = (pos[:, 1] - pos[:, 0]).astype(np.int32)
             self._nbox = np.minimum(counts, R)
-            rows = pos[:, :1].astype(np.int64) + r  # [num_img, R]
-            # pad slots are -1: the native gather zeroes them directly, the
-            # numpy fallback clips + masks — both match gather_batch semantics
-            self._rows = np.where(r < self._nbox[:, None], rows, -1)
+            if getattr(store, "features_lazy", False):
+                # mmap mode packs via per-image contiguous slices (_pack's
+                # lazy branch) and never reads the gather table — at real
+                # scale it is ~100 MB of int64 held for the loader's
+                # lifetime, in exactly the bounded-RAM mode (review finding)
+                self._rows = None
+            else:
+                rows = pos[:, :1].astype(np.int64) + r  # [num_img, R]
+                # pad slots are -1: the native gather zeroes them directly,
+                # the numpy fallback clips + masks — both match gather_batch
+                self._rows = np.where(r < self._nbox[:, None], rows, -1)
         else:
             k = min(store.features.shape[1], R)
             self._nbox = np.full(store.features.shape[0], k, np.int32)

@@ -307,8 +307,15 @@ class ShardedDeviceStore:
     def _cache_paths(dataset, cache_dir, feature_dtype, dp):
         import os
 
+        from tf_vqa_regat_tpu.data.device_store import _source_fingerprint
+
+        # content-keyed, not name-keyed: VQA-CP train/test share one merged
+        # table and an identical shard layout (it depends only on per-image
+        # box counts) — a name key would persist the identical multi-GB file
+        # twice (review finding; same fix as device_store._cached_features)
+        sha = _source_fingerprint(dataset.store.features)
         key = (
-            f"{dataset.name}-sharded{dp}-"
+            f"feat-{sha[:16]}-sharded{dp}-"
             f"{'adaptive' if dataset.store.adaptive else 'fixed'}-"
             f"{feature_dtype}"
         )

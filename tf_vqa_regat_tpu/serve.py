@@ -129,7 +129,7 @@ class InferenceEngine:
             if "adj" in arrays:
                 from tf_vqa_regat_tpu.data.device_store import gather_adj
 
-                batch["adj_label"] = gather_adj(arrays, img, num_rois)
+                batch["adj_label"] = gather_adj(arrays, img, num_rois, valid)
             logits = apply_regat(
                 params, cfg, batch, ds.ntoken, train=False, impl=impl
             )
