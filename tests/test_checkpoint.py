@@ -599,3 +599,26 @@ def test_legacy_run_sig_without_data_mode_and_dp_still_resumes(tmp_path):
     meta_path.write_text(json.dumps(meta))
     params, best = run_training(cfg.replace(resume=True), train, val)
     assert np.isfinite(best)
+
+
+def test_epoch_boundary_resume_refuses_changed_steps_per_epoch(tmp_path):
+    """The count-keyed LR schedule derives the epoch as
+    count // steps_per_epoch: an epoch-boundary resume with a changed
+    batch_size would silently train at a misaligned LR while the banner
+    prints the right one (review finding) — refuse loudly, like the
+    mid-epoch guard. A matched config still resumes."""
+    import pytest
+
+    from tf_vqa_regat_tpu.train.loop import run_training
+
+    train, val = _datasets()
+    run_training(_run_cfg(tmp_path / "e", epochs=1), train, val)
+
+    with pytest.raises(ValueError, match="steps_per_epoch"):
+        run_training(
+            _run_cfg(tmp_path / "e", epochs=2, resume=True, batch_size=8),
+            train, val,
+        )
+    # the matching config resumes and continues to epoch 1
+    run_training(_run_cfg(tmp_path / "e", epochs=2, resume=True), train, val)
+    assert 1 in _read_metrics(str(tmp_path / "e") + "/")

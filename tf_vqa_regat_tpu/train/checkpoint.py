@@ -172,7 +172,7 @@ def save_checkpoint(
     mid-epoch step checkpoint (`epoch` in progress, `step_in_epoch` optimizer
     steps of it done, `acc` = host values of the epoch metric accumulators).
 
-    `run_sig` (step saves only): the data-order signature of the saving run
+    `run_sig`: the data-order signature of the saving run
     (batch_size, seed, steps_per_epoch, roi_buckets). A mid-epoch resume is
     only exact when the seeded epoch permutation and its batch partitioning
     are recreated identically, so run_training refuses to apply the step
@@ -242,8 +242,10 @@ def save_checkpoint(
             if step_in_epoch is not None:
                 meta["step_in_epoch"] = step_in_epoch
                 meta["acc"] = acc or {}
-                if run_sig:
-                    meta["run"] = run_sig
+            # epoch saves carry it too: epoch-boundary resume checks
+            # steps_per_epoch against it (count-keyed LR alignment)
+            if run_sig:
+                meta["run"] = run_sig
             tmp = os.path.join(root, "meta.json.tmp")
             with open(tmp, "w") as fh:
                 json.dump(meta, fh)

@@ -51,8 +51,12 @@ def build_member_step(cfg: Config, ntoken: int, mesh, impl: str):
     """Jitted per-member probability step: batch -> sigmoid answer probs
     (host-streaming path)."""
 
+    sp_mesh = mesh if cfg.sp_rois else None  # roi-axis sharding (--sp_rois)
+
     def step(params, batch):
-        logits = apply_regat(params, cfg, batch, ntoken, train=False, impl=impl)
+        logits = apply_regat(
+            params, cfg, batch, ntoken, train=False, impl=impl, sp_mesh=sp_mesh
+        )
         return jax.nn.sigmoid(logits)
 
     return jax.jit(
@@ -69,6 +73,7 @@ def _build_ensemble_block_common(
     impl: str,
     gather_fn,
     arrays_sharding,
+    block=None,
 ):
     """Shared body of the fused one-program ensemble: per batch, gather each
     member's inputs (via `gather_fn(arrays, idx)` — replicated tables or the
@@ -91,7 +96,13 @@ def _build_ensemble_block_common(
         for mcfg, params, arrays in zip(member_cfgs, params_tuple, arrays_tuple):
             batch = gather_fn(arrays, idx)
             ref = batch  # entries identical across members; keep any
-            logits = apply_regat(params, mcfg, batch, ntoken, train=False, impl=impl)
+            # --sp_rois must shard the roi axis here exactly as in the
+            # single-model eval builders (step.py) — dropping it silently
+            # changes the fused program's memory contract (review finding)
+            logits = apply_regat(
+                params, mcfg, batch, ntoken, train=False, impl=impl,
+                sp_mesh=mesh if mcfg.sp_rois else None,
+            )
             p = jax.nn.sigmoid(logits)
             probs = p if probs is None else probs + p
         probs = probs / len(member_cfgs)
@@ -101,6 +112,11 @@ def _build_ensemble_block_common(
         )
 
     def ensemble_block(params_tuple, arrays_tuple, idx_block):
+        # trace-time contract (see step.py's blocked builders)
+        assert block is None or idx_block.shape[0] == block, (
+            idx_block.shape, block,
+        )
+
         def body(acc, idx):
             s, n = one_batch(params_tuple, arrays_tuple, idx)
             return {"score": acc["score"] + s, "n": acc["n"] + n}, None
@@ -137,6 +153,7 @@ def build_ensemble_block(
         member_cfgs, ntoken, mesh, impl,
         lambda arrays, idx: gather_batch(arrays, idx, R, num_ans, padding_idx),
         replicated(mesh),
+        block=block,
     )
 
 
@@ -163,6 +180,7 @@ def build_sharded_ensemble_block(
     return _build_ensemble_block_common(
         member_cfgs, ntoken, mesh, impl, gather,
         NamedSharding(mesh, P(DATA_AXIS)),
+        block=block,
     )
 
 
@@ -377,10 +395,14 @@ def _run_ensemble_host(cfg, val_ds, mesh, impl, logger, members, member_params):
         mcfg = cfg.replace(relation_type=rt)
         steps.append((rt, build_member_step(mcfg, ntoken, mesh, impl), params))
 
-    # Per-member loaders: each relation type needs its own adjacency in the
-    # batch (semantic: the label table; spatial: precomputed if the HDF5 has
-    # it, else the in-jit builder; implicit: none). shuffle=False keeps all
-    # loaders in lockstep over the same entries, so targets align.
+    # ONE shared loader packs the heavy tensors (features/boxes/questions/
+    # targets — the ~hundreds-of-MB per batch) once; only each member's tiny
+    # [B, R, R] edge-label table (semantic: the HDF5 table; spatial:
+    # precomputed when present, else the in-jit builder needs no batch input)
+    # is packed and uploaded per member. The previous per-member loaders
+    # packed and shipped the identical dominant tensors once PER member —
+    # ~3x host pack work and host->HBM bytes on the transport-capped path
+    # (review finding).
     import dataclasses as _dc
 
     bspec = batch_sharding(mesh)
@@ -389,30 +411,45 @@ def _run_ensemble_host(cfg, val_ds, mesh, impl, logger, members, member_params):
     dp = mesh.shape["data"]
     eval_batch = cfg.resolved_eval_batch(dp)
     R = cfg.resolved_num_rois()
-    member_iters = []
-    for rt, _ in members:
-        member_ds = _dc.replace(val_ds, relation_type=rt)
-        loader = BatchLoader(
-            member_ds, eval_batch, R, shuffle=False,
-            include_adj=(rt in ("semantic", "spatial")),
-            feature_dtype=cfg.feature_dtype,
+    shared_ds = _dc.replace(val_ds, relation_type="implicit")
+    loader = BatchLoader(
+        shared_ds, eval_batch, R, shuffle=False, include_adj=False,
+        feature_dtype=cfg.feature_dtype,
+    )
+    shared_iter = prefetch_to_device(loader.epoch(0), bspec, depth=cfg.prefetch)
+    adj_sources = {
+        rt: (
+            val_ds.store.semantic_adj
+            if rt == "semantic"
+            else val_ds.store.spatial_adj if rt == "spatial" else None
         )
-        member_iters.append(
-            prefetch_to_device(loader.epoch(0), bspec, depth=cfg.prefetch)
-        )
+        for rt, _ in members
+    }
+    entry_img = val_ds.entries.image_index
 
     score = jnp.zeros(())
     n = jnp.zeros(())
     start = time.time()
-    for batches in zip(*member_iters):
+    for bi, shared in enumerate(shared_iter):
+        lo = bi * eval_batch  # shuffle=False: entries in natural order
+        idx = np.arange(lo, min(lo + eval_batch, len(entry_img)))
+        adj_cache = {}
         probs = None
-        for (rt, step, params), batch in zip(steps, batches):
+        for rt, step, params in steps:
+            batch = shared
+            src = adj_sources.get(rt)
+            if src is not None:
+                if rt not in adj_cache:
+                    adj = np.zeros((eval_batch, R, R), np.int32)
+                    k = min(src.shape[1], R)
+                    adj[: len(idx), :k, :k] = src[entry_img[idx]][:, :k, :k]
+                    adj_cache[rt] = jax.device_put(adj, bspec)
+                batch = dict(shared, adj_label=adj_cache[rt])
             p = step(params, batch)
             probs = p if probs is None else probs + p
         probs = probs / len(steps)
-        ref_batch = batches[0]
-        score = score + vqa_score_sum(probs, ref_batch["target"], ref_batch["valid"])
-        n = n + jnp.sum(ref_batch["valid"].astype(jnp.float32))
+        score = score + vqa_score_sum(probs, shared["target"], shared["valid"])
+        n = n + jnp.sum(shared["valid"].astype(jnp.float32))
     score_pct = 100.0 * float(jax.device_get(score)) / max(float(jax.device_get(n)), 1.0)
     logger.write(
         f"[ensemble] members={[rt for rt, _ in members]} data=host "

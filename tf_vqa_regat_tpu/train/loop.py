@@ -61,6 +61,9 @@ class _PreemptWatcher:
     def __init__(self) -> None:
         self._flag = False
         self._prev: Any = None
+        self._registered = False  # not `_prev is not None`: signal.signal
+        # returns None for a handler installed from C, which must still be
+        # restored on exit (review finding)
         env = os.environ.get("REGAT_FAULT_PREEMPT_STEP", "")
         self._fault_step = int(env) if env else -1
         self._multi = jax.process_count() > 1
@@ -72,13 +75,17 @@ class _PreemptWatcher:
 
         if not self._multi and threading.current_thread() is threading.main_thread():
             self._prev = signal.signal(signal.SIGTERM, self._on_signal)
+            self._registered = True
         return self
 
     def __exit__(self, *exc: Any) -> None:
         import signal
 
-        if self._prev is not None:
-            signal.signal(signal.SIGTERM, self._prev)
+        if self._registered:
+            # None (handler installed from C) restores the default action,
+            # the closest python-level approximation of the C handler's slot
+            prev = signal.SIG_DFL if self._prev is None else self._prev
+            signal.signal(signal.SIGTERM, prev)
 
     def _on_signal(self, signum: Any, frame: Any) -> None:
         self._flag = True
@@ -279,6 +286,26 @@ def run_training(
                 skip_steps = int(meta["step_in_epoch"])
                 acc_resume = meta.get("acc") or None
             elif meta.get("dir") == restored:
+                # Epoch-boundary resume: the restored optax count was
+                # accumulated at the SAVING run's steps_per_epoch, and the
+                # count-keyed LR schedule derives the epoch as
+                # count // steps_per_epoch (optim.py::make_lr_schedule) — a
+                # changed batch_size/bucket set would silently train at the
+                # wrong LR while the banner prints the right one (review
+                # finding). Refuse loudly, like the mid-epoch guard; legacy
+                # epoch metas without a signature skip the check.
+                sig_saved = _normalize_legacy_run_sig(meta.get("run"))
+                if sig_saved and "steps_per_epoch" in sig_saved and int(
+                    sig_saved["steps_per_epoch"]
+                ) != int(steps_per_epoch):
+                    raise ValueError(
+                        "resume with a different steps_per_epoch "
+                        f"({sig_saved['steps_per_epoch']} saved vs "
+                        f"{steps_per_epoch} now — batch_size/roi_buckets/"
+                        "data change): the optimizer's step count would "
+                        "misalign the epoch-keyed LR schedule; rerun with "
+                        "the original settings"
+                    )
                 start_epoch = int(meta.get("epoch", -1)) + 1
             else:
                 # meta's dir is gone from disk (partial copy/cleanup) and
@@ -425,6 +452,9 @@ def run_training(
                 waited = ckpt.save_checkpoint(
                     cfg.output, state, epoch, best_score, is_best,
                     block=not cfg.async_checkpoint,
+                    # epoch saves carry the signature too: resume checks
+                    # steps_per_epoch against it (LR-schedule alignment)
+                    run_sig=_run_signature(cfg, N, data.mode, dp),
                     retain=cfg.keep_ckpts,
                 )
                 if waited > 1.0:
@@ -496,7 +526,10 @@ def run_prediction(
     eval_batch = cfg.resolved_eval_batch(dp)
     params = put_global_tree(params, replicated(mesh))
     qids = ds.entries.question_ids
-    answers = np.empty(len(ds.entries), dtype=np.int64)
+    # -1-filled, not np.empty: with asserts stripped (python -O) a coverage
+    # gap must fail the label2ans lookup below, never serialize memory
+    # garbage into the submission JSON (review finding)
+    answers = np.full(len(ds.entries), -1, dtype=np.int64)
     seen = np.zeros(len(ds.entries), bool)
 
     include_adj = cfg.relation_type in ("semantic", "spatial")
@@ -583,7 +616,11 @@ def run_prediction(
             seen[pos : pos + n_real] = True
             pos += n_real
 
-    assert seen.all(), "prediction pass missed entries"
+    if not seen.all():  # a real error, not a debug assert (-O strips those)
+        raise RuntimeError(
+            f"prediction pass missed {int((~seen).sum())} entries — "
+            "store/stream coverage bug; the submission would be invalid"
+        )
     out_path = os.path.join(
         cfg.output, f"{cfg.relation_type}-{cfg.fusion}-{ds.name}-predictions.json"
     )

@@ -260,6 +260,11 @@ def _build_any_store_eval_block(
     sp_mesh = mesh if cfg.sp_rois else None
 
     def eval_block(params, arrays, idx_block):
+        # trace-time contract: `block` sized the caller's stream grouping
+        # (blocked_eval_stream); a mismatched [K', B] block would silently
+        # scan K' batches while ETA/accounting assume K (review finding)
+        assert idx_block.shape[0] == block, (idx_block.shape, block)
+
         def body(acc, idx):
             m = _eval_core(params, gather(arrays, idx), cfg, ntoken, impl, sp_mesh)
             return (
@@ -297,6 +302,8 @@ def _build_any_store_predict_block(
     sp_mesh = mesh if cfg.sp_rois else None
 
     def predict_block(params, arrays, idx_block):
+        assert idx_block.shape[0] == block, (idx_block.shape, block)
+
         def body(carry, idx):
             logits = apply_regat(
                 params, cfg, gather(arrays, idx), ntoken, train=False,
