@@ -218,3 +218,55 @@ def test_dropout_zero_is_dropout_free_for_every_fusion():
                         rng=jax.random.PRNGKey(2))
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=fusion)
+
+
+def test_graph_and_butd_dropout_pinned_to_reference_default(monkeypatch):
+    """Reference dropout topology (rel_graph_net.py:71-103): args.dropout
+    reaches only the language stack and classifier; the relation encoder and
+    BUTD keep hardcoded 0.2 (graph_att_net.py:14, fusion.py:13). --dropout
+    0.5 must therefore NOT change the graph/fusion drop rate — and
+    --dropout 0 must turn it off entirely (trajectory-harness convention)."""
+    from tf_vqa_regat_tpu.models import fusion, relation
+    from tf_vqa_regat_tpu.models.regat import apply_regat, init_regat
+
+    seen = {}
+    orig_rel = relation.implicit_encoder_apply
+    orig_butd = fusion.butd_apply
+
+    def rel_spy(params, *a, **kw):
+        seen["rel"] = kw.get("drop_rate")
+        return orig_rel(params, *a, **kw)
+
+    def butd_spy(params, v_emb, q_last, roi_mask, drop, *a, **kw):
+        seen["butd"] = drop
+        return orig_butd(params, v_emb, q_last, roi_mask, drop, *a, **kw)
+
+    monkeypatch.setattr(relation, "implicit_encoder_apply", rel_spy)
+    monkeypatch.setattr(fusion, "butd_apply", butd_spy)
+
+    for cfg_drop, want in [(0.5, 0.2), (0.2, 0.2), (0.0, 0.0)]:
+        cfg = tiny_cfg(dropout=cfg_drop)
+        params = init_regat(jax.random.PRNGKey(0), cfg, NTOKEN, V_DIM, NUM_ANS)
+        apply_regat(
+            params, cfg, make_batch(), NTOKEN, train=True,
+            rng=jax.random.PRNGKey(1),
+        )
+        assert seen["rel"] == want, (cfg_drop, seen)
+        assert seen["butd"] == want, (cfg_drop, seen)
+
+
+def test_forward_pallas_matches_jnp_train_mode():
+    """TRAIN-mode pallas == jnp: the fused kernel's pos-embedding dropout now
+    draws nn.dropout's exact uint8 scheme at the same stream position, so the
+    two impls produce IDENTICAL masks — the full stochastic forward must
+    agree to float tolerance (previously bernoulli vs bits: different masks,
+    different quantized drop probability — review finding)."""
+    cfg = tiny_cfg(relation_type="implicit")
+    params = init_regat(jax.random.PRNGKey(9), cfg, NTOKEN, V_DIM, NUM_ANS)
+    batch = make_batch(seed=9)
+    rng = jax.random.PRNGKey(3)
+    want = np.asarray(apply_regat(params, cfg, batch, NTOKEN, train=True, rng=rng))
+    got = np.asarray(
+        apply_regat(params, cfg, batch, NTOKEN, train=True, rng=rng, impl="pallas")
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

@@ -17,6 +17,10 @@ joint = sum over T of q_seq.
 The bilinear tensor ``h_mat`` carries whole-tensor scalar-g weight norm
 (pytorch ``weight_norm(..., dim=None)``), consistent with ops/weight_norm.py.
 
+Dropout: this net-new family takes cfg.dropout directly (there is no
+reference code pinning a default — contrast BUTD/graph attention, which the
+reference hardcodes at 0.2 regardless of --dropout; models/regat.py).
+
 The BAN-paper counting module is deliberately not included: in the upstream
 PyTorch ReGAT (linjieli222/VQA_ReGAT, which this reference reimplements —
 reference README.md:3-5), ``model/fusion.py``'s ``BAN.__init__`` takes

@@ -15,6 +15,8 @@ Unlike BUTD/BAN, MuTAN produces **answer logits directly** (the PyTorch ReGAT
 sets classifier=None for mutan); models/regat.py skips the classifier.
 
 Framework addition: invalid rois are masked out of the attention softmax.
+Dropout: this net-new family takes cfg.dropout directly (no reference code
+pins a default; see models/regat.py's dropout-topology note).
 """
 
 from __future__ import annotations

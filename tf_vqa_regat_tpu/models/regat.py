@@ -132,6 +132,17 @@ def apply_regat(
     compute_dtype = _DTYPES[cfg.compute_dtype]
     rngs = nn.RngGen(rng) if (train and rng is not None) else None
     drop = cfg.dropout
+    # Reference dropout topology (rel_graph_net.py:71-103): args.dropout
+    # reaches ONLY the language stack and the classifier; the relation
+    # encoder and BUTD keep their hardcoded 0.2 defaults
+    # (graph_att_net.py:14,23-24, graph_att_layer.py:15,26-28,
+    # fusion.py:13-18) — so --dropout 0.5 must not change the graph/fusion
+    # regularization (review finding). Pinned likewise, with the repo-wide
+    # convention that --dropout 0 turns EVERY dropout off (the
+    # trajectory-equivalence harness relies on a fully deterministic step).
+    # BAN/MuTAN are net-new families (no reference code): they take
+    # cfg.dropout directly, documented in models/ban.py / models/mutan.py.
+    graph_drop = 0.2 if drop > 0 else 0.0
 
     features = batch["features"]
     b, R, _ = features.shape
@@ -168,7 +179,7 @@ def apply_regat(
         num_heads=cfg.num_heads,
         num_steps=cfg.num_steps,
         residual_connection=cfg.residual_connection,
-        drop_rate=drop,
+        drop_rate=graph_drop,
         train=train,
         rngs=rngs,
         compute_dtype=compute_dtype,
@@ -208,7 +219,8 @@ def apply_regat(
 
     if cfg.fusion == "butd":
         joint, _ = fusion.butd_apply(
-            params["joint_emb"], v_emb, q_last, roi_mask, drop, train, rngs, compute_dtype
+            params["joint_emb"], v_emb, q_last, roi_mask, graph_drop, train,
+            rngs, compute_dtype,
         )
     elif cfg.fusion == "ban":
         from tf_vqa_regat_tpu.models import ban

@@ -40,6 +40,19 @@ from tf_vqa_regat_tpu.ops import weight_norm as wn
 NEG_INF = -9e15  # reference mask value (graph_att_layer.py:95)
 
 
+def _pos_log_bias(pe, kernel, bias_vec):
+    """relu(FC(pos_emb)) -> log multiplicative geometry prior, [b, R, H', n]
+    (reference graph_att_layer.py:72-88; H' = H, or 2H when dual-folded).
+    `pe` arrives already dropout'd, in the caller's compute dtype; the einsum
+    lands directly in the [b, R, H, n] bias layout (an FCNet + transpose of
+    this tiny-trailing-dim tensor costs a full relayout on TPU). One helper
+    for the pos_mat / pos_emb / dual-fold call sites (review finding)."""
+    pw = jnp.einsum("brnp,ph->brhn", pe, kernel, preferred_element_type=jnp.float32)
+    if bias_vec is not None:
+        pw = pw + bias_vec[None, None, :, None]
+    return jnp.log(jnp.maximum(jax.nn.relu(pw), 1e-6))
+
+
 def graph_attention_init(
     key: jax.Array,
     hidden_dim: int,
@@ -142,9 +155,19 @@ def graph_attention_apply(
         dropmask = None
         if train and drop_rate > 0.0:
             assert rngs is not None
-            dropmask = jax.random.bernoulli(
-                rngs.next(), 1.0 - drop_rate, (b, R, n, P)
-            ).astype(jnp.uint8)
+            # nn.dropout's exact uint8 scheme (same stream position, same
+            # shape, same key as the jnp path's pos_bias_chain draw), so the
+            # fused and jnp paths keep IDENTICAL masks and the quantized
+            # t/256 drop probability — bernoulli drew 32 bits/element and a
+            # subtly different probability (review finding)
+            t = min(255, max(1, int(round(drop_rate * 256.0))))
+            # fold_in(key, 0): the jnp path hands its rngs.next() key to a
+            # fresh RngGen whose first draw is fold_in(key, 0) (pos_bias_
+            # chain -> nn.dropout) — mirror that exactly so both impls see
+            # the identical mask
+            key = jax.random.fold_in(rngs.next(), 0)
+            bits = jax.random.bits(key, (b, R, n, P), dtype=jnp.uint8)
+            dropmask = (bits >= t).astype(jnp.uint8)
         out = fused_implicit_graph_attention(
             q, k, vw, pos_mat, wn.wn_kernel(layer, jnp.float32),
             layer.get("b"), key_mask, drop_rate, dropmask,
@@ -176,15 +199,7 @@ def graph_attention_apply(
             pe = position_embedding(pos_mat, P).astype(compute_dtype)
             if key is not None:
                 pe = nn.dropout(pe, drop_rate, True, nn.RngGen(key))
-            pw = jnp.einsum(
-                "brnp,ph->brhn",
-                pe,
-                wn.wn_kernel(layer, compute_dtype),
-                preferred_element_type=jnp.float32,
-            )
-            if "b" in layer:
-                pw = pw + layer["b"][None, None, :, None]
-            return jnp.log(jnp.maximum(jax.nn.relu(pw), 1e-6))
+            return _pos_log_bias(pe, wn.wn_kernel(layer, compute_dtype), layer.get("b"))
 
         bias = bias + pos_bias_chain(pos_mat, layer, key)
     elif pos_emb is not None:
@@ -195,16 +210,11 @@ def graph_attention_apply(
         # tensor costs a full relayout on TPU).
         layer = params["pair_pos_fc"]["layers"][0]
         pe = nn.dropout(pos_emb, drop_rate, train, rngs)
-        pw = jnp.einsum(
-            "brnp,ph->brhn",
+        bias = bias + _pos_log_bias(  # graph_att_layer.py:86-88
             pe.astype(compute_dtype),
             wn.wn_kernel(layer, compute_dtype),
-            preferred_element_type=jnp.float32,
+            layer.get("b"),
         )
-        if "b" in layer:
-            pw = pw + layer["b"][None, None, :, None]
-        pw = jax.nn.relu(pw)
-        bias = bias + jnp.log(jnp.maximum(pw, 1e-6))  # graph_att_layer.py:86-88
     if label_bias is not None:
         bias = bias + label_bias[:, :, None, :]
 
@@ -329,13 +339,12 @@ def graph_attention_apply_dual(
         )
         pe = nn.dropout(pe, drop_rate, train, rngs)
         wp = jnp.concatenate([wn.wn_kernel(l, compute_dtype) for l in layers], axis=1)
-        pw = jnp.einsum(
-            "brnp,ph->brhn", pe, wp, preferred_element_type=jnp.float32
-        )  # [b, R, 2H, n]
-        if "b" in layers[0]:
-            bp = jnp.concatenate([l["b"] for l in layers], axis=0)
-            pw = pw + bp[None, None, :, None]
-        bias = bias + jnp.log(jnp.maximum(jax.nn.relu(pw), 1e-6))
+        bp = (
+            jnp.concatenate([l["b"] for l in layers], axis=0)
+            if "b" in layers[0]
+            else None
+        )
+        bias = bias + _pos_log_bias(pe, wp, bp)  # [b, R, 2H, n]
     if label_biases is not None:
         lb = jnp.stack(label_biases, axis=2)  # [b, R, 2, n]
         bias = bias + jnp.repeat(lb, H, axis=2).reshape(b, R, 2 * H, n)

@@ -356,6 +356,9 @@ def fused_implicit_graph_attention(
         # [b, R, n, P] -> the embedding's exact [b, R, nP] lane layout
         # (m-major blocks of P — a plain reshape).
         mask = dropmask.reshape(b, R, n * P)
-        inv_keep = 1.0 / (1.0 - drop_rate)
+        # nn.dropout's quantized inverse (t/256 drop probability): the mask
+        # upstream is drawn as bits >= t, so E[mask * inv_keep] == 1 exactly
+        t = min(255, max(1, int(round(drop_rate * 256.0))))
+        inv_keep = 256.0 / (256 - t)
     out = _fused_v3(q2, kt, vwt, pm, wbd, bvec, mrow, mask, inv_keep, interpret)
     return out.reshape(b, R, H, o)
