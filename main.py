@@ -169,9 +169,15 @@ def build_datasets(cfg: Config):
                 )
                 train = append_entries(train, vg, train.name + "+vg")
     tfidf = weights = None
-    if cfg.tfidf:
-        # Extends the dictionary as a side effect (SURVEY §3.5) — must run
-        # before GloVe row extraction.
+    if cfg.tfidf and cfg.mode == "train":
+        # Train-only, like the reference (main.py:122,136): the result feeds
+        # only the embedding INIT, every model is sized by the pre-extension
+        # ntoken snapshot (SURVEY §3.5; test_ntoken_snapshot_*), and serve's
+        # _encode remap makes the extension a no-op for inference — running
+        # it in eval/predict/serve burned minutes tokenizing ~1.1M questions
+        # and required train-side files eval-only data folders lack
+        # (review finding). Extends the dictionary as a side effect — must
+        # run before GloVe row extraction.
         tfidf, weights = tfidf_from_questions(
             ["train", "val", "test2015"], dictionary, cfg.data_folder
         )
@@ -194,8 +200,13 @@ def _load_eval_params(cfg: Config, val_ds):
         return import_reference_h5(
             cfg.checkpoint, cfg, ntoken, val_ds.v_dim, val_ds.num_ans
         )
-    abstract = init_regat(
-        jax.random.PRNGKey(cfg.seed), cfg, ntoken, val_ds.v_dim, val_ds.num_ans
+    # shapes only: load_params reduces the template to ShapeDtypeStructs, so
+    # materializing a full random init (orthogonal QR on the GRU kernels,
+    # ~10^7 draws) was pure waste (review finding)
+    abstract = jax.eval_shape(
+        lambda: init_regat(
+            jax.random.PRNGKey(cfg.seed), cfg, ntoken, val_ds.v_dim, val_ds.num_ans
+        )
     )
     return ckpt.load_params(cfg.checkpoint, abstract)
 
@@ -290,8 +301,11 @@ def main(argv=None) -> None:
         if not cfg.checkpoint:
             raise ValueError("--mode export_h5 needs --checkpoint (an orbax dir)")
         ntoken = val_ds.ntoken
-        abstract = init_regat(
-            jax.random.PRNGKey(cfg.seed), cfg, ntoken, val_ds.v_dim, val_ds.num_ans
+        abstract = jax.eval_shape(  # shapes only (see _load_eval_params)
+            lambda: init_regat(
+                jax.random.PRNGKey(cfg.seed), cfg, ntoken, val_ds.v_dim,
+                val_ds.num_ans,
+            )
         )
         params = ckpt.load_params(cfg.checkpoint, abstract)
         from tf_vqa_regat_tpu.train.h5_export import export_reference_h5

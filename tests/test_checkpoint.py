@@ -622,3 +622,41 @@ def test_epoch_boundary_resume_refuses_changed_steps_per_epoch(tmp_path):
     # the matching config resumes and continues to epoch 1
     run_training(_run_cfg(tmp_path / "e", epochs=2, resume=True), train, val)
     assert 1 in _read_metrics(str(tmp_path / "e") + "/")
+
+
+def test_mid_epoch_resume_refuses_changed_order_version(tmp_path, monkeypatch):
+    """The seeded-stream formulas (data/ordering.py) define what "skip N
+    batches" reproduces; a step checkpoint therefore pins ORDER_VERSION, and
+    a resume under a DIFFERENT formula version refuses — including the
+    legacy case where the writer predates the field (the other
+    legacy-missing keys are skipped as unverifiable, but an order change
+    makes the skip genuinely wrong)."""
+    import json
+
+    import pytest
+
+    from tf_vqa_regat_tpu.train.loop import Preempted, run_training
+
+    train, val = _datasets()
+    cfg = _run_cfg(tmp_path / "ov")
+    monkeypatch.setenv("REGAT_FAULT_PREEMPT_STEP", "2")
+    with pytest.raises(Preempted):
+        run_training(cfg, train, val)
+    monkeypatch.delenv("REGAT_FAULT_PREEMPT_STEP")
+
+    meta_path = tmp_path / "ov" / "checkpoints" / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    saved_order = meta["run"].pop("order")  # simulate a legacy writer
+    meta_path.write_text(json.dumps(meta))
+    cfg2 = _run_cfg(tmp_path / "ov", resume=True)
+    with pytest.raises(ValueError, match="order"):
+        run_training(cfg2, train, val)
+
+    meta["run"]["order"] = saved_order + 1  # future formula version
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="order"):
+        run_training(cfg2, train, val)
+
+    meta["run"]["order"] = saved_order  # restored -> resumes fine
+    meta_path.write_text(json.dumps(meta))
+    run_training(cfg2, train, val)

@@ -102,3 +102,20 @@ def test_print_freq_validated():
     assert Config(print_freq=0).print_freq == 0
     with pytest.raises(ValueError, match="print_freq"):
         Config(print_freq=-5)
+
+
+def test_serve_flags_validated():
+    """Serve flags validate at Config construction, not at MicroBatcher
+    construction: an empty --serve_batch_sizes otherwise surfaced as an
+    opaque `max() arg is an empty sequence` AFTER the full feature-table
+    upload (round-3 review finding)."""
+    import pytest
+
+    from tf_vqa_regat_tpu.config import Config
+
+    assert Config(serve_batch_sizes="1,4").serve_batch_sizes == "1,4"
+    for bad in ("", " , ", "0", "4,-2"):
+        with pytest.raises(ValueError, match="serve_batch_sizes"):
+            Config(serve_batch_sizes=bad)
+    with pytest.raises(ValueError, match="serve_max_delay_ms"):
+        Config(serve_max_delay_ms=-1.0)

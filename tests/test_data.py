@@ -449,3 +449,86 @@ def test_load_entries_empty_split_keeps_2d_q_tokens(tmp_path):
     ent = load_entries(root, "val", {}, ["yes"], make_dictionary())
     assert ent.q_tokens.shape == (0, 14)
     assert ent.label_offsets.shape == (1,)
+
+
+def test_ordering_streams_are_disjoint():
+    """The four seeded-stream kinds (epoch perm, batch shuffle, per-shard
+    perm, per-shard-per-bucket perm) must never seed identically within one
+    run. The previous affine formulas collided across kinds — e.g.
+    batch_shuffle(seed, 0) == epoch_perm(seed, 7) and
+    shard_perm(seed, 0, s) == epoch_perm(seed, s) — so "distinct" streams
+    drew the same permutations (round-3 review finding). Exhaustively checks
+    a realistic grid for cross-stream seed collisions."""
+    from tf_vqa_regat_tpu.data import ordering as o
+
+    for seed in (0, 1234):
+        draws = {}
+        def add(kind, rs, *args):
+            key = tuple(int(x) for x in rs.randint(0, 2**31, size=3))
+            prev = draws.get(key)
+            assert prev is None, f"stream collision: {(kind, *args)} == {prev}"
+            draws[key] = (kind, *args)
+
+        for epoch in range(10):
+            add("epoch_perm", o.epoch_perm_rng(seed, epoch), epoch)
+            add("batch_shuffle", o.batch_shuffle_rng(seed, epoch), epoch)
+            for shard in range(8):
+                add("shard_perm", o.shard_perm_rng(seed, epoch, shard),
+                    epoch, shard)
+                for bucket in range(3):
+                    add("shard_bucket",
+                        o.shard_bucket_perm_rng(seed, epoch, shard, bucket),
+                        epoch, shard, bucket)
+
+
+def test_load_tfidf_bounds_check(tmp_path):
+    """load_tfidf raises a named error when the precomputed indices span
+    more columns than the extended dictionary — the usual cause being a
+    missing visualGenome/question_answers.json during the dictionary
+    extension pass (which the reference crashes on, dataset.py:396-398, and
+    we deliberately warn-and-skip)."""
+    import pytest
+
+    import os
+
+    from tf_vqa_regat_tpu.data.glove import load_tfidf
+
+    os.makedirs(str(tmp_path / "tfidf"))
+    inds = np.array([[0, 0], [1, 5]], np.int64)  # column 5
+    np.save(str(tmp_path / "tfidf" / "indices.npy"), inds)
+    np.save(str(tmp_path / "tfidf" / "values.npy"),
+            np.ones(2, np.float32))
+    with pytest.raises(ValueError, match="extended dictionary"):
+        load_tfidf(str(tmp_path), ntoken=3, ext_ntoken=4)
+    mat = load_tfidf(str(tmp_path), ntoken=3, ext_ntoken=6)
+    assert mat.shape == (3, 6)
+
+
+def test_tfidf_is_train_only(tmp_path, monkeypatch):
+    """--tfidf feeds only the embedding INIT (the model is sized by the
+    pre-extension ntoken snapshot and serve's _encode remap makes the
+    dictionary extension an inference no-op), so build_datasets runs it only
+    under --mode train — the reference does the same (main.py:122,136), and
+    running it in eval/predict/serve burned minutes tokenizing ~1.1M
+    questions and required train-side files eval-only data folders lack
+    (round-3 review finding)."""
+    import main as regat_main
+    from tf_vqa_regat_tpu.config import Config
+
+    root = str(tmp_path / "fix")
+    write_fixture(root, num_images=6, num_questions=12, v_dim=16, num_ans=7,
+                  adaptive=True, name="val")
+    calls = []
+    monkeypatch.setattr(
+        regat_main, "tfidf_from_questions",
+        lambda names, d, folder: (calls.append(names) or ("TFIDF", "W")),
+    )
+    base = dict(data_folder=root, adaptive=True, tfidf=True)
+    _, _, tfidf, weights = regat_main.build_datasets(Config(**base, mode="eval"))
+    assert not calls and tfidf is None and weights is None
+
+    write_fixture(root, num_images=6, num_questions=12, v_dim=16, num_ans=7,
+                  adaptive=True, name="train")
+    _, _, tfidf, weights = regat_main.build_datasets(Config(**base, mode="train"))
+    assert calls == [["train", "val", "test2015"]]
+    assert tfidf == "TFIDF" and weights == "W"

@@ -117,6 +117,26 @@ def test_http_server_contract(setup):
         except urllib.error.HTTPError as e:
             assert e.code == 400
 
+        # malformed item mid-list: the WHOLE request validates before the
+        # first submit — already-enqueued items otherwise ran abandoned
+        # inference that delayed concurrent micro-batches (round-3 review
+        # finding)
+        n_submits = []
+        orig_submit = batcher.submit
+
+        def counting_submit(*a, **k):
+            n_submits.append(1)
+            return orig_submit(*a, **k)
+
+        batcher.submit = counting_submit
+        try:
+            post([{"question": "q ?", "image_id": iid}, {"question": "q ?"}])
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert not n_submits, "items were enqueued before validation failed"
+        batcher.submit = orig_submit
+
         # oversized client batch: rejected up front (400), never enqueued —
         # one huge request must not starve concurrent ones (advisor finding)
         from tf_vqa_regat_tpu.serve import MAX_CLIENT_BATCH

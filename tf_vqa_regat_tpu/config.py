@@ -260,6 +260,21 @@ class Config:
                 f"--print_freq must be >= 0 (0 silences step lines), got "
                 f"{self.print_freq}"
             )
+        # serve flags validate here, not at MicroBatcher construction: an
+        # empty --serve_batch_sizes otherwise surfaced as an opaque
+        # `max() arg is an empty sequence` AFTER the full feature-table
+        # upload (review finding)
+        sizes = [x for x in self.serve_batch_sizes.split(",") if x.strip()]
+        if not sizes or any(int(x) <= 0 for x in sizes):
+            raise ValueError(
+                f"--serve_batch_sizes needs >=1 positive sizes, got "
+                f"{self.serve_batch_sizes!r}"
+            )
+        if self.serve_max_delay_ms < 0:
+            raise ValueError(
+                f"--serve_max_delay_ms must be >= 0, got "
+                f"{self.serve_max_delay_ms}"
+            )
 
     def resolved_num_rois(self) -> int:
         if self.num_rois > 0:

@@ -48,6 +48,20 @@ def extend_dictionary_from_questions(
                 for vg in json.load(fh):
                     for q in vg["qas"]:
                         dictionary.tokenize(q["question"], True)
+        else:
+            # DELIBERATE deviation: the reference crashes on the missing file
+            # (dataset.py:396-398 open with no guard); fixtures and
+            # VQA-only data folders run without the 700 MB VG JSON, so skip
+            # — but loudly, because a real --tfidf run with precomputed
+            # 28,333-column indices then fails in load_tfidf (whose bounds
+            # check names this warning) rather than here
+            import warnings
+
+            warnings.warn(
+                f"tfidf: {vg_path} missing — dictionary NOT extended with "
+                "Visual Genome questions (the reference requires it; "
+                "fixtures don't ship it)"
+            )
 
 
 def load_tfidf(
@@ -57,6 +71,13 @@ def load_tfidf(
     the two .npy blobs are part of the reference data download."""
     inds = np.load(os.path.join(dataroot, "tfidf", "indices.npy"))
     vals = np.load(os.path.join(dataroot, "tfidf", "values.npy"))
+    if len(inds) and int(inds[:, 1].max()) >= ext_ntoken:
+        raise ValueError(
+            f"tfidf indices span column {int(inds[:, 1].max())} but the "
+            f"extended dictionary has only {ext_ntoken} words — usually "
+            "visualGenome/question_answers.json was missing during the "
+            "dictionary-extension pass (see the extend_dictionary warning)"
+        )
     return sp.csr_matrix(
         (vals, (inds[:, 0], inds[:, 1])), shape=(ntoken, ext_ntoken)
     )

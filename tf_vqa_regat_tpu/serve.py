@@ -366,15 +366,19 @@ def make_server(
                         f"max {MAX_CLIENT_BATCH}) — split the request"
                     },
                 )
+            # validate the WHOLE request before the first submit: a
+            # malformed item mid-list otherwise 400s the client while the
+            # already-enqueued items still run abandoned inference on the
+            # device, delaying concurrent micro-batches (review finding)
             try:
-                futs = [
-                    batcher.submit(str(it["question"]), int(it["image_id"]))
-                    for it in items
+                parsed = [
+                    (str(it["question"]), int(it["image_id"])) for it in items
                 ]
             except (KeyError, TypeError, ValueError):
                 return self._json(
                     400, {"error": "each item needs question + image_id"}
                 )
+            futs = [batcher.submit(q, i) for q, i in parsed]
             try:
                 results = [f.result(timeout=60) for f in futs]
             except Exception as e:  # engine failure / batcher shutdown
@@ -402,3 +406,7 @@ def run_server(cfg: Config, ds: VQADataset, params: Any, logger) -> None:
         server.serve_forever()
     finally:
         batcher.close()
+        # release the bound socket: an embedding process (tests, notebooks)
+        # re-binding the same --serve_port otherwise hits EADDRINUSE
+        # (review finding)
+        server.server_close()

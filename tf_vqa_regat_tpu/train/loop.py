@@ -135,10 +135,15 @@ def _run_signature(
     device<->sharded flip (e.g. a --feature_dtype change moving the 'auto'
     resolution) — checkpoints are process-count portable, but a MID-epoch
     resume is only exact on the topology and path that wrote it."""
+    from tf_vqa_regat_tpu.data.ordering import ORDER_VERSION
+
     return {
         "batch_size": int(cfg.batch_size),
         "seed": int(cfg.seed),
         "steps_per_epoch": int(steps_per_epoch),
+        # the stream-formula version (data/ordering.py): a skip is only
+        # exact when the saved epoch order re-derives under THIS code
+        "order": int(ORDER_VERSION),
         # the PARSED bucket list, not the raw flag string: '100,64' and
         # '64, 100' sort to the same buckets and hence the same epoch order,
         # so they must not spuriously refuse a resume
@@ -275,6 +280,14 @@ def run_training(
                     for k in (sig_saved or {})
                     if sig_saved.get(k) != sig_now.get(k)
                 }
+                # ordering-formula version is checked even when the WRITER
+                # predates it (default 1): unlike the other legacy-missing
+                # keys, an order change makes the skip genuinely wrong, so
+                # refusing is correct rather than spurious
+                if sig_saved is not None and sig_saved.get("order", 1) != (
+                    sig_now["order"]
+                ):
+                    diffs["order"] = (sig_saved.get("order", 1), sig_now["order"])
                 if sig_saved is not None and diffs:
                     raise ValueError(
                         "mid-epoch resume requires the run configuration "
