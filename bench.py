@@ -147,8 +147,37 @@ def _epoch_batches(store, batch_size, bspec, shuffle, seed=0, epoch=0):
     return out
 
 
+def _backend_init_watchdog(interval_s: float = 120.0):
+    """Stderr heartbeat while JAX backend init is pending: a TPU tunnel
+    outage makes `jax.devices()` BLOCK indefinitely at ~0% CPU with no
+    error (PERF_NOTES.md, observed 2026-08-18) — this turns that mystery
+    hang into a diagnosed one. Returns an Event to set once init returns;
+    stdout (the one-JSON-line contract) is untouched."""
+    import threading
+
+    done = threading.Event()
+
+    def warn() -> None:
+        waited = 0.0
+        while not done.wait(interval_s):
+            waited += interval_s
+            print(
+                f"[bench] JAX backend init still pending after {waited:.0f}s"
+                " — the TPU tunnel is likely unreachable (outages block"
+                " init indefinitely at ~0% CPU; see PERF_NOTES.md)",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    threading.Thread(target=warn, daemon=True).start()
+    return done
+
+
 def main() -> None:
     cfg = flagship_cfg()
+    init_done = _backend_init_watchdog()
+    jax.devices()  # first backend touch — the call an outage blocks
+    init_done.set()
     mesh = make_mesh()
     impl = resolve_impl(cfg)
     bspec = batch_sharding(mesh)
