@@ -160,8 +160,11 @@ def _np_build_graph(bbox, spatial):
     xmin, ymin, xmax, ymax = np.split(bbox, 4, axis=1)
     bw = xmax - xmin + 1.0
     bh = ymax - ymin + 1.0
-    image_h = bh[0] / spatial[0, -1]
-    image_w = bw[0] / spatial[0, -2]
+    # [i, 0] scalars (the split columns are [N, 1]): math.sqrt/int() on
+    # ndim>0 single-element arrays is deprecated since numpy 1.25 and will
+    # error in future numpy — same math, warning-free
+    image_h = bh[0, 0] / spatial[0, -1]
+    image_w = bw[0, 0] / spatial[0, -2]
     cx = 0.5 * (xmin + xmax)
     cy = 0.5 * (ymin + ymax)
     diag_img = math.sqrt(image_h**2 + image_w**2)
@@ -194,8 +197,8 @@ def _np_build_graph(bbox, spatial):
             elif iou(bbox[i], bbox[j]) >= 0.5:
                 adj[i, j] = adj[j, i] = 3
             else:
-                yd = cy[i] - cy[j]
-                xd = cx[i] - cx[j]
+                yd = cy[i, 0] - cy[j, 0]
+                xd = cx[i, 0] - cx[j, 0]
                 d = math.sqrt(yd**2 + xd**2)
                 if d < 0.5 * diag_img:
                     s, c = yd / d, xd / d
