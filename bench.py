@@ -28,14 +28,6 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _HERE)
 
 import jax
-
-# Hardware RNG for dropout masks (~100M bits/step at batch 256): ~15% faster
-# train step than threefry.
-jax.config.update("jax_default_prng_impl", "rbg")
-# Persistent compilation cache: the flagship programs take ~90s each to
-# compile through the remote helper; repeat bench runs reuse them
-# (cold ~14 min, warm ~2.5 min).
-jax.config.update("jax_compilation_cache_dir", os.path.join(_HERE, ".jax_cache"))
 import numpy as np
 
 from tf_vqa_regat_tpu.config import Config
@@ -174,6 +166,17 @@ def _backend_init_watchdog(interval_s: float = 120.0):
 
 
 def main() -> None:
+    # Config lives here, not at import: tests unit-test the helpers above
+    # without mutating process-global jax state.
+    # Hardware RNG for dropout masks (~100M bits/step at batch 256): ~15%
+    # faster train step than threefry.
+    jax.config.update("jax_default_prng_impl", "rbg")
+    # Persistent compilation cache: the flagship programs take ~90s each to
+    # compile through the remote helper; repeat bench runs reuse them
+    # (cold ~14 min, warm ~2.5 min).
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_HERE, ".jax_cache")
+    )
     cfg = flagship_cfg()
     init_done = _backend_init_watchdog()
     jax.devices()  # first backend touch — the call an outage blocks
