@@ -141,3 +141,22 @@ def test_h5_import_rejects_unsupported_combo(tmp_path):
         import_reference_h5(
             "x.h5", CFG.replace(fusion="ban"), NTOKEN, V_DIM, NUM_ANS
         )
+
+
+def test_h5_export_rejects_checkpoint_config_mismatch(tmp_path):
+    """Export validates checkpoint-vs-flags with a real raise (-O-proof)
+    where keras cannot: a dir_num mismatch zips over attention directions,
+    which would otherwise silently truncate and export one direction at its
+    random init (every per-direction tensor has dir_num-independent shapes,
+    so no assign would complain). A num_heads mismatch, by contrast, is
+    caught loudly by keras' own assign shape check (pair_pos_fc is [P, H])
+    before the grouped-conv guard fires — that guard stays as
+    defense-in-depth for malformed pytrees."""
+    from tf_vqa_regat_tpu.train.h5_export import export_reference_h5
+
+    params = init_regat(jax.random.PRNGKey(4), CFG, NTOKEN, V_DIM, NUM_ANS)
+    with pytest.raises(ValueError, match="direction"):
+        export_reference_h5(
+            params, str(tmp_path / "d.h5"), CFG.replace(dir_num=1),
+            NTOKEN, V_DIM, NUM_ANS,
+        )

@@ -35,7 +35,13 @@ def _set_fc(fc, p: Dict[str, Any]) -> None:
     from model.weight_norm import WeightNorm  # reference checkout
 
     wns = [l for l in fc.layers if isinstance(l, WeightNorm)]
-    assert len(wns) == len(p["layers"]), (len(wns), len(p["layers"]))
+    if len(wns) != len(p["layers"]):
+        # a real error, not a debug assert (-O strips those): zip would
+        # silently assign only the shorter side and export wrong weights
+        raise ValueError(
+            f"checkpoint/config mismatch: reference FCNet has {len(wns)} "
+            f"weight-norm layers, checkpoint has {len(p['layers'])}"
+        )
     for layer, lp in zip(wns, p["layers"]):
         _set_wn(layer, lp)
 
@@ -44,7 +50,11 @@ def _set_conv(conv, p: Dict[str, Any], num_heads: int) -> None:
     # inverse of h5_import._conv_params: [H, D, o] -> [1, 1, D, H*o]
     v = np.asarray(p["v"])
     H, D, o = v.shape
-    assert H == num_heads
+    if H != num_heads:
+        raise ValueError(
+            f"checkpoint/config mismatch: checkpoint grouped-conv has {H} "
+            f"heads, --num_heads is {num_heads}"
+        )
     kernel = np.concatenate([v[h] for h in range(H)], axis=1)[None, None]
     conv.v.assign(kernel)
     conv.g.assign(np.asarray(p["g"]))
@@ -74,6 +84,14 @@ def params_to_reference_model(model, params: Dict[str, Any], cfg) -> None:
     _set_fc(model.v_relation.v2out, vr["v2out"])
     gatt = model.v_relation.implicit_relation
     _set_fc(gatt.self_weights, vr["gatt"]["self_weights"])
+    if len(gatt.neighbor_net) != len(vr["gatt"]["neighbor"]):
+        # same -O-proof guard as _set_fc: zip truncation would silently
+        # leave one direction's attention at its random init
+        raise ValueError(
+            f"checkpoint/config mismatch: --dir_num builds "
+            f"{len(gatt.neighbor_net)} attention directions, checkpoint has "
+            f"{len(vr['gatt']['neighbor'])}"
+        )
     for nb, np_ in zip(gatt.neighbor_net, vr["gatt"]["neighbor"]):
         _set_fc(nb.query, np_["query"])
         _set_fc(nb.key, np_["key"])
