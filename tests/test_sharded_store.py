@@ -486,3 +486,95 @@ def test_sharded_store_from_mmap_matches_materialized(tmp_path):
                 np.asarray(jax.device_get(a[k])),
                 np.asarray(jax.device_get(b[k])), err_msg=(dtype, k),
             )
+
+
+def _real_scale_split(name, rows, n_img, n_entries):
+    """Metadata-only dataset at the REAL adaptive split's scale (REALDATA.md
+    memory table): broadcast views give the estimators true .nbytes/.shape
+    without allocating the ~58 GB; pos_boxes/entries are real (tiny)."""
+    from tf_vqa_regat_tpu.data.dictionary import Dictionary
+    from tf_vqa_regat_tpu.data.entries import EntryTable
+    from tf_vqa_regat_tpu.data.features import FeatureStore, VQADataset
+
+    z32 = np.zeros((), np.float32)
+    bounds = np.linspace(0, rows, n_img + 1).astype(np.int64)
+    store = FeatureStore(
+        adaptive=True,
+        features=np.broadcast_to(z32, (rows, 2048)),
+        normalized_bb=np.broadcast_to(z32, (rows, 6)),
+        bb=np.broadcast_to(z32, (rows, 4)),
+        pos_boxes=np.stack([bounds[:-1], bounds[1:]], 1),
+    )
+    ent = EntryTable(
+        question_ids=np.zeros(n_entries, np.int64),
+        image_ids=np.zeros(n_entries, np.int64),
+        image_index=(np.arange(n_entries) % n_img).astype(np.int32),
+        q_tokens=np.broadcast_to(np.int32(0), (n_entries, 14)),
+        label_offsets=np.zeros(n_entries + 1, np.int64),
+        labels=np.zeros(0, np.int32),
+        scores=np.zeros(0, np.float32),
+        has_answers=True,
+    )
+    return VQADataset(
+        name=name, entries=ent, store=store, num_ans=3129, label2ans=[],
+        dictionary=Dictionary(), relation_type="implicit", ntoken=19901,
+    )
+
+
+def test_resolve_data_mode_at_real_dataset_scale():
+    """REALDATA.md's production promises, pinned against the REAL estimators
+    at the documented scale (train ~7.1M rows / 82,783 images / 443,757
+    entries; val ~3.4M / 40,504 / 214,354): the memory table's GB figures,
+    bf16 auto->sharded on v5e-8 at the default budget, the documented f32
+    default-budget trap (host) and its two remedies, and int8 single-chip
+    (serve capacity claim)."""
+    from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
+    from tf_vqa_regat_tpu.data.sharded_store import estimate_sharded_nbytes
+    from tf_vqa_regat_tpu.train.loop import resolve_data_mode
+
+    train = _real_scale_split("train", 7_080_000, 82_783, 443_757)
+    val = _real_scale_split("val", 3_420_000, 40_504, 214_354)
+
+    # the REALDATA memory table (feature-dominated; meta adds <0.5 GB)
+    np.testing.assert_allclose(
+        estimate_nbytes(train, False, "float32"), 58e9, rtol=0.02
+    )
+    np.testing.assert_allclose(
+        estimate_nbytes(train, False, "bfloat16"), 29e9, rtol=0.03
+    )
+    np.testing.assert_allclose(
+        estimate_nbytes(train, False, "int8"), 14.7e9, rtol=0.03
+    )
+    np.testing.assert_allclose(
+        estimate_nbytes(val, False, "float32"), 28e9, rtol=0.02
+    )
+    np.testing.assert_allclose(  # bf16 per-shard ~3.6 GB at dp=8
+        estimate_sharded_nbytes(train, False, "bfloat16", 8), 3.66e9, rtol=0.02
+    )
+
+    def cfg(dtype, budget=8.0):
+        return Config(
+            batch_size=256, adaptive=True, feature_dtype=dtype,
+            device_store_budget_gb=budget,
+        )
+
+    # run 2 (bf16) on v5e-8 at the DEFAULT budget: auto -> sharded
+    assert resolve_data_mode(cfg("bfloat16"), val, train, False, dp=8) == "sharded"
+    # run 1 (f32): per-shard ~7.3 GB exceeds the halved default budget ->
+    # host (the documented trap; --roi_buckets then rejects it loudly) ...
+    assert resolve_data_mode(cfg("float32"), val, train, False, dp=8) == "host"
+    # ... remedied by the playbook's --device_store_budget_gb 15
+    assert (
+        resolve_data_mode(cfg("float32", 15.0), val, train, False, dp=8)
+        == "sharded"
+    )
+    # ... or by forcing --data_mode sharded outright
+    forced = Config(
+        batch_size=256, adaptive=True, feature_dtype="float32",
+        data_mode="sharded",
+    )
+    assert resolve_data_mode(forced, val, train, False, dp=8) == "sharded"
+    # int8 on ONE chip, eval-only (serve): ~14.8 GB fits a raised 16 GB
+    # budget (REALDATA: "raise --device_store_budget_gb deliberately")
+    assert resolve_data_mode(cfg("int8", 16.0), train, None, False, dp=1) == "device"
+    assert resolve_data_mode(cfg("int8"), train, None, False, dp=1) == "host"
