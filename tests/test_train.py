@@ -491,3 +491,118 @@ def test_lr_banner_matches_reference_log_contract(tmp_path):
     for (ge, ga, gb), (we, wa, wb) in zip(got, want):
         np.testing.assert_allclose(ga, wa, rtol=1e-5, err_msg=f"epoch {we} from")
         np.testing.assert_allclose(gb, wb, rtol=1e-5, err_msg=f"epoch {we} to")
+
+
+# ------------------------------------------------------------- blocked train
+def test_train_block_matches_per_step():
+    """build_store_train_block (one lax.scan program carrying the donated
+    state through K steps, tail padded with -1 batches a lax.cond skips)
+    must reproduce the per-step program's training exactly on the same
+    batch order: same final params, same step counter (padded tail batches
+    advance nothing), same accumulated metrics."""
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.data.device_store import DeviceStore
+    from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+    from tf_vqa_regat_tpu.models.regat import init_regat, trainable_mask
+    from tf_vqa_regat_tpu.parallel.mesh import make_mesh
+    from tf_vqa_regat_tpu.train.loop import _block_batches_counted
+    from tf_vqa_regat_tpu.train.step import (
+        build_store_train_block,
+        build_store_train_step,
+        init_train_state,
+    )
+
+    cfg = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+        batch_size=8, adaptive=True, num_rois=40, base_lr=5e-3, dropout=0.2,
+    )
+    ds = synthetic_dataset(num_images=8, num_questions=56, v_dim=24, num_ans=7)
+    store = DeviceStore(ds)
+    mesh = make_mesh()
+    params = init_regat(jax.random.PRNGKey(0), cfg, ds.ntoken, 24, 7)
+    mask = trainable_mask(params, False)
+    opt = make_optimizer(cfg.base_lr, cfg.grad_clip, 7, 0.75, 2, mask)
+    rng = jax.random.PRNGKey(1)
+
+    batches = list(store.epoch_indices(0, 8, shuffle=False, seed=0))
+    assert len(batches) == 7  # K=4 -> one full block + a 3-real tail block
+
+    step = build_store_train_step(
+        cfg, ds.ntoken, opt, mesh, "jnp", params, 7, store.padding_idx
+    )
+    s1 = init_train_state(params, opt, mesh)
+    want = {"loss_sum": 0.0, "score": 0.0, "n": 0.0}
+    for idx in batches:
+        s1, m = step(s1, store.arrays, jnp.asarray(idx), rng)
+        m = jax.device_get(m)
+        want["loss_sum"] += float(m["loss"]) * float(m["n"])
+        want["score"] += float(m["score"])
+        want["n"] += float(m["n"])
+
+    K = 4
+    blocked = build_store_train_block(
+        cfg, ds.ntoken, opt, mesh, "jnp", params, 7, store.padding_idx, K
+    )
+    # params were donated by the per-step chain: re-init from fresh leaves
+    params2 = init_regat(jax.random.PRNGKey(0), cfg, ds.ntoken, 24, 7)
+    s2 = init_train_state(params2, opt, mesh)
+    got = {"loss_sum": 0.0, "score": 0.0, "n": 0.0}
+    items = list(_block_batches_counted(((40, b) for b in batches), K, 8))
+    assert [n for _, _, n in items] == [4, 3]
+    for _, blk, nreal in items:
+        s2, m = blocked(s2, store.arrays, jnp.asarray(blk), rng)
+        m = jax.device_get(m)
+        got["loss_sum"] += float(m["loss_sum"])
+        got["score"] += float(m["score"])
+        got["n"] += float(m["n"])
+
+    assert int(jax.device_get(s1["step"])) == 7
+    assert int(jax.device_get(s2["step"])) == 7  # padded tail advanced nothing
+    assert got["n"] == want["n"] == 56
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-6)
+    np.testing.assert_allclose(got["loss_sum"], want["loss_sum"], rtol=1e-5)
+    for (p1, p2) in zip(
+        jax.tree_util.tree_leaves(s1["params"]),
+        jax.tree_util.tree_leaves(s2["params"]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=2e-6, atol=2e-7
+        )
+
+
+def test_run_training_train_block_matches_per_step(tmp_path):
+    """Loop-level: --train_block 4 reproduces per-step training end to end
+    (single roi size, so blocking preserves the epoch order exactly) — same
+    per-epoch train/eval metrics in metrics.jsonl, including the partial
+    tail dispatch's step accounting."""
+    import json
+
+    from tf_vqa_regat_tpu.config import Config
+    from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
+    from tf_vqa_regat_tpu.train.loop import run_training
+
+    train = synthetic_dataset(num_images=8, num_questions=56, v_dim=16, num_ans=7)
+    val = synthetic_dataset(num_images=4, num_questions=16, v_dim=16, num_ans=7, seed=1)
+
+    def run(sub, K):
+        cfg = Config(
+            num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+            imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+            residual_connection=True, epochs=2, batch_size=16, print_freq=2,
+            base_lr=2e-3, output=str(tmp_path / sub) + "/",
+            save_every_epoch=False, num_rois=24, train_block=K,
+        )
+        run_training(cfg, train, val)
+        return [
+            json.loads(l)
+            for l in open(tmp_path / sub / "metrics.jsonl")
+        ]
+
+    per_step = run("per_step", 0)
+    # 56 q / batch 16 = 4 steps; K=3 -> a full block + a 1-real tail block
+    blocked = run("blocked", 3)
+    assert len(per_step) == len(blocked) == 2
+    for a, b in zip(per_step, blocked):
+        for k in ("train_loss", "train_score", "eval_score", "eval_loss"):
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-5, err_msg=k)

@@ -108,6 +108,18 @@ class Config:
     # The tail block pads with -1 (invalid) batches; metrics are exact.
     # 1 disables (one program per batch).
     eval_block: int = 8
+    # Train steps executed per dispatched program (device/sharded data
+    # modes): one jitted lax.scan carries the donated train state through K
+    # optimizer steps, amortizing the per-step dispatch overhead the donated
+    # chain still pays (~6% measured at R=100 on the tunneled v5e,
+    # tools/train_block_bench.py). Tail blocks pad with -1 batches that a
+    # lax.cond passes through WITHOUT touching the state (no optimizer
+    # update, no step/LR advance) — single-bucket blocked training is
+    # step-for-step identical to per-step training. With --roi_buckets the
+    # epoch stream groups K same-size batches per block, so the optimizer
+    # visits the same batches in a block-granular order (documented ordering
+    # change, recorded in the resume run signature). 0/1 disables.
+    train_block: int = 0
     # EVAL: fold the two graph-attention directions into one 2H-head
     # computation (jnp impl, dir_num=2) — attention matmuls at double width,
     # the [b,R,n,P] sinusoid computed once. +16% eval q/s on v5e; exact
@@ -259,6 +271,11 @@ class Config:
             raise ValueError(
                 f"--print_freq must be >= 0 (0 silences step lines), got "
                 f"{self.print_freq}"
+            )
+        if self.train_block < 0 or self.eval_block < 0:
+            raise ValueError(
+                f"--train_block/--eval_block must be >= 0 (0/1 disable "
+                f"blocking), got {self.train_block}/{self.eval_block}"
             )
         # serve flags validate here, not at MicroBatcher construction: an
         # empty --serve_batch_sizes otherwise surfaced as an opaque

@@ -150,6 +150,11 @@ def _run_signature(
         "roi_buckets": list(cfg.parsed_roi_buckets() or []),
         "data_mode": str(data_mode),
         "dp": int(dp),
+        # blocked training groups K same-bucket batches per dispatch, which
+        # reorders the bucketed epoch stream (train_stream docstring) — a
+        # skip is only exact under the same K (legacy writers were per-step:
+        # default 1 on read)
+        "train_block": int(max(cfg.train_block, 1)),
     }
 
 
@@ -288,6 +293,17 @@ def run_training(
                     sig_now["order"]
                 ):
                     diffs["order"] = (sig_saved.get("order", 1), sig_now["order"])
+                # train_block is likewise checked against legacy writers
+                # (default 1 = per-step): resuming a per-step checkpoint
+                # under --train_block (or vice versa) replays a differently-
+                # grouped epoch stream — the skip would be wrong
+                if sig_saved is not None and sig_saved.get(
+                    "train_block", 1
+                ) != sig_now["train_block"]:
+                    diffs["train_block"] = (
+                        sig_saved.get("train_block", 1),
+                        sig_now["train_block"],
+                    )
                 if sig_saved is not None and diffs:
                     raise ValueError(
                         "mid-epoch resume requires the run configuration "
@@ -330,7 +346,7 @@ def run_training(
 
     data.build_steps(ntoken, optimizer, params, impl)
     train_call, eval_call = data.train_call, data.eval_call
-    train_iter, eval_iter = data.train_iter, data.eval_iter
+    eval_iter = data.eval_iter
 
     logger = Logger(os.path.join(cfg.output, "log.txt"))
     metrics_writer = MetricsWriter(os.path.join(cfg.output, "metrics.jsonl"))
@@ -391,20 +407,33 @@ def run_training(
             start = time.time()
 
             with trace_epoch(cfg.profile_dir, epoch):
-                for i, batch in enumerate(train_iter(epoch, skip), start=skip):
+                done = skip  # real optimizer steps completed this epoch
+                for nsteps, batch in data.train_stream(epoch, skip):
                     state, m = train_call(state, batch, base_rng)
                     acc["score"] = acc["score"] + m["score"]
-                    acc["loss_sum"] = acc["loss_sum"] + m["loss"] * m["n"]
+                    # blocked dispatches return the block-accumulated
+                    # loss_sum directly (loss * n would weight the LAST
+                    # step's loss by the whole block's count)
+                    acc["loss_sum"] = acc["loss_sum"] + (
+                        m["loss_sum"] if "loss_sum" in m else m["loss"] * m["n"]
+                    )
                     acc["n"] = acc["n"] + m["n"]
                     last = m["loss"]
-                    # print_freq 0 = silence the step lines (not a modulus)
-                    if cfg.print_freq > 0 and (i + 1) % cfg.print_freq == 0:
+                    prev, done = done, done + nsteps
+                    i = done - 1  # last completed step's 0-based index
+                    # print_freq 0 = silence the step lines (not a modulus);
+                    # a >1-step dispatch prints when it CROSSES a multiple
+                    # (at nsteps=1 this is exactly (i+1) % print_freq == 0)
+                    if cfg.print_freq > 0 and (
+                        done // cfg.print_freq > prev // cfg.print_freq
+                    ):
                         _log_progress(logger, losses, acc, last, epoch, i, N, start)
-                    preempted = preempt.poll(epoch * N + i + 1)
+                    preempted = preempt.poll(epoch * N + done)
                     if preempted or (
                         cfg.checkpoint_every_steps > 0
-                        and (i + 1) % cfg.checkpoint_every_steps == 0
-                        and (i + 1) < N  # the epoch save supersedes a full-epoch step save
+                        and done // cfg.checkpoint_every_steps
+                        > prev // cfg.checkpoint_every_steps
+                        and done < N  # the epoch save supersedes a full-epoch step save
                     ):
                         waited = ckpt.save_checkpoint(
                             cfg.output, state, epoch, best_score, False,
@@ -793,19 +822,27 @@ def check_roi_buckets_mode(cfg, mode: str) -> None:
         )
 
 
-def _block_batches(batches, K: int, batch_size: int):
-    """Group a stream of (R, idx[B]) eval batches into (R, idx_block[K, B])
-    blocks for build_store_eval_block, preserving stream order per bucket.
-    Tail blocks pad with all -1 (invalid) batches, which contribute zero to
-    the metrics (gather_batch marks idx<0 rows invalid)."""
+def _block_batches_counted(batches, K: int, batch_size: int):
+    """Group a stream of (R, idx[B]) batches into (R, idx_block[K, B], nreal)
+    blocks, preserving stream order per bucket; `nreal` is the number of
+    real (non-padding) batches in the block. Tail blocks pad with all -1
+    (invalid) batches, which contribute zero to eval metrics (gather_batch
+    marks idx<0 rows invalid) and pass through the blocked TRAIN step's
+    state untouched (_build_any_store_train_block's lax.cond)."""
     pending: dict = {}
     for R, idx in batches:
         pending.setdefault(R, []).append(idx)
         if len(pending[R]) == K:
-            yield R, np.stack(pending.pop(R))
+            yield R, np.stack(pending.pop(R)), K
     for R, lst in pending.items():
         pad = [np.full(batch_size, -1, np.int32)] * (K - len(lst))
-        yield R, np.stack(lst + pad)
+        yield R, np.stack(lst + pad), len(lst)
+
+
+def _block_batches(batches, K: int, batch_size: int):
+    """Eval-facing view of _block_batches_counted: (R, idx_block[K, B])."""
+    for R, blk, _ in _block_batches_counted(batches, K, batch_size):
+        yield R, blk
 
 
 def eval_batch_stream(cfg, store, eval_batch):
@@ -878,6 +915,13 @@ class _DataPath:
         )
         self.mode = mode
         check_roi_buckets_mode(cfg, mode)
+        if max(cfg.train_block, 1) > 1 and train_ds is not None and mode == "host":
+            raise ValueError(
+                f"--train_block requires the device or sharded data mode "
+                f"(resolved mode: {mode!r}); the scanned block gathers its "
+                f"K batches from device-resident tables. Force --data_mode "
+                f"device/sharded or drop --train_block."
+            )
 
         if mode in ("device", "sharded"):
             self.train_store = (
@@ -948,10 +992,12 @@ class _DataPath:
             # partitioned tables inside shard_map; signatures are identical).
             if self.mode == "sharded":
                 b_train = _step.build_sharded_store_train_step
+                b_train_block = _step.build_sharded_store_train_block
                 b_eval = _step.build_sharded_store_eval_step
                 b_eval_block = _step.build_sharded_store_eval_block
             else:
                 b_train = _step.build_store_train_step
+                b_train_block = _step.build_store_train_block
                 b_eval = _step.build_store_eval_step
                 b_eval_block = _step.build_store_eval_block
 
@@ -976,14 +1022,28 @@ class _DataPath:
                     for R in sizes
                 }
             if has_train:
-                t_by_R = {
-                    R: b_train(
-                        cfg.replace(num_rois=R), ntoken, optimizer, mesh, impl,
-                        params, self.train_ds.num_ans,
-                        self.train_store.padding_idx,
-                    )
-                    for R in sizes
-                }
+                KT = max(cfg.train_block, 1)
+                if KT > 1:
+                    # Blocked training: one program scans KT donated-state
+                    # steps (build_store_train_block docstring); train_stream
+                    # groups the epoch into matching [KT, B] index blocks.
+                    t_by_R = {
+                        R: b_train_block(
+                            cfg.replace(num_rois=R), ntoken, optimizer, mesh,
+                            impl, params, self.train_ds.num_ans,
+                            self.train_store.padding_idx, KT,
+                        )
+                        for R in sizes
+                    }
+                else:
+                    t_by_R = {
+                        R: b_train(
+                            cfg.replace(num_rois=R), ntoken, optimizer, mesh,
+                            impl, params, self.train_ds.num_ans,
+                            self.train_store.padding_idx,
+                        )
+                        for R in sizes
+                    }
             if self.buckets:
                 if has_train:
                     self.train_call = lambda s, item, rng: t_by_R[item[0]](
@@ -1033,6 +1093,55 @@ class _DataPath:
                 self.train_loader.epoch(epoch, skip=skip), self.bspec,
                 depth=cfg.prefetch,
             )
+
+    def train_stream(self, epoch, skip: int = 0):
+        """One epoch's train dispatches as (nsteps, item) pairs — the loop's
+        step counter advances by `nsteps` per train_call.
+
+        Per-step modes (train_block<=1, and always the host path) yield
+        (1, batch). Blocked mode groups K same-bucket batches into one
+        [K, B] index block per dispatch (nsteps = real batches in the
+        block): within a bucket the batch order is exactly the per-step
+        order, but across buckets the optimizer now visits K same-size
+        batches consecutively — a block-granular reordering of the bucketed
+        stream (recorded in the resume run signature). Tail blocks pad with
+        -1 batches the blocked step skips statelessly.
+
+        `skip` (mid-epoch resume) is consumed in whole blocks; saves happen
+        only at dispatch boundaries, so a saved step count always aligns —
+        a misaligned skip (foreign checkpoint) raises rather than silently
+        replaying a shifted epoch."""
+        KT = max(self.cfg.train_block, 1)
+        if KT == 1 or self.mode == "host":
+            for item in self.train_iter(epoch, skip):
+                yield 1, item
+            return
+        cfg = self.cfg
+        if self.buckets:
+            raw = self.train_store.epoch_indices_bucketed(
+                epoch, cfg.batch_size, self.buckets, True, cfg.seed
+            )
+        else:
+            R0 = cfg.resolved_num_rois()
+            raw = (
+                (R0, idx)
+                for idx in self.train_store.epoch_indices(
+                    epoch, cfg.batch_size, True, cfg.seed
+                )
+            )
+        consumed = 0
+        for R, blk, nreal in _block_batches_counted(raw, KT, cfg.batch_size):
+            if consumed < skip:
+                if consumed + nreal > skip:
+                    raise ValueError(
+                        f"mid-epoch resume at step {skip} does not align "
+                        f"with the --train_block {KT} dispatch boundaries "
+                        f"(block covers steps {consumed}..{consumed + nreal})"
+                    )
+                consumed += nreal
+                continue
+            item = put_global(blk, self._eval_spec(blk))
+            yield nreal, ((R, item) if self.buckets else item)
 
     def eval_iter(self):
         cfg = self.cfg

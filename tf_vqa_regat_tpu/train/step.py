@@ -237,6 +237,71 @@ def _build_any_store_train_step(
     )
 
 
+def _build_any_store_train_block(
+    cfg, ntoken, optimizer, mesh, impl, params, num_ans, padding_idx, block,
+    sharded,
+):
+    state_sh = train_state_shardings(params, optimizer, mesh)
+    gather, arrays_sh = _store_gather(cfg, mesh, num_ans, padding_idx, sharded)
+    sp_mesh = mesh if cfg.sp_rois else None
+
+    def train_block(state, arrays, idx_block, base_rng):
+        # trace-time contract, like eval_block: the caller's stream grouping
+        # sized the blocks; a mismatched [K', B] would silently run K' steps
+        # while step accounting assumes K
+        assert idx_block.shape[0] == block, (idx_block.shape, block)
+
+        def real(st, idx):
+            return _train_core(
+                st, gather(arrays, idx), base_rng, cfg, ntoken, optimizer,
+                impl, sp_mesh,
+            )
+
+        def skip(st, idx):
+            # tail-padding batch (all idx == -1): the state — params,
+            # optimizer moments, step counter (hence the RNG fold and the
+            # count-keyed LR schedule) — passes through UNTOUCHED, so a
+            # padded tail is exactly equivalent to ending the scan early
+            zeros = {
+                "loss": jnp.zeros(()),
+                "score": jnp.zeros(()),
+                "n": jnp.zeros(()),
+            }
+            return st, zeros
+
+        def body(carry, idx):
+            st, acc, last = carry
+            st, m = jax.lax.cond(jnp.any(idx >= 0), real, skip, st, idx)
+            acc = {
+                "loss_sum": acc["loss_sum"] + m["loss"] * m["n"],
+                "score": acc["score"] + m["score"],
+                "n": acc["n"] + m["n"],
+            }
+            last = jnp.where(m["n"] > 0, m["loss"], last)
+            return (st, acc, last), None
+
+        zeros = {
+            "loss_sum": jnp.zeros(()),
+            "score": jnp.zeros(()),
+            "n": jnp.zeros(()),
+        }
+        (state, acc, last), _ = jax.lax.scan(
+            body, (state, zeros, jnp.zeros(())), idx_block
+        )
+        # "loss" = the last real step's loss (the per-step contract the
+        # progress line prints); "loss_sum" is block-accumulated so the
+        # loop's accumulator does NOT reconstruct it as loss * n
+        return state, {"loss": last, **acc}
+
+    rep = replicated(mesh)
+    return jax.jit(
+        train_block,
+        donate_argnums=(0,),
+        in_shardings=(state_sh, arrays_sh, _block_sharding(mesh), rep),
+        out_shardings=(state_sh, rep),
+    )
+
+
 def _build_any_store_eval_step(
     cfg, ntoken, mesh, impl, num_ans, padding_idx, sharded
 ):
@@ -344,6 +409,38 @@ def build_store_train_step(
     )
 
 
+def build_store_train_block(
+    cfg: Config,
+    ntoken: int,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    impl: str,
+    params: Any,
+    num_ans: int,
+    padding_idx: int,
+    block: int,
+):
+    """Run `block` train steps in ONE dispatched program: a lax.scan carries
+    the donated train state through K optimizer updates (--train_block).
+
+    The donated per-step chain serializes execution but still pays a
+    per-step dispatch (client-side jit call over the ~300-buffer state tree
+    + tunnel round trip); scanning K steps amortizes it (+6% at R=100 on the
+    tunneled v5e, tools/train_block_bench.py). Tail blocks pad with all -1
+    index batches which a lax.cond passes through without touching the
+    state — no optimizer update, no step/LR advance, zero metric weight —
+    so blocked training is step-for-step identical to the per-step program
+    on the same batch order.
+
+    Signature: (state, arrays, idx_block [K, B], base_rng) ->
+    (state, {"loss": last real step's loss, "loss_sum", "score", "n"
+    summed over the block})."""
+    return _build_any_store_train_block(
+        cfg, ntoken, optimizer, mesh, impl, params, num_ans, padding_idx,
+        block, sharded=False,
+    )
+
+
 def build_store_eval_step(
     cfg: Config, ntoken: int, mesh, impl: str, num_ans: int, padding_idx: int
 ):
@@ -447,6 +544,27 @@ def build_sharded_store_eval_block(
     eval extends to splits too large to replicate."""
     return _build_any_store_eval_block(
         cfg, ntoken, mesh, impl, num_ans, padding_idx, block, sharded=True
+    )
+
+
+def build_sharded_store_train_block(
+    cfg: Config,
+    ntoken: int,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    impl: str,
+    params: Any,
+    num_ans: int,
+    padding_idx: int,
+    block: int,
+):
+    """Sharded-store analog of build_store_train_block: each scanned step
+    gathers its batch from the data-axis-partitioned tables inside
+    shard_map — dispatch amortization where real multi-host training lands
+    (resolve_data_mode)."""
+    return _build_any_store_train_block(
+        cfg, ntoken, optimizer, mesh, impl, params, num_ans, padding_idx,
+        block, sharded=True,
     )
 
 
