@@ -60,3 +60,12 @@ rm data/imgids.zip
 wget -P data https://convaisharables.blob.core.windows.net/vqa-regat/data/cache.zip
 unzip data/cache.zip -d data/cache
 rm data/cache.zip
+
+# --- pretrained models (reference download.sh:77-81) -------------------------
+# The upstream PyTorch ReGAT release's trained weights. With
+# tf_vqa_regat_tpu/train/h5_import.py these make `--mode eval --checkpoint
+# pretrained_models/...h5` the fastest route to the 63.2% accuracy gate at
+# real-data bring-up (no 20-epoch train needed) — REALDATA.md §0.
+wget https://convaisharables.blob.core.windows.net/vqa-regat/pretrained_models.zip
+unzip pretrained_models.zip -d pretrained_models/
+rm pretrained_models.zip

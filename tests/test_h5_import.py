@@ -27,7 +27,7 @@ CFG = Config(
 NTOKEN, V_DIM, NUM_ANS = 30, 40, 7
 
 
-def _reference_model():
+def _reference_model(cfg=CFG, ntoken=NTOKEN, v_dim=V_DIM, num_ans=NUM_ANS):
     from model.classifier import SimpleClassifier
     from model.fusion import BUTD
     from model.language_model import (
@@ -38,24 +38,24 @@ def _reference_model():
     from model.rel_graph_net import RelationGraphAttentionNetwork
     from model.relation_encoder import ImplicitRelationEncoder
 
-    w_emb = WordEmbedding(NTOKEN, 300, CFG.dropout, CFG.op)
-    q_emb = QuestionEmbedding(CFG.word_dim, CFG.num_hid, 1, False, CFG.dropout)
-    q_att = QuestionSelfAttention(CFG.num_hid, CFG.dropout)
+    w_emb = WordEmbedding(ntoken, 300, cfg.dropout, cfg.op)
+    q_emb = QuestionEmbedding(cfg.word_dim, cfg.num_hid, 1, False, cfg.dropout)
+    q_att = QuestionSelfAttention(cfg.num_hid, cfg.dropout)
     v_relation = ImplicitRelationEncoder(
-        V_DIM, CFG.num_hid, CFG.relation_dim, CFG.dir_num, CFG.imp_pos_emb_dim,
-        CFG.nongt_dim, num_heads=CFG.num_heads, num_steps=CFG.num_steps,
-        residual_connection=CFG.residual_connection, label_bias=CFG.label_bias,
+        v_dim, cfg.num_hid, cfg.relation_dim, cfg.dir_num, cfg.imp_pos_emb_dim,
+        cfg.nongt_dim, num_heads=cfg.num_heads, num_steps=cfg.num_steps,
+        residual_connection=cfg.residual_connection, label_bias=cfg.label_bias,
     )
-    classifier = SimpleClassifier(CFG.num_hid, CFG.num_hid * 2, NUM_ANS, CFG.dropout)
-    joint = BUTD(CFG.relation_dim, CFG.num_hid, CFG.num_hid)
+    classifier = SimpleClassifier(cfg.num_hid, cfg.num_hid * 2, num_ans, cfg.dropout)
+    joint = BUTD(cfg.relation_dim, cfg.num_hid, cfg.num_hid)
     model = RelationGraphAttentionNetwork(
         w_emb, q_emb, q_att, v_relation, joint, classifier, "butd", "implicit"
     )
     b, R = 2, 5
     model(
-        tf.zeros((b, R, V_DIM)), tf.zeros((b, R, 6)),
+        tf.zeros((b, R, v_dim)), tf.zeros((b, R, 6)),
         tf.zeros((b, 14), tf.int32),
-        tf.zeros((b, R, CFG.nongt_dim, CFG.imp_pos_emb_dim)),
+        tf.zeros((b, R, cfg.nongt_dim, cfg.imp_pos_emb_dim)),
         None, None,
     )
     return model
@@ -160,3 +160,57 @@ def test_h5_export_rejects_checkpoint_config_mismatch(tmp_path):
             params, str(tmp_path / "d.h5"), CFG.replace(dir_num=1),
             NTOKEN, V_DIM, NUM_ANS,
         )
+
+
+def test_realdata_gate_command_runs(tmp_path, capsys):
+    """REALDATA.md §0's eval-first gate command — `--config
+    configs/butd_vqa.json --mode eval --checkpoint pretrained_models/*.h5`
+    routed through train/h5_import.py — executes end-to-end. The command is
+    extracted from the playbook itself, so doc drift breaks this test
+    (round-3 verdict item 3); model dims and data are scaled down via
+    CLI-wins overrides (the config contract), which leaves the command's
+    shape — and the .h5 restore path it exercises — unchanged."""
+    import re
+    import shlex
+
+    import main as regat_main
+    from tf_vqa_regat_tpu.config import parse_with_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    doc = open(os.path.join(repo, "REALDATA.md")).read()
+    blocks = re.findall(r"```bash\n(.*?)```", doc, re.S)
+    gate = [b for b in blocks if "--mode eval" in b]
+    assert len(gate) == 1, "REALDATA.md §0 must document ONE eval-gate command"
+    tokens = shlex.split(gate[0].replace("\\\n", " "))
+
+    # pin the documented command's shape
+    assert tokens[:2] == ["python", "main.py"]
+    assert tokens[tokens.index("--config") + 1] == "configs/butd_vqa.json"
+    assert tokens[tokens.index("--mode") + 1] == "eval"
+    ckpt_doc = tokens[tokens.index("--checkpoint") + 1]
+    assert ckpt_doc.startswith("pretrained_models/") and ckpt_doc.endswith(".h5")
+
+    # resolve paths + scale down (CLI wins over the JSON's flagship dims)
+    h5 = tmp_path / ckpt_doc
+    h5.parent.mkdir()
+    argv = tokens[2:]
+    argv[argv.index("--config") + 1] = os.path.join(repo, "configs/butd_vqa.json")
+    argv[argv.index("--checkpoint") + 1] = str(h5)
+    argv += [
+        "--synthetic", "--synthetic_val_size", "64",
+        "--num_hid", "24", "--relation_dim", "32", "--num_heads", "4",
+        "--nongt_dim", "5", "--imp_pos_emb_dim", "16",
+        "--eval_batch", "16", "--output", str(tmp_path / "out"),
+    ]
+    cfg = parse_with_config(argv)
+
+    # a "pretrained" reference-trained .h5 at the scaled dims (the synthetic
+    # val split supplies the vocab/dims exactly as main.build_datasets will)
+    _, val_ds, _, _ = regat_main.build_datasets(cfg)
+    model = _reference_model(cfg, val_ds.ntoken, val_ds.v_dim, val_ds.num_ans)
+    model.save_weights(str(h5))
+
+    regat_main.main(argv)
+
+    log = (tmp_path / "out" / "eval_log.txt").read_text()
+    assert "Final eval score:" in log
