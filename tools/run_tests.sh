@@ -13,7 +13,8 @@ cd "$(dirname "$0")/.."
 HALF1="tests/test_ops.py tests/test_model.py tests/test_golden.py \
 tests/test_graph_attention.py tests/test_pallas.py tests/test_config.py \
 tests/test_h5_import.py tests/test_preflight.py \
-tests/test_reference_parity.py tests/test_bench.py"
+tests/test_reference_parity.py tests/test_bench.py \
+tests/test_torch_differential.py tests/test_realdata_playbook.py"
 
 HALF2="tests/test_data.py tests/test_device_store.py \
 tests/test_sharded_store.py tests/test_compose.py tests/test_train.py \
