@@ -136,11 +136,16 @@ def test_mid_epoch_preempt_and_resume_reproduces_uninterrupted_run(
 
     train, val = _datasets()
 
-    cfg_a = _run_cfg(tmp_path / "a")
+    # train_block=1 pins PER-STEP dispatch: this test's contract is a save
+    # at an arbitrary step (2 of 4) — under the auto-blocked default the
+    # whole 4-step epoch is one dispatch and the only boundary is the epoch
+    # end (the block-granularity variant is tested separately below).
+    cfg_a = _run_cfg(tmp_path / "a", train_block=1)
     params_a, best_a = run_training(cfg_a, train, val)
     metrics_a = _read_metrics(cfg_a.output)
 
-    cfg_b = _run_cfg(tmp_path / "b", resume=True)  # no ckpt yet: fresh start
+    # no ckpt yet: fresh start
+    cfg_b = _run_cfg(tmp_path / "b", resume=True, train_block=1)
     monkeypatch.setenv("REGAT_FAULT_PREEMPT_STEP", "6")
     with pytest.raises(Preempted):
         run_training(cfg_b, train, val)
@@ -171,6 +176,58 @@ def test_mid_epoch_preempt_and_resume_reproduces_uninterrupted_run(
     root = os.path.join(cfg_b.output, "checkpoints")
     assert not [d for d in os.listdir(root) if "_step_" in d]
     assert ckpt.latest_checkpoint(cfg_b.output).endswith("epoch_0001")
+
+
+def test_blocked_preempt_and_resume_reproduces_uninterrupted_run(
+    tmp_path, monkeypatch
+):
+    """Blocked training's preemption contract: dispatch boundaries are BLOCK
+    boundaries, so a fault injected INSIDE a block (global step 5, mid-block
+    under --train_block 2 at 4 steps/epoch) fires at the next boundary
+    (step 6 = epoch 1, block 1) and saves there; resuming consumes the skip
+    in whole blocks and reproduces the uninterrupted blocked run exactly."""
+    import os
+
+    import pytest
+
+    from tf_vqa_regat_tpu.train.loop import Preempted, run_training
+
+    train, val = _datasets()
+
+    cfg_a = _run_cfg(tmp_path / "a", train_block=2)
+    params_a, best_a = run_training(cfg_a, train, val)
+    metrics_a = _read_metrics(cfg_a.output)
+
+    cfg_b = _run_cfg(tmp_path / "b", resume=True, train_block=2)
+    monkeypatch.setenv("REGAT_FAULT_PREEMPT_STEP", "5")
+    with pytest.raises(Preempted):
+        run_training(cfg_b, train, val)
+    meta = ckpt.restore_meta_full(cfg_b.output)
+    # fired at the first BLOCK boundary at/after step 5: epoch 1, step 2
+    assert meta["epoch"] == 1 and meta["step_in_epoch"] == 2
+    assert "_step_" in meta["dir"]
+    assert meta["run"]["train_block"] == 2
+
+    monkeypatch.delenv("REGAT_FAULT_PREEMPT_STEP")
+    params_b, best_b = run_training(cfg_b, train, val)
+
+    assert best_b == best_a
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        jax.device_get(params_a),
+        jax.device_get(params_b),
+    )
+    metrics_b = _read_metrics(cfg_b.output)
+    for epoch in (0, 1):
+        for key in ("train_loss", "train_score", "eval_score", "eval_loss"):
+            np.testing.assert_allclose(
+                metrics_b[epoch][key], metrics_a[epoch][key], rtol=1e-6,
+                err_msg=f"epoch {epoch} {key}",
+            )
+    root = os.path.join(cfg_b.output, "checkpoints")
+    assert not [d for d in os.listdir(root) if "_step_" in d]
 
 
 def test_checkpoint_every_steps_saves_and_prunes(tmp_path):
@@ -337,27 +394,35 @@ def test_mid_epoch_resume_refuses_changed_data_order(tmp_path, monkeypatch):
     from tf_vqa_regat_tpu.train.loop import Preempted, run_training
 
     train, val = _datasets()
-    cfg = _run_cfg(tmp_path / "g")
+    # per-step dispatch: the fault must land MID-epoch (step 2 of 4); the
+    # auto-blocked default's only boundary on this tiny epoch is its end
+    cfg = _run_cfg(tmp_path / "g", train_block=1)
     monkeypatch.setenv("REGAT_FAULT_PREEMPT_STEP", "2")
     with pytest.raises(Preempted):
         run_training(cfg, train, val)
     assert "run" in ckpt.restore_meta_full(cfg.output)
     monkeypatch.delenv("REGAT_FAULT_PREEMPT_STEP")
 
-    cfg2 = _run_cfg(tmp_path / "g", resume=True, batch_size=8)
+    cfg2 = _run_cfg(tmp_path / "g", resume=True, batch_size=8, train_block=1)
     with pytest.raises(ValueError, match="mid-epoch resume"):
         run_training(cfg2, train, val)
-    cfg3 = _run_cfg(tmp_path / "g", resume=True, seed=7777)
+    cfg3 = _run_cfg(tmp_path / "g", resume=True, seed=7777, train_block=1)
     with pytest.raises(ValueError, match="batch partitioning|mid-epoch resume"):
         run_training(cfg3, train, val)
     # a data-path flip also reshuffles the order (sharded permutations are
     # per-shard; device/host are global) — the signature pins the RESOLVED
     # mode, so forcing a different one refuses too
-    cfg4 = _run_cfg(tmp_path / "g", resume=True, data_mode="host")
+    cfg4 = _run_cfg(tmp_path / "g", resume=True, data_mode="host", train_block=1)
     with pytest.raises(ValueError, match="mid-epoch resume"):
         run_training(cfg4, train, val)
+    # a train_block flip alone reorders the bucketless stream's dispatch
+    # grouping too — the signature pins the EFFECTIVE K, so the auto
+    # default (K=8 on the device store) refuses against a per-step save
+    cfg5 = _run_cfg(tmp_path / "g", resume=True)
+    with pytest.raises(ValueError, match="mid-epoch resume"):
+        run_training(cfg5, train, val)
     # the matching config still resumes fine
-    run_training(_run_cfg(tmp_path / "g", resume=True), train, val)
+    run_training(_run_cfg(tmp_path / "g", resume=True, train_block=1), train, val)
 
 
 def test_run_signature_normalizes_roi_buckets():
@@ -569,7 +634,8 @@ def test_legacy_run_sig_without_data_mode_and_dp_still_resumes(tmp_path):
 
     from tf_vqa_regat_tpu.train.loop import Preempted, run_training
 
-    cfg = _run_cfg(tmp_path, epochs=1)
+    # per-step dispatch so the fault lands mid-epoch (see the preempt test)
+    cfg = _run_cfg(tmp_path, epochs=1, train_block=1)
     train, val = _datasets()
 
     os.environ["REGAT_FAULT_PREEMPT_STEP"] = "2"
@@ -638,7 +704,8 @@ def test_mid_epoch_resume_refuses_changed_order_version(tmp_path, monkeypatch):
     from tf_vqa_regat_tpu.train.loop import Preempted, run_training
 
     train, val = _datasets()
-    cfg = _run_cfg(tmp_path / "ov")
+    # per-step dispatch so the fault lands mid-epoch (see the preempt test)
+    cfg = _run_cfg(tmp_path / "ov", train_block=1)
     monkeypatch.setenv("REGAT_FAULT_PREEMPT_STEP", "2")
     with pytest.raises(Preempted):
         run_training(cfg, train, val)
@@ -648,7 +715,7 @@ def test_mid_epoch_resume_refuses_changed_order_version(tmp_path, monkeypatch):
     meta = json.loads(meta_path.read_text())
     saved_order = meta["run"].pop("order")  # simulate a legacy writer
     meta_path.write_text(json.dumps(meta))
-    cfg2 = _run_cfg(tmp_path / "ov", resume=True)
+    cfg2 = _run_cfg(tmp_path / "ov", resume=True, train_block=1)
     with pytest.raises(ValueError, match="order"):
         run_training(cfg2, train, val)
 

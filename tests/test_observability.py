@@ -98,3 +98,59 @@ def test_training_epoch_leaks_no_tracers(tmp_path):
     with jax.checking_leaks():
         params, best = run_training(cfg, train, val)
     assert np.isfinite(best)
+
+
+# Reference notebook line grammar (the de-facto log contract): the optim
+# banner — including its missing space before grad_clip — reference
+# train.py:59-61; LR lines train.py:77,83; the 100-dash separator +
+# step-count banner train.py:86-88; step lines with timeSince ETA
+# train.py:122-123, utils.py:22-33; eval banner lines train.py:138-143;
+# the per-epoch score line train.py:133.
+_REF_LOG_GRAMMAR = [
+    r"optim: adamax lr=\d+\.\d{4}, decay_step=\d+, decay_rate=\d+\.\d{2},"
+    r"grad_clip=\d+\.\d{2}",
+    r"Epoch: \d+\. Reducing Learning Rate from [\d.e+-]+ to [\d.e+-]+",
+    r"-{100}",
+    r"\[DEBUG\] epoch \d+, number of steps: \d+",
+    r"Epoch \[\d+\]\[\d+/\d+\] Elapsed \d+m \d+s \(remain \d+m \d+s\) "
+    r"Loss: \d+\.\d{5}\(\d+\.\d{5}\)",
+    r"\[DEBUG\] Evaluation Start",
+    r"\[DEBUG\] total eval data len: \d+",
+    r"\[DEBUG\] eval data loader len: \d+",
+    r"\[DEBUG\] train_score: \d+\.\d{4} eval_score: \d+\.\d{4}",
+]
+
+
+def test_log_format_matches_reference_grammar(tmp_path):
+    """Regex-golden for log.txt (round-3 verdict weak #4): every line a
+    basic training run writes must match the reference notebook's line
+    grammar — PARITY T8 claimed the format by eye; this enforces it. A new
+    or reformatted line fails loudly here and must either match the
+    reference grammar or be added above with a citation."""
+    import re
+
+    cfg = Config(
+        num_hid=32, relation_dim=48, num_heads=4, nongt_dim=6,
+        imp_pos_emb_dim=16, fusion="butd", relation_type="implicit",
+        residual_connection=True, epochs=2, batch_size=16, print_freq=1,
+        base_lr=2e-3, output=str(tmp_path) + "/", save_every_epoch=False,
+        num_rois=24,
+    )
+    train = synthetic_dataset(num_images=8, num_questions=48, v_dim=16, num_ans=7)
+    val = synthetic_dataset(num_images=4, num_questions=16, v_dim=16, num_ans=7, seed=1)
+    run_training(cfg, train, val)
+
+    lines = open(tmp_path / "log.txt").read().splitlines()
+    matched = []
+    for line in lines:
+        if not line:  # the LR line's leading \n (reference train.py:77)
+            continue
+        hits = [i for i, g in enumerate(_REF_LOG_GRAMMAR)
+                if re.fullmatch(g, line)]
+        assert hits, f"log line outside the reference grammar: {line!r}"
+        matched.append(hits[0])
+    # every grammar production occurs (3 steps/epoch + print_freq=1 ->
+    # train AND eval step lines are present), and the run opens with the
+    # optim banner exactly like the reference
+    assert set(matched) == set(range(len(_REF_LOG_GRAMMAR)))
+    assert matched[0] == 0

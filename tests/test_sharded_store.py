@@ -231,14 +231,21 @@ def test_sharded_bucketed_training_runs(tmp_path):
     state = init_train_state(params, opt, mesh)
     data.build_steps(ds.ntoken, opt, params, "jnp")
     rng = jax.random.PRNGKey(1)
+    # the production dispatch stream (train_stream, not the raw train_iter):
+    # under the auto --train_block default this is the BLOCKED sharded path
+    # (build_sharded_store_train_block's lax.cond-around-shard_map-gather
+    # tail skip — round-3 advisor finding: previously untested), and nsteps
+    # accounts the real batches per dispatched block
     for epoch in range(2):
-        n = 0.0
-        for item in data.train_iter(epoch):
+        n, steps = 0.0, 0
+        for nsteps, item in data.train_stream(epoch):
             state, m = data.train_call(state, item, rng)
             m = jax.device_get(m)
             assert np.isfinite(m["loss"])
             n += float(m["n"])
+            steps += nsteps
         assert n == 40  # every entry exactly once per epoch
+        assert steps == data.steps_per_epoch == 4
 
 
 def test_sharded_semantic_adjacency_matches_device(tmp_path):

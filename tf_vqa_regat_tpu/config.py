@@ -111,14 +111,18 @@ class Config:
     # Train steps executed per dispatched program (device/sharded data
     # modes): one jitted lax.scan carries the donated train state through K
     # optimizer steps, amortizing the per-step dispatch overhead the donated
-    # chain still pays (~6% measured at R=100 on the tunneled v5e,
-    # tools/train_block_bench.py). Tail blocks pad with -1 batches that a
-    # lax.cond passes through WITHOUT touching the state (no optimizer
-    # update, no step/LR advance) — single-bucket blocked training is
-    # step-for-step identical to per-step training. With --roi_buckets the
-    # epoch stream groups K same-size batches per block, so the optimizer
-    # visits the same batches in a block-granular order (documented ordering
-    # change, recorded in the resume run signature). 0/1 disables.
+    # chain still pays. 0 = AUTO (the default): K=8 on the device/sharded
+    # stores, per-step on the host path (train/loop.py::resolve_train_block)
+    # — measured +4.1% train q/s at the production bucket mix on the
+    # tunneled v5e (K=4 +3.1%, K=16 +4.5% with double the tail padding;
+    # single-bucket R=100 +3.7%; tools/train_block_bench.py --mix,
+    # PERF_NOTES.md). 1 forces per-step. Tail blocks pad with -1 batches
+    # that a lax.cond passes through WITHOUT touching the state (no
+    # optimizer update, no step/LR advance) — single-bucket blocked training
+    # is step-for-step identical to per-step training. With --roi_buckets
+    # the epoch stream groups K same-size batches per block, so the
+    # optimizer visits the same batches in a block-granular order
+    # (documented ordering change, recorded in the resume run signature).
     train_block: int = 0
     # EVAL: fold the two graph-attention directions into one 2H-head
     # computation (jnp impl, dir_num=2) — attention matmuls at double width,
@@ -162,7 +166,8 @@ class Config:
     # permutation), dropout stream (state step counter) and the epoch's
     # metric accumulators are all restored, so the resumed run reproduces the
     # uninterrupted run exactly (tests/test_checkpoint.py). A SIGTERM during
-    # training also saves at the next step boundary and exits cleanly — the
+    # training also saves at the next dispatch boundary (per step, or per
+    # --train_block block under blocked training) and exits cleanly — the
     # TPU-preemption contract the reference (no checkpointing at all,
     # main.py:145) has no answer to; under multi-process the save step is
     # agreed across hosts via JAX's preemption sync service.
@@ -274,8 +279,9 @@ class Config:
             )
         if self.train_block < 0 or self.eval_block < 0:
             raise ValueError(
-                f"--train_block/--eval_block must be >= 0 (0/1 disable "
-                f"blocking), got {self.train_block}/{self.eval_block}"
+                f"--train_block/--eval_block must be >= 0 (0 = auto for "
+                f"train / off for eval; 1 disables blocking), got "
+                f"{self.train_block}/{self.eval_block}"
             )
         # serve flags validate here, not at MicroBatcher construction: an
         # empty --serve_batch_sizes otherwise surfaced as an opaque

@@ -53,8 +53,10 @@ class _PreemptWatcher:
     JAX's preemption sync service (multihost_utils.
     reached_preemption_sync_point), which propagates the notice and agrees a
     common safe step across hosts. ``REGAT_FAULT_PREEMPT_STEP=<global step>``
-    injects a deterministic preemption at that step — the fault-injection
-    hook tests/test_checkpoint.py uses to prove resumed == uninterrupted.
+    injects a deterministic preemption at the first dispatch boundary at or
+    after that step (per optimizer step, or per --train_block block) — the
+    fault-injection hook tests/test_checkpoint.py uses to prove
+    resumed == uninterrupted.
     The reference has no preemption answer at all (it saves weights once,
     after the final epoch — reference main.py:145)."""
 
@@ -91,7 +93,12 @@ class _PreemptWatcher:
         self._flag = True
 
     def poll(self, global_step: int) -> bool:
-        if self._flag or global_step == self._fault_step:
+        # The fault fires at the first dispatch boundary AT OR AFTER the
+        # injected step (>=, not ==): blocked training polls once per
+        # K-step block, so an exact-equality match would silently skip a
+        # fault landing inside a block — exactly how a real SIGTERM behaves
+        # (handled at the next poll, wherever the counter then stands).
+        if self._flag or (0 <= self._fault_step <= global_step):
             return True
         if self._multi:
             from jax.experimental import multihost_utils
@@ -119,6 +126,27 @@ class _PreemptWatcher:
             self._sync_ok = True
             return r
         return False
+
+
+# --train_block 0 (auto) resolves to this on the device/sharded stores:
+# measured on the tunneled v5e at the production bucket mix (36/64/100,
+# tools/train_block_bench.py --mix): K=8 is +4.1% train q/s over the
+# per-step donated chain (K=4 +3.1%, K=16 +4.5% but with double the tail
+# padding on short epochs) — one lax.scan program dispatches K optimizer
+# steps, reclaiming per-step dispatch idle the donated chain still pays.
+AUTO_TRAIN_BLOCK = 8
+
+
+def resolve_train_block(cfg: Config, data_mode: str) -> int:
+    """THE effective train-block size: --train_block 0 (the default) means
+    auto — AUTO_TRAIN_BLOCK on the device/sharded stores (where the scanned
+    block gathers its K batches from device-resident tables), per-step on
+    the host-streaming path (which packs/transfers one batch at a time).
+    Explicit 1 forces per-step; explicit K>1 forces K (and still errors
+    loudly on the host path — _DataPath's guard)."""
+    if cfg.train_block == 0:
+        return AUTO_TRAIN_BLOCK if data_mode in ("device", "sharded") else 1
+    return cfg.train_block
 
 
 def _run_signature(
@@ -152,9 +180,9 @@ def _run_signature(
         "dp": int(dp),
         # blocked training groups K same-bucket batches per dispatch, which
         # reorders the bucketed epoch stream (train_stream docstring) — a
-        # skip is only exact under the same K (legacy writers were per-step:
-        # default 1 on read)
-        "train_block": int(max(cfg.train_block, 1)),
+        # skip is only exact under the same EFFECTIVE K (auto resolves per
+        # data mode; legacy writers were per-step: default 1 on read)
+        "train_block": int(resolve_train_block(cfg, data_mode)),
     }
 
 
@@ -915,13 +943,16 @@ class _DataPath:
         )
         self.mode = mode
         check_roi_buckets_mode(cfg, mode)
-        if max(cfg.train_block, 1) > 1 and train_ds is not None and mode == "host":
+        # An EXPLICIT --train_block K>1 on the host path is a loud error;
+        # the auto default (0) resolves to per-step there instead.
+        if cfg.train_block > 1 and train_ds is not None and mode == "host":
             raise ValueError(
                 f"--train_block requires the device or sharded data mode "
                 f"(resolved mode: {mode!r}); the scanned block gathers its "
                 f"K batches from device-resident tables. Force --data_mode "
                 f"device/sharded or drop --train_block."
             )
+        self.train_block_k = resolve_train_block(cfg, mode)
 
         if mode in ("device", "sharded"):
             self.train_store = (
@@ -1022,7 +1053,7 @@ class _DataPath:
                     for R in sizes
                 }
             if has_train:
-                KT = max(cfg.train_block, 1)
+                KT = self.train_block_k
                 if KT > 1:
                     # Blocked training: one program scans KT donated-state
                     # steps (build_store_train_block docstring); train_stream
@@ -1111,7 +1142,7 @@ class _DataPath:
         only at dispatch boundaries, so a saved step count always aligns —
         a misaligned skip (foreign checkpoint) raises rather than silently
         replaying a shifted epoch."""
-        KT = max(self.cfg.train_block, 1)
+        KT = self.train_block_k
         if KT == 1 or self.mode == "host":
             for item in self.train_iter(epoch, skip):
                 yield 1, item

@@ -425,8 +425,10 @@ def build_store_train_block(
 
     The donated per-step chain serializes execution but still pays a
     per-step dispatch (client-side jit call over the ~300-buffer state tree
-    + tunnel round trip); scanning K steps amortizes it (+6% at R=100 on the
-    tunneled v5e, tools/train_block_bench.py). Tail blocks pad with all -1
+    + tunnel round trip); scanning K steps amortizes it (+3.7% at R=100,
+    +4.1% at the production bucket mix, K=8 on the tunneled v5e —
+    tools/train_block_bench.py, PERF_NOTES.md; this is the --train_block
+    auto default, train/loop.py::resolve_train_block). Tail blocks pad with all -1
     index batches which a lax.cond passes through without touching the
     state — no optimizer update, no step/LR advance, zero metric weight —
     so blocked training is step-for-step identical to the per-step program
