@@ -171,13 +171,13 @@ def main() -> None:
               f"spread {min(times) / (nblocks * K) * 1e3:.3f}-"
               f"{max(times) / (nblocks * K) * 1e3:.3f} ms", flush=True)
 
-    for name, opts in VARIANTS:
+    for name, opts in variants:
         run_variant(name, opts)
 
     if "baseline" in results:
         base = results["baseline"]
         winners = {
-            n: o for n, o in VARIANTS[1:]
+            n: o for n, o in variants[1:]
             if n in results and results[n] < base * 0.995
         }
         if len(winners) >= 2:
