@@ -86,6 +86,8 @@ def main() -> None:
                     help="optimizer steps per timed pass (steps//k blocks)")
     ap.add_argument("--k", type=int, default=8, help="train block size")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--rois", type=int, default=100,
+                    help="static roi size R (bucket point) to measure at")
     ap.add_argument(
         "--variant", action="append", default=[],
         help="extra variant 'name:key=val[;key=val]' — replaces the "
@@ -107,7 +109,7 @@ def main() -> None:
     mesh = make_mesh()
     impl = resolve_impl(cfg)
 
-    R, K = 100, args.k
+    R, K = args.rois, args.k
     nblocks = args.steps // K
     nq = nblocks * K * BATCH
     ds = synthetic_dataset(num_images=512, num_questions=nq, v_dim=V_DIM,
