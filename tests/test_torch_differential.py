@@ -272,3 +272,133 @@ def test_mutan_matches_torch_transcription():
     np.testing.assert_allclose(
         np.asarray(got_logits), want_logits.numpy(), rtol=2e-4, atol=2e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# Gradient-level differential (round-4 verdict item 4): the eval-forward
+# match above cannot see a training-path bug — dropout placement aside (off
+# in both substrates here), the weight-norm scalar-g reparameterization has
+# its own gradient flow (dL/dv couples through g/||v|| AND the dL/dg
+# projection), and a transposed-layout error in a backward einsum would not
+# perturb the forward. Copied weights, same batch, torch loss.backward() vs
+# jax.grad, per-leaf agreement after mapping torch's [out, in] layout back.
+# ---------------------------------------------------------------------------
+
+
+def _wn_linear_grads(linear):
+    """Torch weight_norm'd Linear grads -> our {v: [in,out], g, b} layout."""
+    return {
+        "v": linear.weight_v.grad.numpy().T,
+        "g": np.float32(linear.weight_g.grad.reshape(())),
+        "b": linear.bias.grad.numpy(),
+    }
+
+
+def _fcnet_grads(tfc):
+    linears = [m for m in tfc.main if isinstance(m, nn.Linear)]
+    return {"layers": [_wn_linear_grads(l) for l in linears]}
+
+
+def _linear_grads(linear):
+    return {"w": linear.weight.grad.numpy().T, "b": linear.bias.grad.numpy()}
+
+
+def _assert_grad_trees_close(got_tree, want_tree, rtol=1e-3, atol=2e-5):
+    got_leaves, got_def = jax.tree_util.tree_flatten(got_tree)
+    want_leaves, want_def = jax.tree_util.tree_flatten(want_tree)
+    assert got_def == want_def, (got_def, want_def)
+    for g, w in zip(got_leaves, want_leaves):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float64), np.asarray(w, np.float64),
+            rtol=rtol, atol=atol,
+        )
+
+
+def test_ban_gradients_match_torch_transcription():
+    b, R, T, v_dim, q_dim, glimpse = 2, 12, 14, 48, 32, 4
+    params = ban_init(jax.random.PRNGKey(0), v_dim, q_dim, glimpse)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+    rng = np.random.RandomState(1)
+    v = rng.randn(b, R, v_dim).astype(np.float32)
+    q = rng.randn(b, T, q_dim).astype(np.float32)
+    num_boxes = np.array([R, R - 5])
+    roi_mask = np.arange(R)[None, :] < num_boxes[:, None]
+    v[~roi_mask] = 0.0
+    # fixed random cotangents: every output element backpropagates, so a
+    # gradient error anywhere in (joint, att) is observable
+    w_j = rng.randn(b, q_dim).astype(np.float32)
+    w_a = rng.randn(b, glimpse, R, T).astype(np.float32)
+
+    def loss_fn(p):
+        joint, att = ban_apply(
+            p, jnp.asarray(v), jnp.asarray(q), jnp.asarray(roi_mask),
+            drop_rate=0.2, train=False, rngs=None,
+        )
+        return jnp.sum(joint * w_j) + jnp.sum(att * w_a)
+
+    got = jax.device_get(jax.grad(loss_fn)(params))
+
+    tban = TBAN(v_dim, q_dim, glimpse)
+    tban.copy_from(params)
+    tban.eval()
+    joint, att = tban(_t(v), _t(q))
+    ((joint * _t(w_j)).sum() + (att * _t(w_a)).sum()).backward()
+    g_, hk = np.asarray(params["h_mat"]["v"]).shape
+    want = {
+        "att_v_net": _fcnet_grads(tban.att.v_net),
+        "att_q_net": _fcnet_grads(tban.att.q_net),
+        "h_mat": {
+            "v": tban.att.h_mat_v.grad.numpy().reshape(g_, hk),
+            "g": np.float32(tban.att.h_mat_g.grad.reshape(())),
+        },
+        "h_bias": tban.att.h_bias.grad.numpy().reshape(g_),
+        "b_v_net": [_fcnet_grads(n.v_net) for n in tban.b_net],
+        "b_q_net": [_fcnet_grads(n.q_net) for n in tban.b_net],
+        "q_prj": [_fcnet_grads(n) for n in tban.q_prj],
+    }
+    _assert_grad_trees_close(got, want)
+
+
+def test_mutan_gradients_match_torch_transcription():
+    b, R, v_dim, q_dim, num_ans, rank, glimpse = 2, 10, 40, 32, 17, 3, 2
+    params = mutan_init(
+        jax.random.PRNGKey(2), v_dim, q_dim, num_ans, rank, glimpse
+    )
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+    rng = np.random.RandomState(3)
+    v = rng.randn(b, R, v_dim).astype(np.float32)
+    q = rng.randn(b, q_dim).astype(np.float32)
+    num_boxes = np.array([R, R - 4])
+    roi_mask = np.arange(R)[None, :] < num_boxes[:, None]
+    v[~roi_mask] = 0.0
+    w_l = rng.randn(b, num_ans).astype(np.float32)
+    w_a = rng.randn(b, R, glimpse).astype(np.float32)
+
+    def loss_fn(p):
+        logits, alpha = mutan_apply(
+            p, jnp.asarray(v), jnp.asarray(q), jnp.asarray(roi_mask),
+            drop_rate=0.2, train=False, rngs=None, rank=rank,
+        )
+        return jnp.sum(logits * w_l) + jnp.sum(alpha * w_a)
+
+    got = jax.device_get(jax.grad(loss_fn)(params))
+
+    tm = TMuTAN(v_dim, q_dim, num_ans, rank, glimpse)
+    tm.copy_from(params)
+    tm.eval()
+    logits, alpha = tm(_t(v), _t(q), torch.from_numpy(roi_mask))
+    ((logits * _t(w_l)).sum() + (alpha * _t(w_a)).sum()).backward()
+
+    def _block_grads(tb):
+        return {
+            name: _linear_grads(getattr(tb, name))
+            for name in ("linear0", "linear1", "merge0", "merge1", "linear_out")
+        }
+
+    want = {
+        "att_fusion": _block_grads(tm.att_fusion),
+        "att_linear0": _fcnet_grads(tm.att_linear0),
+        "att_linear1": _fcnet_grads(tm.att_linear1),
+        "out_fusion": _block_grads(tm.out_fusion),
+    }
+    _assert_grad_trees_close(got, want)
