@@ -167,24 +167,34 @@ def test_http_server_contract(setup):
 
 
 def test_capacity_guard_and_int8_serving(setup):
-    """Round-2 verdict #7 (serve capacity story): a split whose replicated
-    tables exceed the device budget must fail loudly at engine construction
-    with the --feature_dtype int8 remedy in the message, and the int8
-    engine itself must serve correctly (per-row dequantized gather)."""
+    """Round-2 verdict #7 / round-4 item 5 (serve capacity story): a split
+    too big even for the SHARDED store must fail loudly at engine
+    construction with the --feature_dtype int8 remedy and both the
+    replicated and per-shard numbers in the message, and the int8 engine
+    itself must serve correctly (per-row dequantized gather)."""
     from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
+    from tf_vqa_regat_tpu.data.sharded_store import estimate_sharded_nbytes
 
     ds, params = setup
     e_f32 = estimate_nbytes(ds, False, "float32")
-    e_int8 = estimate_nbytes(ds, False, "int8")
-    # budget between int8 and f32: f32 engine refuses, int8 engine builds
-    budget_gb = ((e_f32 + e_int8) / 2) / 1e9
+    e_sh = estimate_sharded_nbytes(ds, False, "float32", 8)
+    # budget below even the per-shard f32 slice: no store mode fits at f32
+    budget_gb = (e_sh * 0.5) / 1e9
     cfg_tight = CFG.replace(device_store_budget_gb=budget_gb)
-    with pytest.raises(ValueError, match="int8"):
+    with pytest.raises(ValueError, match=r"int8.*GB/shard"):
         InferenceEngine(cfg_tight, ds, params, batch_sizes=(1,))
 
+    # replicated-int8-refusing budget still serves via int8 (which fits
+    # replicated here): correctness of the dequantized gather
+    e_int8 = estimate_nbytes(ds, False, "int8")
+    assert e_int8 < e_f32
     eng = InferenceEngine(
-        cfg_tight.replace(feature_dtype="int8"), ds, params, batch_sizes=(1, 4)
+        CFG.replace(
+            feature_dtype="int8", device_store_budget_gb=(e_int8 * 1.5) / 1e9
+        ),
+        ds, params, batch_sizes=(1, 4),
     )
+    assert eng.store_mode == "replicated"
     qs = ["what color is the cat ?", "how many dogs ?"]
     iids = [int(ds.entries.image_ids[i]) for i in (0, 4)]
     got = eng.infer(qs, iids)
@@ -197,6 +207,76 @@ def test_capacity_guard_and_int8_serving(setup):
     eng32 = InferenceEngine(CFG, ds, params, batch_sizes=(1, 4))
     got32 = eng32.infer(qs, iids)
     assert [r["answer"] for r in got] == [r["answer"] for r in got32]
+
+
+def test_serve_sharded_fallback_matches_replicated(setup):
+    """A split too big to replicate but fitting per-shard falls back to the
+    SHARDED store (round-4 verdict item 5): tables partitioned over the
+    data axis, requests served by the masked local gather + psum
+    (build_sharded_image_gather). Serving is a pure layout change: every
+    answer and confidence must match the replicated engine bit-for-bit
+    within float tolerance."""
+    from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
+    from tf_vqa_regat_tpu.data.sharded_store import estimate_sharded_nbytes
+
+    ds, params = setup
+    e_rep = estimate_nbytes(ds, False, "float32")
+    e_sh = estimate_sharded_nbytes(ds, False, "float32", 8)
+    assert e_sh < e_rep
+    cfg_mid = CFG.replace(device_store_budget_gb=((e_rep + e_sh) / 2) / 1e9)
+    eng_sh = InferenceEngine(cfg_mid, ds, params, batch_sizes=(1, 4))
+    assert eng_sh.store_mode == "sharded"
+    eng_rep = InferenceEngine(CFG, ds, params, batch_sizes=(1, 4))
+    assert eng_rep.store_mode == "replicated"
+
+    qs = [
+        "what color is the cat ?",
+        "how many dogs are there ?",
+        "is it raining ?",
+        "what ?",
+    ]
+    iids = [int(ds.entries.image_ids[i]) for i in (0, 3, 5, 7)] + [999999]
+    qs = qs + ["unknown image"]
+    got_sh = eng_sh.infer(qs, iids)
+    got_rep = eng_rep.infer(qs, iids)
+    assert len(got_sh) == len(got_rep) == 5
+    for a, b in zip(got_sh, got_rep):
+        if "error" in b:
+            assert "error" in a
+            continue
+        assert a["answer"] == b["answer"]
+        np.testing.assert_allclose(a["confidence"], b["confidence"], rtol=1e-5)
+
+
+def test_serve_sharded_semantic_adjacency_matches_replicated():
+    """Sharded serving of a semantic-relation model: the per-shard
+    adjacency table (local image-slot order) must reach the model through
+    the psum gather exactly as the replicated gather_adj path does."""
+    from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
+    from tf_vqa_regat_tpu.data.sharded_store import estimate_sharded_nbytes
+
+    ds = synthetic_dataset(
+        num_images=6, num_questions=18, v_dim=16, num_ans=7, semantic=True
+    )
+    cfg = CFG.replace(relation_type="semantic")
+    params = init_regat(jax.random.PRNGKey(3), cfg, ds.ntoken, 16, 7)
+    e_rep = estimate_nbytes(ds, True, "float32")
+    e_sh = estimate_sharded_nbytes(ds, True, "float32", 8)
+    assert e_sh < e_rep
+    eng_sh = InferenceEngine(
+        cfg.replace(device_store_budget_gb=((e_rep + e_sh) / 2) / 1e9),
+        ds, params, batch_sizes=(1,),
+    )
+    assert eng_sh.store_mode == "sharded"
+    eng_rep = InferenceEngine(cfg, ds, params, batch_sizes=(1,))
+
+    qs = ["what color is the cat ?", "how many dogs ?"]
+    iids = [int(ds.entries.image_ids[i]) for i in (0, 4)]
+    got_sh = eng_sh.infer(qs, iids)
+    got_rep = eng_rep.infer(qs, iids)
+    for a, b in zip(got_sh, got_rep):
+        assert a["answer"] == b["answer"]
+        np.testing.assert_allclose(a["confidence"], b["confidence"], rtol=1e-5)
 
 
 def test_serve_semantic_adjacency_matches_eval_forward():

@@ -263,6 +263,12 @@ class ShardedDeviceStore:
         # box counts, never on the relation type).
         self._img_buckets = buckets
         self._max_local_imgs = int(n_local_imgs.max()) if n_img else 1
+        # Global image id -> (owning shard, local slot) and global box count:
+        # the serving path's lookup keys (build_sharded_image_gather) — a
+        # request addresses images globally, not by shard-local entry index.
+        self.img_shard = img_shard
+        self.img_local = img_local
+        self.img_len_global = np.asarray(img_len, np.int32)
 
         # Precomputed edge labels (semantic; spatial builds in-jit from bb):
         # per-shard adjacency ordered by LOCAL image slot — gather_batch
@@ -429,6 +435,21 @@ class ShardedDeviceStore:
         sh = NamedSharding(self.mesh, P(DATA_AXIS))
         return put_global(self._adj_local_host(adj_src), sh)
 
+    def image_meta_arrays(self):
+        """Replicated [n_img] int32 lookup tables for global-image-id
+        addressing (the serving path): owning shard, local slot within it,
+        and the global box count. Tiny (12 bytes/image), so replication is
+        free next to the partitioned feature tables."""
+        from tf_vqa_regat_tpu.parallel.distributed import put_global
+        from tf_vqa_regat_tpu.parallel.mesh import replicated
+
+        rep = replicated(self.mesh)
+        return {
+            "img_shard": put_global(self.img_shard.astype(np.int32), rep),
+            "img_local": put_global(self.img_local.astype(np.int32), rep),
+            "img_len": put_global(self.img_len_global, rep),
+        }
+
     @property
     def entry_nbox(self) -> np.ndarray:
         """Box counts over all entries (shard-concatenated order) — feeds the
@@ -538,4 +559,68 @@ def build_sharded_gather(mesh, num_rois: int, num_ans: int, padding_idx: int):
     return shard_map(
         local_gather, mesh=mesh, in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
+    )
+
+
+def build_sharded_image_gather(mesh, num_rois: int):
+    """Distributed HBM lookup by GLOBAL image id, REPLICATED result — the
+    serving path over a split too big to replicate (round-4 verdict item 5).
+
+    Each device gathers the requested images IT OWNS from its local table
+    slice (zeros elsewhere — the ownership test is `img_shard[img] == me`),
+    and one psum over the data axis assembles the full [B, R, ...] batch on
+    every device: exactly-one-owner means the sum IS the owner's rows. The
+    batch dim stays unsharded so batch-1 serving works on any mesh; latency
+    cost is one ICI all-reduce of the gathered batch (~a few MB at serving
+    batch sizes), never a host round trip.
+
+    Signature: f(arrays, img_meta, img [B] global ids, n_box [B]) ->
+    (features, norm_bb, bb, adj_label|None), all [B, R, ...] f32/int32
+    replicated. `arrays` is ShardedDeviceStore.arrays (tables partitioned
+    over the data axis); `img_meta` is store.image_meta_arrays()
+    (replicated id->owner lookups). n_box must already be 0 for invalid
+    slots (the caller masks by `valid`).
+    """
+    from jax import shard_map
+
+    def local_gather(arrays, img_meta, img, n_box):
+        me = jax.lax.axis_index(DATA_AXIS)
+        owned = img_meta["img_shard"][img] == me  # [B]
+        li = img_meta["img_local"][img]  # [B] local slot (garbage if !owned)
+        n_eff = jnp.where(owned, n_box, 0)
+        start = arrays["img_start"][li]  # local row offset
+        r = jnp.arange(num_rois, dtype=jnp.int32)
+        rows = start[:, None] + r[None, :]
+        roi_ok = r[None, :] < n_eff[:, None]
+        T = arrays["features"].shape[0]
+        rows = jnp.clip(rows, 0, T - 1)
+        B = img.shape[0]
+
+        def take(tab):
+            out = jnp.take(tab, rows.reshape(-1), axis=0)
+            out = out.reshape(B, num_rois, -1).astype(jnp.float32)
+            return jnp.where(roi_ok[..., None], out, jnp.zeros_like(out))
+
+        features = take(arrays["features"])
+        if "feat_scale" in arrays:  # int8 tables: per-row dequant scale
+            scale = jnp.take(arrays["feat_scale"], rows.reshape(-1), axis=0)
+            features = features * scale.reshape(B, num_rois, 1)
+        adj = None
+        if "adj" in arrays:
+            k = min(arrays["adj"].shape[1], num_rois)
+            a = arrays["adj"][jnp.clip(li, 0, arrays["adj"].shape[0] - 1)]
+            adj = jnp.zeros((B, num_rois, num_rois), jnp.int32)
+            adj = adj.at[:, :k, :k].set(a[:, :k, :k].astype(jnp.int32))
+            # n_box == 0 marks invalid slots (caller masks by `valid`): their
+            # li points at whatever image 0's owner holds, so zero them like
+            # the replicated gather_adj's valid-mask does
+            adj = jnp.where((owned & (n_eff > 0))[:, None, None], adj, 0)
+        out = (features, take(arrays["norm_bb"]), take(arrays["bb"]), adj)
+        # exactly one shard owns each image -> psum selects the owner's rows
+        return jax.tree.map(lambda x: jax.lax.psum(x, DATA_AXIS), out)
+
+    return shard_map(
+        local_gather, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(), P(), P()),
+        out_specs=P(),
     )

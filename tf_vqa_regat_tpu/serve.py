@@ -11,6 +11,13 @@ are train/eval, reference main.py:99-157). TPU-first design:
   once (DeviceStore); a request ships only its [14] token ids and an image
   index — the ~800 KB of region features per example never cross the
   host->device boundary at serve time (gather_image_features).
+- **Capacity fallback**: a split too big to replicate at the configured
+  --feature_dtype serves from the data-axis-SHARDED store instead — each
+  request's images are fetched by a masked local gather + one ICI psum
+  (sharded_store.build_sharded_image_gather), trading a few-MB all-reduce
+  per batch for unbounded split size. Only when even the per-shard slice
+  exceeds --device_store_budget_gb does construction fail (with both
+  numbers in the message).
 - **Micro-batching**: concurrent requests are coalesced for up to
   `--serve_max_delay_ms` into one forward pass at the smallest compiled
   batch size that fits (classic serving latency/throughput trade).
@@ -71,36 +78,73 @@ class InferenceEngine:
         impl = resolve_impl(cfg)
         rep = replicated(self.mesh)
         include_adj = cfg.relation_type in ("semantic", "spatial")
-        # Capacity guard: serving hardwires the REPLICATED store (latency
-        # path — features resident in every local device's HBM, batch dim
-        # unsharded so batch-1 works). Splits too big to replicate must
-        # shrink via --feature_dtype int8 (4x; the full adaptive split fits
-        # one v5e at ~14.7 GB, PERF_NOTES.md) — fail loudly with the fix
-        # rather than OOM mid-upload.
+        # Capacity policy (round-4 verdict item 5): prefer the REPLICATED
+        # store (latency path — features resident in every local device's
+        # HBM, zero cross-chip traffic per request). A split too big to
+        # replicate falls back to the SHARDED store: tables partitioned over
+        # the data axis, each request's images fetched by a masked local
+        # gather + one ICI psum (build_sharded_image_gather) — a few-MB
+        # all-reduce per request batch instead of an impossible upload. Only
+        # if even the per-shard slice exceeds the budget do we fail, with
+        # both numbers in the message.
         from tf_vqa_regat_tpu.data.device_store import estimate_nbytes
+        from tf_vqa_regat_tpu.data.sharded_store import (
+            ShardedDeviceStore,
+            build_sharded_image_gather,
+            estimate_sharded_nbytes,
+        )
+        from tf_vqa_regat_tpu.parallel.mesh import DATA_AXIS
 
         need = estimate_nbytes(ds, include_adj, cfg.feature_dtype)
         budget = int(cfg.device_store_budget_gb * 1e9)
+        dp = self.mesh.shape[DATA_AXIS]
+        self.store_mode = "replicated"
         if need > budget:
-            if cfg.feature_dtype != "int8":
-                remedy = (
-                    f"Use --feature_dtype int8 "
-                    f"(~{estimate_nbytes(ds, include_adj, 'int8')/1e9:.1f} "
-                    f"GB), raise --device_store_budget_gb,"
-                )
-            else:  # already at the smallest dtype — only the budget helps
-                remedy = "Raise --device_store_budget_gb"
-            raise ValueError(
-                f"serve: split {ds.name!r} needs ~{need/1e9:.1f} GB "
-                f"replicated at --feature_dtype {cfg.feature_dtype} but the "
-                f"device budget is {cfg.device_store_budget_gb:.1f} GB "
-                f"(--device_store_budget_gb). {remedy} or serve a smaller "
-                f"split — the serving engine replicates tables for batch-1 "
-                f"latency and has no sharded fallback."
+            # sharded mode keeps only SEMANTIC adjacency resident (spatial
+            # builds in-jit from boxes — same convention as
+            # resolve_data_mode, train/loop.py)
+            sharded_adj = cfg.relation_type == "semantic"
+            need_sharded = estimate_sharded_nbytes(
+                ds, sharded_adj, cfg.feature_dtype, dp
             )
-        self.store = DeviceStore(
-            ds, rep, include_adj, cfg.feature_dtype, cfg.packed_cache
-        )
+            if need_sharded > budget:
+                if cfg.feature_dtype != "int8":
+                    remedy = (
+                        f"Use --feature_dtype int8 (replicated "
+                        f"~{estimate_nbytes(ds, include_adj, 'int8')/1e9:.1f}"
+                        f" GB, sharded ~{estimate_sharded_nbytes(ds, sharded_adj, 'int8', dp)/1e9:.1f}"
+                        f" GB/shard), raise --device_store_budget_gb,"
+                    )
+                else:  # already the smallest dtype — only the budget helps
+                    remedy = "Raise --device_store_budget_gb"
+                raise ValueError(
+                    f"serve: split {ds.name!r} at --feature_dtype "
+                    f"{cfg.feature_dtype} needs ~{need/1e9:.1f} GB replicated "
+                    f"and ~{need_sharded/1e9:.1f} GB/shard sharded over "
+                    f"dp={dp}, but the device budget is "
+                    f"{cfg.device_store_budget_gb:.1f} GB "
+                    f"(--device_store_budget_gb). {remedy} serve on more "
+                    f"chips, or serve a smaller split."
+                )
+            self.store_mode = "sharded"
+        if self.store_mode == "sharded":
+            self.store = ShardedDeviceStore(
+                ds, self.mesh, cfg.relation_type == "semantic",
+                cfg.feature_dtype, cfg.packed_cache,
+            )
+            img_meta = self.store.image_meta_arrays()
+            gather_images = build_sharded_image_gather(
+                self.mesh, cfg.resolved_num_rois()
+            )
+            arrays_sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(DATA_AXIS)
+            )
+        else:
+            self.store = DeviceStore(
+                ds, rep, include_adj, cfg.feature_dtype, cfg.packed_cache
+            )
+            img_meta = gather_images = None
+            arrays_sharding = rep
         self.params = put_global_tree(params, rep)
         # image_id -> image index over the loaded split
         self.img_index = {
@@ -112,12 +156,25 @@ class InferenceEngine:
         num_rois = R
 
         def serve_step(params, arrays, question, img, valid):
-            n_box = jnp.where(
-                valid, jnp.minimum(arrays["img_len"][img], num_rois), 0
-            )
-            features, norm_bb, bb = gather_image_features(
-                arrays, img, n_box, num_rois
-            )
+            if img_meta is not None:  # sharded tables: global-id lookup
+                n_box = jnp.where(
+                    valid, jnp.minimum(img_meta["img_len"][img], num_rois), 0
+                )
+                features, norm_bb, bb, adj = gather_images(
+                    arrays, img_meta, img, n_box
+                )
+            else:
+                n_box = jnp.where(
+                    valid, jnp.minimum(arrays["img_len"][img], num_rois), 0
+                )
+                features, norm_bb, bb = gather_image_features(
+                    arrays, img, n_box, num_rois
+                )
+                adj = None
+                if "adj" in arrays:
+                    from tf_vqa_regat_tpu.data.device_store import gather_adj
+
+                    adj = gather_adj(arrays, img, num_rois, valid)
             batch = {
                 "features": features,
                 "norm_bb": norm_bb,
@@ -126,10 +183,8 @@ class InferenceEngine:
                 "num_boxes": n_box,
                 "valid": valid,
             }
-            if "adj" in arrays:
-                from tf_vqa_regat_tpu.data.device_store import gather_adj
-
-                batch["adj_label"] = gather_adj(arrays, img, num_rois, valid)
+            if adj is not None:
+                batch["adj_label"] = adj
             logits = apply_regat(
                 params, cfg, batch, ds.ntoken, train=False, impl=impl
             )
@@ -139,11 +194,14 @@ class InferenceEngine:
             )
             return best.astype(jnp.int32), conf.astype(jnp.float32)
 
-        # Serving runs replicated (latency path): every array on every local
-        # device; batch dim NOT sharded so batch-1 works on any mesh.
+        # The batch dim is NOT sharded in either store mode, so batch-1
+        # works on any mesh; only the table sharding differs (replicated =
+        # latency path, sharded = capacity path).
         self.batch_sizes = tuple(sorted(set(batch_sizes)))
         self._step = jax.jit(
-            serve_step, in_shardings=(None, rep, rep, rep, rep), out_shardings=rep
+            serve_step,
+            in_shardings=(None, arrays_sharding, rep, rep, rep),
+            out_shardings=rep,
         )
         # Compile + warm every batch size now — first request pays nothing.
         for B in self.batch_sizes:
@@ -330,6 +388,7 @@ def make_server(
                         "status": "ok",
                         "model": f"{cfg.relation_type}-{cfg.fusion}",
                         "split": ds.name,
+                        "store": engine.store_mode,
                         "batch_sizes": list(engine.batch_sizes),
                         "num_answers": ds.num_ans,
                     },
