@@ -154,6 +154,10 @@ MODEL_VARIANTS = {
     "semantic": dict(relation_type="semantic", label_bias=True),
     "ban": dict(fusion="ban"),
     "mutan": dict(fusion="mutan"),
+    # The measured MuTAN training speed option (not a BASELINE config):
+    # shared per-example q-side input-dropout mask, config.py
+    # mutan_shared_qdrop. Eval path is identical to "mutan".
+    "mutan_shared": dict(fusion="mutan", mutan_shared_qdrop=True),
 }
 
 

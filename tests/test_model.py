@@ -270,3 +270,98 @@ def test_forward_pallas_matches_jnp_train_mode():
         apply_regat(params, cfg, batch, NTOKEN, train=True, rng=rng, impl="pallas")
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_mutan_shared_qdrop_identical_when_no_input_dropout_runs():
+    """cfg.mutan_shared_qdrop only changes WHERE the q-side input-dropout
+    mask is drawn (per example at [b,1,:] vs per roi after broadcast,
+    models/mutan.py); whenever no input dropout runs the two paths must be
+    bit-identical: eval mode, and train mode at --dropout 0 (the hardcoded
+    block-lib dropout_input=0.1 gates on drop_rate > 0)."""
+    base = tiny_cfg(fusion="mutan")
+    shared = tiny_cfg(fusion="mutan", mutan_shared_qdrop=True)
+    params = init_regat(jax.random.PRNGKey(7), base, NTOKEN, V_DIM, NUM_ANS)
+    batch = make_batch(seed=7)
+    a = apply_regat(params, base, batch, NTOKEN, train=False)
+    b = apply_regat(params, shared, batch, NTOKEN, train=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    base0 = tiny_cfg(fusion="mutan", dropout=0.0)
+    shared0 = tiny_cfg(fusion="mutan", dropout=0.0, mutan_shared_qdrop=True)
+    rng = jax.random.PRNGKey(11)
+    a0 = apply_regat(params, base0, batch, NTOKEN, train=True, rng=rng)
+    b0 = apply_regat(params, shared0, batch, NTOKEN, train=True, rng=rng)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(b0))
+
+
+def test_mutan_shared_qdrop_mask_placement(monkeypatch):
+    """Pin the mechanism: in the attention Tucker block the default path
+    broadcasts the q-side activations to [b, R, mm] BEFORE dropout (per-roi
+    masks, upstream `block`-lib semantics), while mutan_shared_qdrop draws
+    the mask at [b, 1, mm] (one mask per example, q-side merge matmuls stay
+    per-example — the measured MuTAN train speed option, PERF_NOTES)."""
+    from tf_vqa_regat_tpu import nn
+    from tf_vqa_regat_tpu.models import mutan
+
+    Q_DIM = 32
+    params = mutan.mutan_init(
+        jax.random.PRNGKey(0), V_DIM, Q_DIM, NUM_ANS, rank=3, glimpse=2
+    )
+    rs = np.random.RandomState(0)
+    visual = jnp.asarray(rs.randn(B, R, V_DIM).astype(np.float32))
+    question = jnp.asarray(rs.randn(B, Q_DIM).astype(np.float32))
+    roi_mask = jnp.ones((B, R), bool)
+
+    real_dropout = nn.dropout
+
+    def run(shared):
+        shapes = []
+
+        def spy(x, rate, train, rngs):
+            if train and rate > 0.0:
+                shapes.append(tuple(x.shape))
+            return real_dropout(x, rate, train, rngs)
+
+        monkeypatch.setattr(nn, "dropout", spy)
+        logits, _ = mutan.mutan_apply(
+            params, visual, question, roi_mask, drop_rate=0.2, train=True,
+            rngs=nn.RngGen(jax.random.PRNGKey(5)), rank=3,
+            shared_qdrop=shared,
+        )
+        monkeypatch.setattr(nn, "dropout", real_dropout)
+        assert np.isfinite(np.asarray(logits)).all()
+        return shapes
+
+    mm = mutan.MM_DIM
+    # att block (h0, h1) then out block (h0, h1; both 2-D, roi-free).
+    assert run(shared=False) == [
+        (B, R, mm), (B, R, mm), (B, mm), (B, mm)
+    ]
+    assert run(shared=True) == [
+        (B, 1, mm), (B, R, mm), (B, mm), (B, mm)
+    ]
+
+
+def test_mutan_shared_qdrop_trains():
+    """Full-model train step sanity for the speed option: finite loss and a
+    nonzero gradient on every MuTAN fusion leaf (incl. the q-side merge,
+    which under shared_qdrop runs per-example and broadcasts)."""
+    from tf_vqa_regat_tpu.train.loss import bce_with_logits_sum
+
+    cfg = tiny_cfg(fusion="mutan", mutan_shared_qdrop=True)
+    params = init_regat(jax.random.PRNGKey(13), cfg, NTOKEN, V_DIM, NUM_ANS)
+    batch = make_batch(seed=13)
+
+    def loss_fn(p):
+        logits = apply_regat(
+            p, cfg, batch, NTOKEN, train=True, rng=jax.random.PRNGKey(3)
+        )
+        return bce_with_logits_sum(logits, batch["target"], batch["valid"])
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    joint = grads["joint_emb"]
+    flat, _ = jax.tree_util.tree_flatten(joint)
+    for g in flat:
+        assert np.isfinite(np.asarray(g)).all()
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)

@@ -242,6 +242,17 @@ class Config:
     ban_glimpse: int = 4
     mutan_rank: int = 15
     mutan_gamma: int = 2
+    # MuTAN training speed option (default off = upstream-pinned): share the
+    # q-side input-dropout mask across rois in the attention Tucker block.
+    # The upstream `block` lib flattens rois into the batch, so each roi
+    # draws its OWN mask over the (identical) broadcast question activations
+    # — which forces the q-side merge matmuls (1200 x 1200*rank) to run per
+    # roi instead of per example (models/mutan.py). One shared per-example
+    # mask is an equally valid Bernoulli regularizer and lets the q-side
+    # merge run once and broadcast, removing ~40% of the train-step FLOPs
+    # (measured: PERF_NOTES "MuTAN shared q-mask"). Identical to the default
+    # path whenever no input dropout runs (eval / dropout=0; pinned by test).
+    mutan_shared_qdrop: bool = False
     # Synthetic-data mode for benchmarking without the 90GB dataset on disk.
     synthetic: bool = False
     synthetic_train_size: int = 4096

@@ -63,19 +63,30 @@ def _mutan_block_init(key, dim0, dim1, out_dim, rank):
     }
 
 
-def _mutan_block_apply(p, x0, x1, rank, drop_input, train, rngs, compute_dtype):
+def _mutan_block_apply(
+    p, x0, x1, rank, drop_input, train, rngs, compute_dtype, shared_qdrop=False
+):
     """x0 may arrive with a size-1 middle axis ([b, 1, d0] vs x1 [b, R, d1]):
     a question broadcast over rois. Its linear0/merge0 matmuls then run once
     per example instead of once per roi and the elementwise Tucker product
     broadcasts — exact, and ~2x fewer FLOPs in the attention block wherever
     no input dropout runs (eval; measured in PERF_NOTES). In train mode with
-    input dropout the pre-merge activations are broadcast BEFORE the dropout,
-    so the per-roi mask semantics (PyTorch `block` fusion, rois flattened
-    into the batch) are preserved bit-for-bit — train cost is unchanged."""
+    input dropout the pre-merge activations are broadcast BEFORE the dropout
+    by default, so the per-roi mask semantics (PyTorch `block` fusion, rois
+    flattened into the batch) are preserved bit-for-bit — train cost is
+    unchanged. With ``shared_qdrop`` (cfg.mutan_shared_qdrop) the mask is
+    drawn once per example at [b, 1, :] instead, keeping the q-side merge
+    per-example in train too (-41% train-step FLOPs, +27% train q/s measured; PERF_NOTES
+    "MuTAN shared q-mask"). Identical whenever no input dropout runs."""
     h0 = _linear(p["linear0"], x0, compute_dtype)
     h1 = _linear(p["linear1"], x1, compute_dtype)
     if train and drop_input > 0.0:
-        if h0.ndim == 3 and h0.shape[1] == 1 and x1.ndim == 3:
+        if (
+            not shared_qdrop
+            and h0.ndim == 3
+            and h0.shape[1] == 1
+            and x1.ndim == 3
+        ):
             h0 = jnp.broadcast_to(h0, (h0.shape[0], x1.shape[1], h0.shape[2]))
         h0 = nn.dropout(h0, drop_input, train, rngs)
         h1 = nn.dropout(h1, drop_input, train, rngs)
@@ -113,6 +124,7 @@ def mutan_apply(
     rngs: Optional[nn.RngGen],
     compute_dtype=jnp.float32,
     rank: int = 15,
+    shared_qdrop: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (answer logits [b, num_ans], attention [b, R, glimpse])."""
     b, R, v_dim = visual.shape
@@ -121,7 +133,7 @@ def mutan_apply(
     alpha = _mutan_block_apply(
         params["att_fusion"], question[:, None, :], visual, rank,
         0.1 if drop_rate > 0 else 0.0, train,
-        rngs, compute_dtype,
+        rngs, compute_dtype, shared_qdrop=shared_qdrop,
     )  # [b, R, ATT_DIM]
     alpha = wn.fcnet_apply(params["att_linear0"], alpha, None, 0.0, train, rngs, compute_dtype)
     alpha = wn.fcnet_apply(params["att_linear1"], alpha, None, 0.0, train, rngs, compute_dtype)

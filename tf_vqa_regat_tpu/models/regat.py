@@ -234,6 +234,7 @@ def apply_regat(
         logits, _ = mutan.mutan_apply(
             params["joint_emb"], v_emb, q_last, roi_mask, drop, train, rngs,
             compute_dtype, rank=cfg.mutan_rank,
+            shared_qdrop=cfg.mutan_shared_qdrop,
         )
         return logits  # mutan scores answers directly
 
