@@ -248,10 +248,12 @@ class Config:
     # draws its OWN mask over the (identical) broadcast question activations
     # — which forces the q-side merge matmuls (1200 x 1200*rank) to run per
     # roi instead of per example (models/mutan.py). One shared per-example
-    # mask is an equally valid Bernoulli regularizer and lets the q-side
-    # merge run once and broadcast, removing ~40% of the train-step FLOPs
-    # (measured: PERF_NOTES "MuTAN shared q-mask"). Identical to the default
-    # path whenever no input dropout runs (eval / dropout=0; pinned by test).
+    # mask is an equally valid Bernoulli regularizer and keeps the q-side
+    # per-example, which also unlocks the Tucker rank-sum reassociation in
+    # train (models/mutan.py): 8.0 -> 1.7 TF/step, train 4.1k -> 7.1k q/s
+    # measured (PERF_NOTES "MuTAN shared q-mask" + "rank-sum
+    # reassociation"). Identical to the default path whenever no input
+    # dropout runs (eval / dropout=0; pinned by test).
     mutan_shared_qdrop: bool = False
     # Synthetic-data mode for benchmarking without the 90GB dataset on disk.
     synthetic: bool = False

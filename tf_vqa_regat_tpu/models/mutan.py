@@ -17,6 +17,13 @@ sets classifier=None for mutan); models/regat.py skips the classifier.
 Framework addition: invalid rois are masked out of the attention softmax.
 Dropout: this net-new family takes cfg.dropout directly (no reference code
 pins a default; see models/regat.py's dropout-topology note).
+
+TPU restructure: whenever the q-side of the attention Tucker block stays
+per-example ([b, 1, :] — eval always; train under --dropout 0 or
+cfg.mutan_shared_qdrop), the rank sum is reassociated into per-example
+folded weights (z = h1 @ (sum_r W1_r * m0_r) — exact, ~15x fewer FLOPs on
+the family's dominant matmul tier; see _mutan_block_apply and PERF_NOTES
+"MuTAN rank-sum reassociation").
 """
 
 from __future__ import annotations
@@ -75,9 +82,11 @@ def _mutan_block_apply(
     by default, so the per-roi mask semantics (PyTorch `block` fusion, rois
     flattened into the batch) are preserved bit-for-bit — train cost is
     unchanged. With ``shared_qdrop`` (cfg.mutan_shared_qdrop) the mask is
-    drawn once per example at [b, 1, :] instead, keeping the q-side merge
-    per-example in train too (-41% train-step FLOPs, +27% train q/s measured; PERF_NOTES
-    "MuTAN shared q-mask"). Identical whenever no input dropout runs."""
+    drawn once per example at [b, 1, :] instead, keeping the q-side
+    per-example in train too — which also makes the rank-sum reassociation
+    below apply to the train step (8.0 -> 1.7 TF/step, +74% train q/s
+    measured; PERF_NOTES "MuTAN shared q-mask" + "rank-sum reassociation").
+    Identical whenever no input dropout runs."""
     h0 = _linear(p["linear0"], x0, compute_dtype)
     h1 = _linear(p["linear1"], x1, compute_dtype)
     if train and drop_input > 0.0:
@@ -90,10 +99,47 @@ def _mutan_block_apply(
             h0 = jnp.broadcast_to(h0, (h0.shape[0], x1.shape[1], h0.shape[2]))
         h0 = nn.dropout(h0, drop_input, train, rngs)
         h1 = nn.dropout(h1, drop_input, train, rngs)
-    m0 = _linear(p["merge0"], h0, compute_dtype)
-    m1 = _linear(p["merge1"], h1, compute_dtype)
-    m = m0 * m1  # broadcasts over the roi axis when h0 stayed [b, 1, :]
-    z = jnp.sum(m.reshape(*m.shape[:-1], rank, MM_DIM), axis=-2)
+    if h0.ndim == 3 and h0.shape[1] == 1 and x1.ndim == 3:
+        # Rank-sum reassociation (exact in real arithmetic — the same
+        # rank x MM_DIM terms summed with the nesting reordered): when the
+        # q-side stays per-example, z = sum_r m0_r * (h1 @ W1_r + b1_r)
+        #                             = h1 @ M + zb
+        # with M[b] = sum_r W1_r * m0_r[b]   (per-example folded weights)
+        #      zb[b] = sum_r m0_r[b] * b1_r.
+        # The v-side merge then never materializes [b, R, rank*MM]: a
+        # [b*R, MM] x [MM, rank*MM] matmul (the dominant counted-FLOP tier
+        # of this family, PERF_NOTES config matrix) becomes an M build
+        # (rank x MM^2 per example) + a [b, R, MM] x [b, MM, MM] batched
+        # matmul — ~15x fewer FLOPs at rank 15. Applies to eval always and
+        # to train under cfg.mutan_shared_qdrop / --dropout 0 (per-roi
+        # masks make m0 roi-dependent, forcing the naive path below).
+        b = h0.shape[0]
+        m0r = _linear(p["merge0"], h0, compute_dtype).reshape(b, rank, MM_DIM)
+        w1r = p["merge1"]["w"].astype(compute_dtype).reshape(-1, rank, MM_DIM)
+        m0r = m0r.astype(compute_dtype)
+        fold = jnp.einsum(
+            "krj,brj->bkj", w1r, m0r, preferred_element_type=jnp.float32
+        ).astype(compute_dtype)
+        zb = jnp.einsum(
+            "brj,rj->bj",
+            m0r,
+            p["merge1"]["b"].astype(compute_dtype).reshape(rank, MM_DIM),
+            preferred_element_type=jnp.float32,
+        )
+        z = (
+            jnp.einsum(
+                "bik,bkj->bij",
+                h1.astype(compute_dtype),
+                fold,
+                preferred_element_type=jnp.float32,
+            )
+            + zb[:, None, :]
+        )
+    else:
+        m0 = _linear(p["merge0"], h0, compute_dtype)
+        m1 = _linear(p["merge1"], h1, compute_dtype)
+        m = m0 * m1  # broadcasts over the roi axis when h0 stayed [b, 1, :]
+        z = jnp.sum(m.reshape(*m.shape[:-1], rank, MM_DIM), axis=-2)
     return _linear(p["linear_out"], z, compute_dtype)
 
 
