@@ -135,6 +135,10 @@ FAMILY_CFGS = {
     "semantic": CFG.replace(relation_type="semantic", label_bias=True),
     "ban": CFG.replace(fusion="ban"),
     "mutan": CFG.replace(fusion="mutan"),
+    # The reassociated train path (models/mutan.py rank-sum fold — only
+    # reachable in train via the shared q-mask): the per-example folded
+    # weights M[b] are batch-sharded state the other families don't have.
+    "mutan_shared": CFG.replace(fusion="mutan", mutan_shared_qdrop=True),
 }
 
 # Per-family post-Adamax param tolerance. MuTAN needs a looser atol:
@@ -146,7 +150,7 @@ FAMILY_CFGS = {
 # rounding amplification, not a sharding bug (the loss/score trajectory
 # matches at rtol 1e-5 either way; a layout/transpose bug would produce
 # O(|param|)~1e-1 errors, still far outside this tolerance).
-FAMILY_PARAM_ATOL = {"mutan": 3e-3}
+FAMILY_PARAM_ATOL = {"mutan": 3e-3, "mutan_shared": 3e-3}
 
 
 @pytest.mark.parametrize("family", sorted(FAMILY_CFGS))
