@@ -117,22 +117,20 @@ def _mutan_block_apply(
         m0r = _linear(p["merge0"], h0, compute_dtype).reshape(b, rank, MM_DIM)
         w1r = p["merge1"]["w"].astype(compute_dtype).reshape(-1, rank, MM_DIM)
         m0r = m0r.astype(compute_dtype)
-        fold = jnp.einsum(
-            "krj,brj->bkj", w1r, m0r, preferred_element_type=jnp.float32
-        ).astype(compute_dtype)
+        # M and z stay in compute_dtype (the MXU still accumulates each dot
+        # in f32 internally; under the f32 parity mode this is exactly the
+        # f32 math). An explicit f32 output + cast on the [b, MM, MM] fold
+        # showed as 2.5 ms/step of convert in the profile but removing it
+        # measured ~flat end-to-end (the convert overlapped); kept in
+        # compute_dtype for the halved M activation footprint.
+        fold = jnp.einsum("krj,brj->bkj", w1r, m0r)
         zb = jnp.einsum(
             "brj,rj->bj",
             m0r,
             p["merge1"]["b"].astype(compute_dtype).reshape(rank, MM_DIM),
-            preferred_element_type=jnp.float32,
         )
         z = (
-            jnp.einsum(
-                "bik,bkj->bij",
-                h1.astype(compute_dtype),
-                fold,
-                preferred_element_type=jnp.float32,
-            )
+            jnp.einsum("bik,bkj->bij", h1.astype(compute_dtype), fold)
             + zb[:, None, :]
         )
     else:

@@ -35,11 +35,15 @@ def main() -> None:
     ap.add_argument("--eval", action="store_true")
     ap.add_argument("--rois", type=int, default=100)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument(
+        "--variant", default="flagship",
+        help="bench.py MODEL_VARIANTS key (e.g. mutan_shared) to profile",
+    )
     ap.add_argument("--trace_dir", default="/tmp/regat_trace")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
 
-    from bench import BATCH, NTOKEN, NUM_ANS, V_DIM, flagship_cfg
+    from bench import BATCH, NTOKEN, NUM_ANS, V_DIM, variant_cfg
     from tf_vqa_regat_tpu.data.device_store import DeviceStore
     from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
     from tf_vqa_regat_tpu.models.regat import init_regat, resolve_impl, trainable_mask
@@ -51,7 +55,7 @@ def main() -> None:
         init_train_state,
     )
 
-    cfg = flagship_cfg().replace(num_rois=args.rois)
+    cfg = variant_cfg(args.variant).replace(num_rois=args.rois)
     mesh = make_mesh()
     impl = resolve_impl(cfg)
     bspec = batch_sharding(mesh)
