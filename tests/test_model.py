@@ -293,6 +293,17 @@ def test_mutan_shared_qdrop_identical_when_no_input_dropout_runs():
     b0 = apply_regat(params, shared0, batch, NTOKEN, train=True, rng=rng)
     np.testing.assert_array_equal(np.asarray(a0), np.asarray(b0))
 
+    # And the cfg wiring is live: with input dropout RUNNING the two paths
+    # must differ (different mask shapes) — otherwise a silently dropped
+    # `shared_qdrop=cfg.mutan_shared_qdrop` in models/regat.py would pass
+    # every other test while bench measured the wrong path.
+    at = apply_regat(params, base, batch, NTOKEN, train=True, rng=rng)
+    bt = apply_regat(params, shared, batch, NTOKEN, train=True, rng=rng)
+    # Not bit-identical: a dropped flag reproduces the default program
+    # exactly (deterministic), while the real shared path perturbs the
+    # attention block (tiny at these dims, hence no magnitude threshold).
+    assert np.abs(np.asarray(at) - np.asarray(bt)).max() > 0
+
 
 def test_mutan_shared_qdrop_mask_placement(monkeypatch):
     """Pin the mechanism: in the attention Tucker block the default path

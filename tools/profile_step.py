@@ -35,8 +35,10 @@ def main() -> None:
     ap.add_argument("--eval", action="store_true")
     ap.add_argument("--rois", type=int, default=100)
     ap.add_argument("--steps", type=int, default=20)
+    from bench import MODEL_VARIANTS
+
     ap.add_argument(
-        "--variant", default="flagship",
+        "--variant", default="flagship", choices=sorted(MODEL_VARIANTS),
         help="bench.py MODEL_VARIANTS key (e.g. mutan_shared) to profile",
     )
     ap.add_argument("--trace_dir", default="/tmp/regat_trace")
