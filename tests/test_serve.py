@@ -63,6 +63,39 @@ def test_engine_matches_direct_forward(setup):
         assert 0.0 <= g["confidence"] <= 1.0
 
 
+def test_engine_mutan_matches_direct_forward(setup):
+    """Serving a MuTAN checkpoint: the engine's eval forward takes the
+    reassociated Tucker path (models/mutan.py rank-sum fold — eval always
+    qualifies) and mutan scores answers directly (no classifier); its
+    answers must match the hand-packed apply_regat oracle."""
+    ds, _ = setup
+    cfg = CFG.replace(fusion="mutan", mutan_rank=3, mutan_gamma=2)
+    params = init_regat(jax.random.PRNGKey(3), cfg, ds.ntoken, 16, 7)
+    eng = InferenceEngine(cfg, ds, params, batch_sizes=(1,))
+    qs = ["what color is the cat ?", "is it raining ?"]
+    iids = [int(ds.entries.image_ids[i]) for i in (1, 4)]
+    idxs = [int(ds.entries.image_index[i]) for i in (1, 4)]
+    got = eng.infer(qs, iids)
+    from tf_vqa_regat_tpu.data.dictionary import encode_question
+
+    R = cfg.resolved_num_rois()
+    for g, q, ix in zip(got, qs, idxs):
+        f, nb, rb = ds.store.image_slice(ix)
+        n = min(len(f), R)
+        batch = {
+            "features": jnp.zeros((1, R, 16)).at[0, :n].set(f[:n]),
+            "norm_bb": jnp.zeros((1, R, 6)).at[0, :n].set(nb[:n]),
+            "bb": jnp.zeros((1, R, 4)).at[0, :n].set(rb[:n]),
+            "question": jnp.asarray(
+                [encode_question(ds.dictionary, q, 14)], jnp.int32
+            ),
+            "num_boxes": jnp.asarray([n], jnp.int32),
+            "valid": jnp.ones((1,), bool),
+        }
+        logits = apply_regat(params, cfg, batch, ds.ntoken, train=False)
+        assert g["answer"] == ds.label2ans[int(jnp.argmax(logits[0]))]
+
+
 def test_engine_unknown_image(setup):
     ds, params = setup
     eng = InferenceEngine(CFG, ds, params, batch_sizes=(1,))
