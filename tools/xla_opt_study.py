@@ -44,7 +44,7 @@ sys.path.insert(0, os.path.dirname(_HERE))
 import jax
 import numpy as np
 
-from bench import BATCH, NTOKEN, NUM_ANS, V_DIM, flagship_cfg
+from bench import BATCH, MODEL_VARIANTS, NTOKEN, NUM_ANS, V_DIM, variant_cfg
 from tf_vqa_regat_tpu.data.device_store import DeviceStore
 from tf_vqa_regat_tpu.data.fixtures import synthetic_dataset
 from tf_vqa_regat_tpu.models.regat import init_regat, resolve_impl, trainable_mask
@@ -89,6 +89,10 @@ def main() -> None:
     ap.add_argument("--rois", type=int, default=100,
                     help="static roi size R (bucket point) to measure at")
     ap.add_argument(
+        "--model", default="flagship", choices=sorted(MODEL_VARIANTS),
+        help="bench.py MODEL_VARIANTS key whose production blocked step to "
+             "sweep (default: flagship)")
+    ap.add_argument(
         "--variant", action="append", default=[],
         help="extra variant 'name:key=val[;key=val]' — replaces the "
              "built-in candidate list (baseline always runs first)")
@@ -105,7 +109,7 @@ def main() -> None:
     # NO persistent compilation cache: each variant must hit the remote
     # compiler so the override set is actually exercised (and compile wall
     # time per variant is itself reported).
-    cfg = flagship_cfg()
+    cfg = variant_cfg(args.model)
     mesh = make_mesh()
     impl = resolve_impl(cfg)
 
