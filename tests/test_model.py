@@ -376,3 +376,49 @@ def test_mutan_shared_qdrop_trains():
     for g in flat:
         assert np.isfinite(np.asarray(g)).all()
     assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+def test_mutan_rank_sum_reassociation_matches_naive():
+    """Direct oracle for the reassociated Tucker branch (models/mutan.py):
+    z = h1 @ (sum_r W1_r * m0_r) + zb must equal the naive
+    sum_r m0_r * (h1 @ W1_r + b1_r) to float tolerance — both forward and
+    the gradients w.r.t. every block param (same math, renested sums)."""
+    from tf_vqa_regat_tpu.models import mutan
+
+    b_, R_, rank = 3, 12, 5
+    d0, d1, out = 32, 40, 17
+    p = mutan._mutan_block_init(jax.random.PRNGKey(0), d0, d1, out, rank)
+    rs = np.random.RandomState(1)
+    x0 = jnp.asarray(rs.randn(b_, 1, d0).astype(np.float32))
+    x1 = jnp.asarray(rs.randn(b_, R_, d1).astype(np.float32))
+
+    def naive(params):
+        h0 = mutan._linear(params["linear0"], x0, jnp.float32)
+        h1 = mutan._linear(params["linear1"], x1, jnp.float32)
+        m0 = mutan._linear(params["merge0"], h0, jnp.float32)
+        m1 = mutan._linear(params["merge1"], h1, jnp.float32)
+        m = m0 * m1
+        z = jnp.sum(m.reshape(*m.shape[:-1], rank, mutan.MM_DIM), axis=-2)
+        return mutan._linear(params["linear_out"], z, jnp.float32)
+
+    def reassoc(params):
+        # eval, no dropout, x0 [b,1,:] -> the folded branch
+        return mutan._mutan_block_apply(
+            params, x0, x1, rank, 0.0, False, None, jnp.float32
+        )
+
+    want = naive(p)
+    got = reassoc(p)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-5
+    )
+
+    cot = jnp.asarray(rs.randn(*want.shape).astype(np.float32))
+    g_want = jax.grad(lambda q: jnp.vdot(naive(q), cot))(p)
+    g_got = jax.grad(lambda q: jnp.vdot(reassoc(q), cot))(p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        ),
+        g_want, g_got,
+    )
